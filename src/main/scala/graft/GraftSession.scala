@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-ready defaults.
+  *
+  * Mirrors the deployment posture the reference's warehouse implies
+  * (ref: /root/reference/dag/SMFG_DW_ETL_DAG.py — EOD batch over many
+  * tables): AQE on (runtime re-plan + skew-join), small shuffle
+  * partition count for local mode (callers override for clusters),
+  * UTC session time zone for reproducible date semantics.
+  */
+object GraftSession {
+  def build(
+      appName: String = "graft",
+      master: String = "local[*]",
+      shufflePartitions: Int = 32
+  ): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the graft conf set to an externally-built session (Verify /
+    * Bench construct their own); idempotent.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (coverage checklist)
+  * and §7 (build plan). Every capability is an [[Op]] registered in
+  * [[Registry]]; this object just adapts the registry to the driver's
+  * Map-based API.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Registry.byName("q1_pricing_summary").run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(op => op.name -> op.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(op => op.oracle.map(op.name -> _)).toMap
+}
+
+/** All registered capabilities (SURVEY.md §2, one Op per line). */
+object Registry {
+  val all: Seq[Op] =
+    graft.queries.Analytics.ops
+
+  private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
+  def byName(name: String): Op = index(name)
 }
