@@ -27,7 +27,9 @@ object SparkEntry {
 /** All registered capabilities (SURVEY.md §2, one Op per line). */
 object Registry {
   val all: Seq[Op] =
-    graft.queries.Analytics.ops
+    graft.queries.EtlOps.ops ++
+      graft.queries.Analytics.ops ++
+      graft.queries.EventOps.ops
 
   private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
   def byName(name: String): Op = index(name)

@@ -14,4 +14,14 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries nanosecond parquet timestamps, which
+    * Spark rejects as a timestamp type; read them as BIGINT nanos
+    * (exact integer arithmetic downstream, no sub-micro truncation
+    * ambiguity).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+  }
 }

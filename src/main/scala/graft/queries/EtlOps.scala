@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.{Op, Tables}
+import graft.etl.{Consolidator, ExtractionPlanner, Merger, Pipeline, QualityChecks}
+import graft.meta.SampleCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ETL / warehouse-core capabilities (SURVEY.md §2 first block) —
+  * the reference's actual surface, re-expressed as Catalyst plans.
+  */
+object EtlOps {
+
+  private def finSql(inner: String): String =
+    s"CAST(CAST(round($inner, 4) AS DECIMAL(28,4)) AS DOUBLE)"
+
+  // ---------------------------------------------------------------
+  // meta_extract — the generated extraction for the configured
+  // lineitem table: include-flag pruning, aliasing, per-column
+  // transforms (ref: Staging_Extraction_Metadata_Query.sql).
+  // ---------------------------------------------------------------
+  private def metaExtract(s: SparkSession, dir: String): DataFrame =
+    ExtractionPlanner.extract(s, dir, SampleCatalog.lineitem)
+      .orderBy("Order_Key", "Line_Number")
+
+  private val metaExtractSql =
+    s"""SELECT l_orderkey AS Order_Key, l_linenumber AS Line_Number, l_quantity AS Quantity,
+      | l_extendedprice AS Extended_Price,
+      | ${SampleCatalog.netPriceExpr} AS Net_Price,
+      | l_returnflag AS Return_Flag,
+      | CAST(l_shipdate AS DATE) AS Ship_Date,
+      | CAST(year(l_shipdate) AS INT) AS Ship_Year
+      |FROM lineitem
+      |ORDER BY Order_Key, Line_Number""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_full_load — FULL load with column subset + rename.
+  // ---------------------------------------------------------------
+  private def fullLoad(s: SparkSession, dir: String): DataFrame =
+    ExtractionPlanner.extract(s, dir, SampleCatalog.customer).orderBy("Customer_Key")
+
+  private val fullLoadSql =
+    """SELECT c_custkey AS Customer_Key, c_name AS Customer_Name,
+      | c_acctbal AS Account_Balance, c_mktsegment AS Market_Segment
+      |FROM customer
+      |ORDER BY Customer_Key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_incremental_load — IncrementalFilter applied at the scan
+  // (predicate pushdown does the partition pruning at scale).
+  // ---------------------------------------------------------------
+  private def incrementalLoad(s: SparkSession, dir: String): DataFrame =
+    ExtractionPlanner.extract(s, dir, SampleCatalog.orders).orderBy("Order_Key")
+
+  private val incrementalLoadSql =
+    """SELECT o_orderkey AS Order_Key, o_custkey AS Customer_Key, o_orderstatus AS Order_Status,
+      | o_totalprice AS Total_Price, CAST(o_orderdate AS DATE) AS Order_Date,
+      | o_orderpriority AS Order_Priority
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |ORDER BY Order_Key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_transform — per-column TransformationLogic (CASE, string
+  // functions, concatenation) executed inside codegen.
+  // ---------------------------------------------------------------
+  private def transform(s: SparkSession, dir: String): DataFrame =
+    ExtractionPlanner.extract(s, dir, SampleCatalog.part).orderBy("Part_Key")
+
+  private val transformSql =
+    """SELECT p_partkey AS Part_Key, p_name AS Part_Name, upper(p_brand) AS Brand,
+      | CASE WHEN p_size < 10 THEN 'SMALL' WHEN p_size < 30 THEN 'MEDIUM' ELSE 'LARGE' END AS Size_Class,
+      | p_type || '/' || p_brand AS Type_Brand,
+      | p_retailprice AS Retail_Price
+      |FROM part
+      |ORDER BY Part_Key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_output_mapping — target names, TargetDataType casts,
+  // TargetPosition ordering, AdditionalTransform.
+  // ---------------------------------------------------------------
+  private def outputMapping(s: SparkSession, dir: String): DataFrame = {
+    val staged = ExtractionPlanner.extract(s, dir, SampleCatalog.lineitem)
+    ExtractionPlanner.mapToOutput(staged, SampleCatalog.lineitemOutput)
+      .orderBy("Order_Key", "Line_Number")
+  }
+
+  private val outputMappingSql =
+    s"""SELECT CAST(l_orderkey AS BIGINT) AS Order_Key,
+      | CAST(l_linenumber AS INT) AS Line_Number,
+      | CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS Line_Id,
+      | CAST(l_shipdate AS DATE) AS Ship_Date,
+      | CAST(${SampleCatalog.netPriceExpr} AS DOUBLE) AS Net_Price,
+      | CAST(l_returnflag AS VARCHAR) AS Return_Flag
+      |FROM lineitem
+      |ORDER BY Order_Key, Line_Number""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_merge_upsert — IsKey MERGE semantics: latest version wins.
+  // Staging batch = updates (key%5) + inserts (key%7, offset ids).
+  // ---------------------------------------------------------------
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val dw = o.select(
+      col("o_orderkey").as("order_key"), lit(1).as("version"),
+      col("o_totalprice").cast("decimal(18,2)").as("total_dec"),
+      col("o_orderstatus").as("order_status"))
+    val upd = o.filter(col("o_orderkey") % 5 === 0).select(
+      col("o_orderkey").as("order_key"), lit(2).as("version"),
+      round(col("o_totalprice").cast("decimal(18,2)") * lit(1.05).cast("decimal(8,4)"), 2)
+        .cast("decimal(18,2)").as("total_dec"),
+      lit("U").as("order_status"))
+    val ins = o.filter(col("o_orderkey") % 7 === 0).select(
+      (col("o_orderkey") + lit(10000000L)).as("order_key"), lit(1).as("version"),
+      col("o_totalprice").cast("decimal(18,2)").as("total_dec"),
+      lit("I").as("order_status"))
+    Merger.upsert(dw, upd.unionByName(ins), Seq("order_key"), Seq(col("version").desc))
+      .select(col("order_key"), col("version"),
+        col("total_dec").cast("double").as("total_price"), col("order_status"))
+      .orderBy("order_key")
+  }
+
+  private val mergeUpsertSql =
+    """WITH dw AS (
+      |  SELECT o_orderkey AS order_key, 1 AS version,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec, o_orderstatus AS order_status
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, 2,
+      |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(8,4)), 2) AS DECIMAL(18,2)), 'U'
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000, 1, CAST(o_totalprice AS DECIMAL(18,2)), 'I'
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |u AS (SELECT * FROM dw UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY order_key ORDER BY version DESC) AS rn FROM u)
+      |SELECT order_key, version, CAST(total_dec AS DOUBLE) AS total_price, order_status
+      |FROM r WHERE rn = 1
+      |ORDER BY order_key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_scd2 — SCD2 historization: [valid_from, valid_to) + current
+  // flag, one partitioned window over the key.
+  // ---------------------------------------------------------------
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val v1 = o.select(col("o_orderkey").as("order_key"), lit(1).as("version"),
+      to_date(col("o_orderdate")).as("eff"))
+    val v2 = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("order_key"), lit(2).as("version"),
+        date_add(to_date(col("o_orderdate")), 30).as("eff"))
+    Merger.scd2(v1.unionByName(v2), Seq("order_key"), Seq(col("version")), col("eff"))
+      .select("order_key", "version", "valid_from", "valid_to", "is_current")
+      .orderBy("order_key", "version")
+    // valid_to is the 9999-12-31 sentinel for current rows (never NULL)
+  }
+
+  private val scd2Sql =
+    """WITH v AS (
+      |  SELECT o_orderkey AS order_key, 1 AS version, CAST(o_orderdate AS DATE) AS eff FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, CAST(o_orderdate AS DATE) + 30 FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT order_key, version, eff AS valid_from,
+      |  coalesce(lead(eff) OVER (PARTITION BY order_key ORDER BY version), DATE '9999-12-31') AS valid_to,
+      |  CASE WHEN lead(eff) OVER (PARTITION BY order_key ORDER BY version) IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v
+      |ORDER BY order_key, version""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_dedup_latest — staging-replay collapse: latest event per
+  // (user, type) by integer epoch seconds (portable ns handling).
+  // ---------------------------------------------------------------
+  private def dedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000000000").as("es"),
+        col("event_id"), col("value"))
+    Merger.dedupLatest(ev, Seq("user_id", "event_type"),
+      Seq(col("es").desc, col("event_id").desc))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val dedupLatestSql =
+    """SELECT user_id, event_type, es, event_id, value FROM (
+      |  SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS es, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY epoch_ns(ts)//1000000000 DESC, event_id DESC) AS rn
+      |  FROM events) x
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_dq_checks — null / duplicate-key / referential-integrity /
+  // rowcount audit bundle.
+  // ---------------------------------------------------------------
+  private def dqChecks(s: SparkSession, dir: String): DataFrame = QualityChecks.audit(s, dir)
+
+  private val dqChecksSql =
+    """SELECT * FROM (
+      |  SELECT 'dup_key_rows' AS check_name, 'lineitem' AS table_name,
+      |    CAST(coalesce((SELECT sum(n-1) FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*)>1) t), 0) AS BIGINT) AS metric
+      |  UNION ALL SELECT 'null_o_custkey', 'orders', (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+      |  UNION ALL SELECT 'orphan_o_custkey', 'orders', (SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 'orphan_l_orderkey', 'lineitem', (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL SELECT 'rowcount', 'orders', (SELECT count(*) FROM orders)
+      |  UNION ALL SELECT 'rowcount', 'lineitem', (SELECT count(*) FROM lineitem)
+      |) a ORDER BY check_name, table_name""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_consolidate — content invariants of chunked→consolidated
+  // staging (row preservation, all-null-row drop); the file-level
+  // writer path is exercised in ConsolidatorSpec.
+  // ---------------------------------------------------------------
+  private def consolidate(s: SparkSession, dir: String): DataFrame = {
+    val chunked = Tables.load(s, dir, "lineitem").repartition(64) // simulate many small chunk files
+    Consolidator.dropAllNullRows(chunked)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double").as("sum_qty"))
+  }
+
+  private val consolidateSql =
+    s"""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+      | ${finSql("sum(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------
+  // etl_process_log — the DAG's INIT→STAGING_EXTRACT audit trail as
+  // a Dataset (deterministic projection, no wall-clock columns).
+  // ---------------------------------------------------------------
+  private def processLog(s: SparkSession, dir: String): DataFrame = {
+    val result = Pipeline.runStagingExtract(s, dir, SampleCatalog.all)
+    Pipeline.stageLog(s, result).orderBy("table_id")
+  }
+
+  private val processLogSql =
+    """SELECT 'STAGING_EXTRACT' AS stage_name, 1 AS table_id, 'lineitem' AS table_name,
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS row_count, 'SUCCESS' AS status
+      |UNION ALL SELECT 'STAGING_EXTRACT', 2, 'orders',
+      |  (SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'), 'SUCCESS'
+      |UNION ALL SELECT 'STAGING_EXTRACT', 3, 'customer', (SELECT count(*) FROM customer), 'SUCCESS'
+      |UNION ALL SELECT 'STAGING_EXTRACT', 4, 'part', (SELECT count(*) FROM part), 'SUCCESS'
+      |ORDER BY table_id""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("meta_extract", metaExtract, Some(metaExtractSql)),
+    Op("etl_full_load", fullLoad, Some(fullLoadSql)),
+    Op("etl_incremental_load", incrementalLoad, Some(incrementalLoadSql)),
+    Op("etl_transform", transform, Some(transformSql)),
+    Op("etl_output_mapping", outputMapping, Some(outputMappingSql)),
+    Op("etl_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Op("etl_scd2", scd2, Some(scd2Sql)),
+    Op("etl_dedup_latest", dedupLatest, Some(dedupLatestSql)),
+    Op("etl_dq_checks", dqChecks, Some(dqChecksSql)),
+    Op("etl_consolidate", consolidate, Some(consolidateSql)),
+    Op("etl_process_log", processLog, Some(processLogSql)))
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch time-series ops over the events table. Timestamps are
+  * nanosecond parquet INT64 — read as BIGINT nanos (see
+  * Tables.events) and reduced to integer epoch seconds, so every
+  * derived value is integer arithmetic (exact in any engine).
+  * Streaming equivalents live in graft.streaming.
+  */
+object EventOps {
+
+  private def finSql(inner: String): String =
+    s"CAST(CAST(round($inner, 4) AS DECIMAL(28,4)) AS DOUBLE)"
+
+  private def withEs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("es", expr("ts DIV 1000000000"))
+
+  // ---------------------------------------------------------------
+  // ev_tumbling — tumbling 1h window aggregate (batch analog of the
+  // streaming window; same bucketing arithmetic).
+  // ---------------------------------------------------------------
+  private def tumbling(s: SparkSession, dir: String): DataFrame =
+    withEs(s, dir)
+      .withColumn("hour_epoch", col("es") - (col("es") % 3600))
+      .groupBy("hour_epoch", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  private val tumblingSql =
+    s"""SELECT hour_epoch, event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      | ${finSql("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value
+      |FROM (SELECT es - (es % 3600) AS hour_epoch, event_type, user_id, value
+      |      FROM (SELECT epoch_ns(ts)//1000000000 AS es, event_type, user_id, value FROM events) e) b
+      |GROUP BY hour_epoch, event_type
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ev_sessionize — 30-min-gap sessionization: lag → new-session
+  // flag → running session number → per-session stats. Both windows
+  // partition by user_id (no global sort at any scale).
+  // ---------------------------------------------------------------
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withEs(s, dir)
+      .select("user_id", "event_id", "es", "value")
+      .withColumn("prev_es", lag(col("es"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, lit(1)).otherwise(lit(0)))
+      .withColumn("session_no", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "session_no")
+      .agg(
+        min(col("es")).as("session_start"),
+        max(col("es")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  private val sessionizeSql =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, value FROM events),
+      |f AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM f)
+      |SELECT user_id, session_no, min(es) AS session_start, max(es) AS session_end,
+      |  count(*) AS n_events, ${finSql("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value
+      |FROM g GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ev_json_props — semi-structured property extraction from the
+  // JSON props column, aggregated per event type.
+  // ---------------------------------------------------------------
+  private def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  private val jsonPropsSql = // CAST sums: DuckDB sum(INT) is HUGEINT, Spark's is BIGINT
+    """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k FROM events) e
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("ev_tumbling", tumbling, Some(tumblingSql)),
+    Op("ev_sessionize", sessionize, Some(sessionizeSql)),
+    Op("ev_json_props", jsonProps, Some(jsonPropsSql)))
+}
