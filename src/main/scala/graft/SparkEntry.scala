@@ -29,7 +29,10 @@ object Registry {
   val all: Seq[Op] =
     graft.queries.EtlOps.ops ++
       graft.queries.Analytics.ops ++
-      graft.queries.EventOps.ops
+      graft.queries.EventOps.ops ++
+      graft.ops.TextOps.ops ++
+      graft.ops.Dedup.ops ++
+      graft.ops.Similarity.ops
 
   private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
   def byName(name: String): Op = index(name)

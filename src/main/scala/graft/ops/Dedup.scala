@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents / embeddings tables —
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+  * (SURVEY.md §2 "Deduplication").
+  *
+  * Scale notes (100 TB):
+  *  - Nothing here is ever all-pairs over the corpus. Candidate pairs
+  *    come from equality joins on derived keys (content hash, shared
+  *    shingle, LSH band signature, SimHash band) — linear postings,
+  *    shuffle on the key, AQE-skew-handled.
+  *  - All hashing is md5-derived integer arithmetic: portable to the
+  *    DuckDB oracle AND fully deterministic across engines/partitions.
+  */
+object Dedup {
+
+  /** Portable 32-bit token/shingle id: first 8 md5 hex chars. */
+  private val sidSpark = "CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT) % 2147483647"
+  private val sidDuck = "(('0x' || substr(md5(g), 1, 8))::BIGINT) % 2147483647"
+
+  /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens are
+    * out of near-dup scope.
+    */
+  private def withShingles(df: DataFrame): DataFrame =
+    TextOps.withTokens(df)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(toks)-2),
+          |  i -> element_at(toks,i) || ' ' || element_at(toks,i+1) || ' ' || element_at(toks,i+2)))""".stripMargin))
+
+  private val shinglesDuck =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_exact — hash-groupBy on normalized content: one shuffle on
+  // the md5, window assigns the canonical (min doc_id) per group.
+  // ---------------------------------------------------------------
+  private def exact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_hash")
+    Tables.load(s, dir, "documents")
+      .withColumn("content_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"),
+        col("group_size"),
+        when(col("doc_id") =!= col("canonical_id"), lit(1)).otherwise(lit(0)).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  private val exactSql =
+    """SELECT doc_id, content_hash,
+      | min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+      | count(*) OVER (PARTITION BY content_hash) AS group_size,
+      | CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY content_hash) THEN 1 ELSE 0 END AS is_duplicate
+      |FROM (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+      |      FROM documents) h
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_ngram_jaccard — EXACT Jaccard ≥ 0.5 pairs via the
+  // inverted-index (shared-shingle) join: postings explode → equality
+  // self-join → per-pair intersection counts. Never all-pairs; any
+  // pair with J ≥ 0.5 > 0 shares a shingle, so recall is exact.
+  // Integer-only output (intersection/union sizes).
+  // ---------------------------------------------------------------
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = withShingles(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("bigint").as("n_sh"))
+    val post = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
+    val a = post.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("g"))
+    val b = post.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("g"))
+    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardSql =
+    s"""$shinglesDuck,
+      |post AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, inter, na + nb - inter AS uni
+      |FROM pairs
+      |WHERE inter * 2 >= na + nb - inter
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_minhash_lsh — MinHash signatures (32 universal-hash perms
+  // over md5-derived shingle ids) + banded LSH (8 bands × 4 rows)
+  // for candidates, exact Jaccard verify. Candidates come only from
+  // equality joins on (band, signature) — the 100 TB path.
+  // ---------------------------------------------------------------
+  private val NPerm = 32
+  private val NBands = 8
+  private val RowsPerBand = NPerm / NBands
+  private val MersennePrime = 2147483647L // 2^31-1; ids < 2^31 keep products < 2^62
+
+  /** Deterministic permutation constants (fixed LCG fan-out). */
+  private[ops] val perms: Seq[(Long, Long)] = (0 until NPerm).map { i =>
+    val a = ((1103515245L * (i + 7) + 12345L) % (MersennePrime - 1)) + 1
+    val b = (22695477L * (i + 3) + 54321L) % MersennePrime
+    (a, b)
+  }
+
+  private def minhashBase(s: SparkSession, dir: String): DataFrame = {
+    val mins = perms.map { case (a, b) =>
+      s"array_min(transform(sids, x -> ($a * x + $b) % $MersennePrime))"
+    }
+    withShingles(Tables.load(s, dir, "documents"))
+      .withColumn("sids", expr(s"array_distinct(transform(sh, g -> $sidSpark))"))
+      .withColumn("msig", expr(mins.mkString("array(", ", ", ")")))
+      .select("doc_id", "sh", "msig")
+  }
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashBase(s, dir)
+    val bandSigs = (0 until NBands).map { j =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(element_at(msig, ${j * RowsPerBand + r + 1}) AS STRING)")
+      expr(parts.mkString("concat_ws('_', ", ", ", ")"))
+    }
+    val bands = base.select(col("doc_id"),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val av = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("msig").as("ma"))
+    val bv = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("msig").as("mb"))
+    cand.join(av, "doc_a").join(bv, "doc_b")
+      .withColumn("mh_matches", expr(
+        "CAST(aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) AS INT)"))
+      .withColumn("inter", expr("size(array_intersect(sha, shb))").cast("bigint"))
+      .withColumn("uni", (expr("size(sha)") + expr("size(shb)")).cast("bigint") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_a", "doc_b", "mh_matches", "inter", "uni")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashLshSql = {
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(sids, x -> ($a * x + $b) % $MersennePrime))"
+    }.mkString("[", ",\n      ", "]")
+    val bandRows = (0 until NBands).map { j =>
+      val parts = (1 to RowsPerBand)
+        .map(r => s"CAST(msig[${j * RowsPerBand + r}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $parts AS sig FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""$shinglesDuck,
+      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sidDuck)) AS sids FROM s),
+      |m AS (SELECT doc_id, sh,
+      |      $mins AS msig
+      |      FROM sig),
+      |bands AS (
+      |  $bandRows),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(list_sum(list_transform(range(1, ${NPerm + 1}),
+      |    i -> CASE WHEN a.msig[i] = b.msig[i] THEN 1 ELSE 0 END)) AS INT) AS mh_matches,
+      |  len(list_intersect(a.sh, b.sh)) AS inter,
+      |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+      |FROM cand JOIN m a ON cand.doc_a = a.doc_id JOIN m b ON cand.doc_b = b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_simhash — 60-bit SimHash over md5-derived token hashes
+  // (multiplicity-weighted), candidates via 5 × 12-bit bands
+  // (pigeonhole-exact for Hamming ≤ 4), verify with bit_count(xor).
+  // ---------------------------------------------------------------
+  private val SimBits = 60
+  private val SimBands = 5
+  private val BandBits = SimBits / SimBands
+  private val HamMax = SimBands - 1 // pigeonhole: ≤4 diffs can't touch all 5 bands
+
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val base = TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .withColumn("hs", expr("transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${SimBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+           |  acc + CASE WHEN aggregate(hs, 0, (s2, v) ->
+           |                  s2 + CASE WHEN (shiftright(v, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+           |             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select("doc_id", "simhash")
+    val bandVals = (0 until SimBands)
+      .map(k => expr(s"shiftright(simhash, ${k * BandBits}) & ${(1 << BandBits) - 1}"))
+    val bands = base.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= HamMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |h AS (SELECT doc_id, list_transform(toks, tk -> (('0x' || substr(md5(tk), 1, 15))::BIGINT)) AS hs FROM t),
+      |sh AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, $SimBits), j ->
+      |    CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, simhash, band, (simhash >> (band * $BandBits)) & ${(1 << BandBits) - 1} AS bv
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, $SimBands)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS sa, y.simhash AS sb
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sa, sb)) <= $HamMax
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_embedding — cosine near-dup pairs ≥ 0.4 (rounded to 4 dp;
+  // double-precision math both sides). Brute all-pairs is the
+  // CORRECTNESS baseline — the scale path is sim_knn_lsh / sim_ivf
+  // bucketing in Similarity.
+  // ---------------------------------------------------------------
+  private[ops] def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("aggregate(v, CAST(0 AS DOUBLE), (s2, x) -> s2 + x * x)"))
+
+  private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)")
+          / sqrt(col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embeddingDedupSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("dedup_exact", exact, Some(exactSql)),
+    Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Op("dedup_simhash", simhash, Some(simhashSql)),
+    Op("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)))
+}

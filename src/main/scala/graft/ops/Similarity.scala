@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embeddings table (SURVEY.md §2
+  * "Similarity search"): brute-force cosine top-k as the exact
+  * baseline, plus two sub-linear scale paths — random-hyperplane LSH
+  * bucketing and IVF-style coarse quantization. The approximate ops
+  * are deterministic (hash-derived planes, fixed centroid seeds) but
+  * not SQL-oracle-checkable, so they carry rows-only checks.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQueries = 20 // query set: vec_id < 20
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Dedup.withNorm(Tables.load(s, dir, "embeddings")).select("vec_id", "v", "nrm")
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    round(dot / sqrt(na * nb), 4)
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)"
+
+  // ---------------------------------------------------------------
+  // sim_knn_brute — exact top-k: tiny query side broadcast against
+  // the corpus; rank by (rounded sim DESC, id) for determinism.
+  // ---------------------------------------------------------------
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnBruteSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
+      |      FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |      FROM p)
+      |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // sim_knn_lsh — random-hyperplane LSH: 8 deterministic ±1 planes →
+  // 8-bit bucket; queries search only their bucket. Sub-linear at
+  // scale (bucket equality join); recall < 1 by design ⇒ rows-only.
+  // ---------------------------------------------------------------
+  private val NPlanes = 8
+  private val Dim = 64
+
+  /** Deterministic ±1 hyperplanes (LCG over (plane, dim)). */
+  private[ops] val planes: Seq[Seq[Int]] = (0 until NPlanes).map { p =>
+    (0 until Dim).map { d =>
+      val x = (1103515245L * (p * Dim + d + 1) + 12345L) % 2147483647L
+      if ((x & 1L) == 0L) 1 else -1
+    }
+  }
+
+  private def withBucket(df: DataFrame): DataFrame = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val arr = plane.mkString("array(", ", ", ")")
+      s"CASE WHEN aggregate(zip_with(v, $arr, (x, p) -> x * CAST(p AS DOUBLE)), CAST(0 AS DOUBLE), (s2, x) -> s2 + x) > 0 THEN ${1 << i} ELSE 0 END"
+    }
+    df.withColumn("bucket", expr(bits.mkString("", " + ", "")))
+  }
+
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withBucket(emb(s, dir))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "sim", "bucket")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // sim_ivf — IVF-style coarse quantization: fixed seed centroids
+  // (every 25th vector), each vector assigned to nearest centroid;
+  // queries probe the nprobe=2 nearest centroid lists only.
+  // ---------------------------------------------------------------
+  private val CentroidStride = 25
+  private val NProbe = 2
+
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // assign every vector to its nearest centroid (cosine)
+    def assign(df: DataFrame, idCol: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+      df.join(broadcast(cent.withColumnRenamed("cent_id", "cid")
+          .withColumnRenamed("qv", "centv").withColumnRenamed("qn", "centn")), lit(true))
+        .withColumn("csim", cosine(
+          expr("aggregate(zip_with(v, centv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)"),
+          col("nrm"), col("centn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+        .withColumnRenamed("cid", "cell")
+        .drop("centv", "centn", "csim", "crank")
+    }
+    val corpus = assign(e, "vec_id", 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    val queries = assign(e.filter(col("vec_id") < NQueries), "vec_id", NProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(queries).join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "sim", "cell")
+      .orderBy("query_id", "rank")
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
+    Op("sim_knn_lsh", knnLsh, None),
+    Op("sim_ivf", knnIvf, None))
+}

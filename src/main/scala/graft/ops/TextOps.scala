@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table — the
+  * training-data-pipeline surface (SURVEY.md §2): token stats,
+  * quality scoring, language ID, content fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` + SQL lambda
+  * expressions (`transform`/`filter`/`aggregate`) — no UDFs, so the
+  * whole pipeline stays inside WholeStageCodegen and scales linearly
+  * with the corpus. Hashing is md5-derived (the only hash portable
+  * to the DuckDB oracle — SURVEY.md §5).
+  */
+object TextOps {
+
+  /** Tokenize: whitespace split of trimmed text. */
+  def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    withTokens(Tables.load(s, dir, "documents"))
+
+  // ---------------------------------------------------------------
+  // txt_stats — token counts, char counts, avg token length.
+  // ---------------------------------------------------------------
+  private def stats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("bigint").as("n_distinct_tokens"),
+        length(trim(col("text"))).cast("bigint").as("n_chars"),
+        round(expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast("double")
+          / size(col("toks")), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  private val statsSql =
+    """SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+      | length(trim(text)) AS n_chars,
+      | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)/len(toks), 4) AS avg_token_len
+      |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // txt_quality — stopword / short-token / duplicate-token ratios +
+  // composite score (all from exact integer counts, rounded once).
+  // ---------------------------------------------------------------
+  private val stopList = "'the','a','of','to','and','in','on','is'"
+
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n", size(col("toks")))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> x IN ($stopList)))"))
+      .withColumn("short_cnt", expr("size(filter(toks, x -> length(x) <= 2))"))
+      .withColumn("dup_cnt", col("n") - size(array_distinct(col("toks"))))
+      .select(
+        col("doc_id"), col("n").cast("bigint").as("n_tokens"),
+        round(col("stop_cnt").cast("double") / col("n"), 6).as("stop_ratio"),
+        round(col("short_cnt").cast("double") / col("n"), 6).as("short_ratio"),
+        round(col("dup_cnt").cast("double") / col("n"), 6).as("dup_ratio"),
+        // composite in exact integer ppm: one truncating division, no
+        // double-rounding midpoint jitter (weights 0.5/0.3/0.2 → 5/3/2 of 10)
+        expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n")
+          .as("quality_ppm"))
+      .orderBy("doc_id")
+
+  private val qualitySql =
+    s"""SELECT doc_id, n AS n_tokens,
+      | round(CAST(stop_cnt AS DOUBLE)/n, 6) AS stop_ratio,
+      | round(CAST(short_cnt AS DOUBLE)/n, 6) AS short_ratio,
+      | round(CAST(dup_cnt AS DOUBLE)/n, 6) AS dup_ratio,
+      | (10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) // n AS quality_ppm
+      |FROM (
+      |  SELECT doc_id, len(toks) AS n,
+      |    len(list_filter(toks, x -> x IN ($stopList))) AS stop_cnt,
+      |    len(list_filter(toks, x -> length(x) <= 2)) AS short_cnt,
+      |    len(toks) - len(list_distinct(toks)) AS dup_cnt
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents) t
+      |) q
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // txt_langid — stopword-list hit scoring per language, argmax with
+  // alphabetical tiebreak. Deterministic: scores are distinct-token
+  // intersection sizes (exact integers).
+  // ---------------------------------------------------------------
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"),
+    "en" -> Seq("the", "and", "of", "a", "to", "in", "is", "that", "it", "on"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
+
+  private def langid(s: SparkSession, dir: String): DataFrame = {
+    val scored = langLists.foldLeft(docs(s, dir).withColumn("dt", array_distinct(col("toks")))) {
+      case (df, (lang, words)) =>
+        val arr = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$lang",
+          expr(s"size(array_intersect(dt, array($arr)))").cast("bigint"))
+    }
+    val m = greatest(langLists.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = langLists.map(_._1).init.foldRight(lit(langLists.last._1)) {
+      case (lang, rest) => when(col(s"s_$lang") === m, lit(lang)).otherwise(rest)
+    }
+    scored
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang"),
+        predicted.as("predicted")) ++ langLists.map { case (l, _) => col(s"s_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  private val langidSql = {
+    val scoreCols = langLists.map { case (l, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(dt, [$arr])) AS s_$l"
+    }.mkString(",\n    ")
+    val m = langLists.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pred = langLists.map(_._1).init
+      .map(l => s"WHEN s_$l = $m THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${langLists.last._1}' END")
+    s"""SELECT doc_id, lang AS labeled_lang, $pred AS predicted,
+      | s_de, s_en, s_es, s_fr, s_zh
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    $scoreCols
+      |  FROM (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dt
+      |        FROM documents) t
+      |) sc
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // txt_fingerprint — order-sensitive polynomial rolling hash over
+  // md5-derived token ids (content-defined document identity).
+  // ---------------------------------------------------------------
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+            |  CAST(0 AS BIGINT),
+            |  (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin).as("fp"),
+        size(col("toks")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp,
+      | len(toks) AS n_tokens
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("txt_stats", stats, Some(statsSql)),
+    Op("txt_quality", quality, Some(qualitySql)),
+    Op("txt_langid", langid, Some(langidSql)),
+    Op("txt_fingerprint", fingerprint, Some(fingerprintSql)))
+}

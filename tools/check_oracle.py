@@ -28,11 +28,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    expected = set(oracles)
+    qpath = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qpath):
+        with open(qpath) as f:
+            expected |= set(json.load(f))
     failures = 0
-    for name in sorted(os.listdir(out_dir)):
+    present = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(expected - present):
+        print(f"[MISS ] {name}: op produced no output (run failed?)")
+        failures += 1
+    for name in sorted(present):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
             print(f"[MISS ] {name}: no spark output")
