@@ -32,7 +32,8 @@ object Registry {
       graft.queries.EventOps.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
-      graft.ops.Similarity.ops
+      graft.ops.Similarity.ops ++
+      graft.ops.Multimodal.ops
 
   private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
   def byName(name: String): Op = index(name)

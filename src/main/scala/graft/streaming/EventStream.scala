@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over event streams — the streaming
+  * counterpart of graft.queries.EventOps (the reference schedules
+  * HOURLY/REALTIME refreshes in DW_Table_Config; this is the
+  * REALTIME path done Spark-natively: readStream → watermark →
+  * windowed agg / stateful sessionization → writeStream).
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionAgg(user_id: Long, n_events: Long, sum_value: Double,
+      first_es: Long, last_es: Long)
+
+  /** Tumbling 1-hour event-time windows with a 10-minute watermark:
+    * late data beyond the watermark is dropped, state is bounded.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful per-user running session aggregate via
+    * mapGroupsWithState (Update mode): the custom-state API the
+    * reference's REALTIME refresh would need for sessionization.
+    */
+  def runningUserAgg(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionAgg]) =>
+          val events = batch.toSeq
+          val prev = state.getOption.getOrElse(SessionAgg(userId, 0L, 0.0, Long.MaxValue, Long.MinValue))
+          val es = events.map(_.ts.getTime / 1000)
+          val next = SessionAgg(
+            userId,
+            prev.n_events + events.size,
+            prev.sum_value + events.map(_.value).sum,
+            math.min(prev.first_es, if (es.isEmpty) Long.MaxValue else es.min),
+            math.max(prev.last_es, if (es.isEmpty) Long.MinValue else es.max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a streaming DataFrame to an in-memory sink (used by specs
+    * and local smoke; production would use a parquet/Kafka sink).
+    */
+  def startMemorySink(df: DataFrame, name: String, outputMode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming specs: drive the file source through the streaming
+  * pipelines and reconcile with the equivalent batch computation.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  /** events with micro-precision timestamps (streamable type). */
+  private lazy val eventsDir: String = {
+    val tmp = Files.createTempDirectory("graft_stream_events").toString
+    Tables.events(spark, sfDir)
+      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  test("streaming tumbling window agg matches batch") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStream.startMemorySink(
+      EventStream.tumblingCounts(stream), "tumbling_test", OutputMode.Complete())
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumbling_test")
+      .select("window_start", "event_type", "n_events")
+    val want = spark.read.parquet(eventsDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    assert(got.count() == want.count())
+    assert(got.join(want, Seq("window_start", "event_type", "n_events"), "left_anti").count() == 0)
+  }
+
+  test("stateful running user aggregate matches batch totals") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStream.startMemorySink(
+      EventStream.runningUserAgg(stream).toDF(), "running_test", OutputMode.Update())
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("running_test")
+    val want = spark.read.parquet(eventsDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    // one batch ⇒ one update per user with the full count
+    assert(got.select("user_id").distinct().count() == want.count())
+    assert(got.groupBy("user_id").agg(max("n_events").as("n_events"))
+      .join(want, Seq("user_id", "n_events"), "left_anti").count() == 0)
+  }
+}
