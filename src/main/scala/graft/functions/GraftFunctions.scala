@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import java.security.MessageDigest
+
+/** Native Catalyst expressions for the hot per-row kernels. The
+  * interpreted higher-order-function pipelines (nested
+  * `aggregate`/`zip_with` lambdas) cost milliseconds per row; these
+  * expressions do the same arithmetic in tight JVM loops at
+  * microseconds per row, with BIT-IDENTICAL results (same fold order,
+  * same md5-derived integers), so the DuckDB oracles are unchanged.
+  *
+  * Registered as SQL temp functions (graft_simhash60,
+  * graft_array_dot) so operator code can keep using `expr(...)`.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash60", exprs => SimHash60(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
+  }
+
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) — numerically equal to
+    * parseLong(hex(md5)[0:15], 16): the first 15 hex chars are the
+    * big-endian first 8 digest bytes shifted right one nibble.
+    */
+  private[functions] def md5High60(bytes: Array[Byte]): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l >>> 4
+  }
+}
+
+/** 60-bit SimHash over an array<string> of tokens, multiplicity
+  * weighted. Exactly equivalent to (and replacing) the interpreted
+  * form:
+  *   aggregate(sequence(0,59), 0L, (acc, j) -> acc +
+  *     CASE WHEN aggregate(hs, 0, (s,v) -> s + IF((v>>j)&1=1, 1, -1)) > 0
+  *          THEN 1L<<j ELSE 0 END)
+  * with hs = md5-derived 60-bit token ids (first 15 hex chars) — the
+  * contract locked by HashPortabilitySpec against DuckDB.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](60)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      val h = GraftFunctions.md5High60(tok.getBytes)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word 3-gram shingles over an array<string> of tokens,
+  * first-occurrence order — exactly equivalent to the interpreted
+  *   array_distinct(transform(sequence(1, size(toks)-2),
+  *     i -> element_at(toks,i) || ' ' || element_at(toks,i+1) || ' ' || element_at(toks,i+2)))
+  * (which costs ~40µs/shingle interpreted; this is ~1µs/doc).
+  * Fewer than 3 tokens ⇒ empty array.
+  */
+case class Shingles3(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles3"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n - 2) {
+      seen.add(arr.getUTF8String(i) + " " + arr.getUTF8String(i + 1) + " " + arr.getUTF8String(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot product of two array<double> columns: sequential left-to-right
+  * accumulation — the same fold order as
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,v) -> s+v)`, so
+  * results are bit-identical to the interpreted form.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += xs(i) * ys(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

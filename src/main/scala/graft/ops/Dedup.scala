@@ -25,12 +25,12 @@ object Dedup {
   /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens are
     * out of near-dup scope.
     */
-  private def withShingles(df: DataFrame): DataFrame =
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     TextOps.withTokens(df)
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, size(toks)-2),
-          |  i -> element_at(toks,i) || ' ' || element_at(toks,i+1) || ' ' || element_at(toks,i+2)))""".stripMargin))
+      .withColumn("sh", expr("graft_shingles3(toks)"))
+  }
 
   private val shinglesDuck =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -193,13 +193,11 @@ object Dedup {
   private val HamMax = SimBands - 1 // pigeonhole: ≤4 diffs can't touch all 5 bands
 
   private def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // native expression: same md5-derived 60-bit ids + weighted bit
+    // votes as the interpreted HOF form, ~1000× cheaper per row
     val base = TextOps.withTokens(Tables.load(s, dir, "documents"))
-      .withColumn("hs", expr("transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${SimBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
-           |  acc + CASE WHEN aggregate(hs, 0, (s2, v) ->
-           |                  s2 + CASE WHEN (shiftright(v, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-           |             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("simhash", expr("graft_simhash60(toks)"))
       .select("doc_id", "simhash")
     val bandVals = (0 until SimBands)
       .map(k => expr(s"shiftright(simhash, ${k * BandBits}) & ${(1 << BandBits) - 1}"))
@@ -210,10 +208,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
-      .filter(col("hamming") <= HamMax)
+      .filter(col("hamming") <= HamMax) // filter BEFORE distinct: shrink the dedup shuffle
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -242,9 +240,11 @@ object Dedup {
   // CORRECTNESS baseline — the scale path is sim_knn_lsh / sim_ivf
   // bucketing in Similarity.
   // ---------------------------------------------------------------
-  private[ops] def withNorm(df: DataFrame): DataFrame =
+  private[ops] def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("aggregate(v, CAST(0 AS DOUBLE), (s2, x) -> s2 + x * x)"))
+      .withColumn("nrm", expr("graft_array_dot(v, v)"))
+  }
 
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.load(s, dir, "embeddings"))
@@ -253,8 +253,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("sim", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)")
-          / sqrt(col("na") * col("nb")), 4))
+        expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
       .filter(col("sim") >= 0.4)
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")

@@ -23,8 +23,7 @@ object Similarity {
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     round(dot / sqrt(na * nb), 4)
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)"
+  private val dotExpr = "graft_array_dot(qv, cv)"
 
   // ---------------------------------------------------------------
   // sim_knn_brute — exact top-k: tiny query side broadcast against
@@ -111,8 +110,7 @@ object Similarity {
       df.join(broadcast(cent.withColumnRenamed("cent_id", "cid")
           .withColumnRenamed("qv", "centv").withColumnRenamed("qn", "centn")), lit(true))
         .withColumn("csim", cosine(
-          expr("aggregate(zip_with(v, centv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)"),
-          col("nrm"), col("centn")))
+          expr("graft_array_dot(v, centv)"), col("nrm"), col("centn")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= probes)
         .withColumnRenamed("cid", "cell")
