@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // JMH-style: one untimed warmup run per query (JVM/codegen/parquet
     // reader init), then the timed run; stable alphabetical order so
