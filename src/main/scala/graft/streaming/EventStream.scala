@@ -53,6 +53,22 @@ object EventStream {
       }
   }
 
+  /** Sliding windows (1 hour every 15 minutes): each event lands in 4
+    * overlapping windows; same watermark bound.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch; no state).
+    */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Wire a streaming DataFrame to an in-memory sink (used by specs
     * and local smoke; production would use a parquet/Kafka sink).
     */

@@ -39,6 +39,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.join(want, Seq("window_start", "event_type", "n_events"), "left_anti").count() == 0)
   }
 
+  test("sliding windows produce 4 overlapping windows per event hour") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStream.startMemorySink(
+      EventStream.slidingCounts(stream), "sliding_test", OutputMode.Complete())
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding_test")
+    val tumbling = spark.read.parquet(eventsDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+    // each event is in 4 sliding windows ⇒ total window-event mass is 4×
+    val slidingMass = got.agg(sum("n_events")).head().getLong(0)
+    assert(slidingMass == 4 * spark.read.parquet(eventsDir).count())
+    assert(got.count() > tumbling.count())
+  }
+
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val dim = spark.read.parquet(eventsDir)
+      .select("user_id").distinct().withColumn("segment", pmod(col("user_id"), lit(3)))
+    val q = EventStream.startMemorySink(
+      EventStream.enriched(stream, dim).select("event_id", "user_id", "segment"),
+      "enriched_test", OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched_test")
+    assert(got.count() == spark.read.parquet(eventsDir).count())
+    assert(got.filter(col("segment").isNull).count() == 0)
+  }
+
   test("stateful running user aggregate matches batch totals") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
