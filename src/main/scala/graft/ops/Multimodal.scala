@@ -79,7 +79,23 @@ object Multimodal {
     framed.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  // Oracle replica of the stub decoder: 16-byte windows every 32
+  // bytes, clipped at payload end (ASCII text ⇒ chars == bytes, so
+  // DuckDB's string substring reproduces the byte slices; hex() is
+  // uppercase in both).
+  private val frameSampleSql =
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents),
+      |o AS (SELECT doc_id, text, unnest(range(0, greatest(blen - 15, 1), 32)) AS off FROM d),
+      |f AS (SELECT doc_id, CAST(off / 32 AS INT) AS frame_idx, CAST(off AS INT) AS "offset",
+      |        substring(text, CAST(off + 1 AS INT), 16) AS fr
+      |      FROM o)
+      |SELECT doc_id, frame_idx, "offset",
+      |  CAST(octet_length(encode(fr)) AS INT) AS n_bytes,
+      |  hex(encode(fr)) AS frame_hex
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
-    Op("mm_frame_sample", frameSample, None))
+    Op("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

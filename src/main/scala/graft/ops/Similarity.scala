@@ -129,8 +129,59 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // Oracle replicas of the deterministic ANN paths: the hyperplane
+  // literals and centroid seeds are generated from the same Scala
+  // constants, so DuckDB reproduces buckets/cells exactly. (Sign /
+  // rank boundaries sit ~1e-13 from any FP divergence — rounded
+  // ranking keys make that immaterial.)
+  private def planeLit(p: Seq[Int]): String = p.map(v => s"$v.0").mkString("[", ", ", "]")
+
+  private val knnLshSql = {
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |b AS (SELECT vec_id, v, nrm,
+      |      $bucketExpr AS bucket
+      |      FROM n),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+      |        round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
+      |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |      FROM p)
+      |SELECT query_id, rank, neighbor_id, sim, bucket FROM r WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val knnIvfSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id % $CentroidStride = 0),
+      |corpus AS (
+      |  SELECT vec_id AS neighbor_id, v, nrm, cid AS cell FROM (
+      |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
+      |    FROM n x CROSS JOIN cent c) a
+      |  WHERE cr = 1),
+      |qs AS (
+      |  SELECT vec_id AS query_id, v, nrm, cid AS cell FROM (
+      |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
+      |    FROM n x CROSS JOIN cent c WHERE x.vec_id < $NQueries) a
+      |  WHERE cr <= $NProbe),
+      |p AS (SELECT q.query_id, t.neighbor_id, q.cell,
+      |        round(list_dot_product(q.v, t.v) / sqrt(q.nrm * t.nrm), 4) AS sim
+      |      FROM qs q JOIN corpus t ON q.cell = t.cell AND q.query_id <> t.neighbor_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |      FROM p)
+      |SELECT query_id, rank, neighbor_id, sim, cell FROM r WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
-    Op("sim_knn_lsh", knnLsh, None),
-    Op("sim_ivf", knnIvf, None))
+    Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
+    Op("sim_ivf", knnIvf, Some(knnIvfSql)))
 }
