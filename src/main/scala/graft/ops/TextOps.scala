@@ -33,6 +33,9 @@ object TextOps {
         size(col("toks")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("bigint").as("n_distinct_tokens"),
         length(trim(col("text"))).cast("bigint").as("n_chars"),
+        // BPE-ish segmentation: letter runs | digit runs | single punct
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("bigint").as("n_bpe_tokens"),
         round(expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast("double")
           / size(col("toks")), 4).as("avg_token_len"))
       .orderBy("doc_id")
@@ -40,6 +43,7 @@ object TextOps {
   private val statsSql =
     """SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
       | length(trim(text)) AS n_chars,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
       | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)/len(toks), 4) AS avg_token_len
       |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) t
       |ORDER BY doc_id""".stripMargin

@@ -370,8 +370,97 @@ object Analytics {
       |ORDER BY l_linestatus""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q14_promo_ratio — conditional revenue share (promo vs total) in
+  // a ship-date window.
+  // ---------------------------------------------------------------
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+    li(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        fin(sum(when(col("p_type") === "PROMO", revenueRow))).as("promo_revenue"),
+        fin(sum(revenueRow)).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_pct",
+        round(col("promo_revenue") / col("total_revenue") * 100, 4))
+  }
+
+  private val q14Sql =
+    s"""SELECT promo_revenue, total_revenue, n_lines,
+      | round(promo_revenue / total_revenue * 100, 4) AS promo_pct
+      |FROM (
+      |  SELECT
+      |    ${finSql(s"sum(CASE WHEN p_type='PROMO' THEN $revSql END)")} AS promo_revenue,
+      |    ${finSql(s"sum($revSql)")} AS total_revenue,
+      |    count(*) AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) t""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q17_small_quantity — correlated aggregate subquery: lines whose
+  // quantity is below half their part's average. Expressed as an
+  // aggregate-then-join (one shuffle on partkey) — the scalable
+  // form of the correlated subquery.
+  // ---------------------------------------------------------------
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val perPart = li(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    li(s, dir)
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_small_lines"),
+        fin(sum(money(col("l_extendedprice")))).as("small_qty_revenue"))
+  }
+
+  private val q17Sql =
+    s"""SELECT count(*) AS n_small_lines,
+      | ${finSql("sum(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS small_qty_revenue
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS pk,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) t
+      |  ON l.l_partkey = t.pk
+      |WHERE l.l_quantity < 0.5 * t.avg_qty""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q18_large_orders — HAVING over a fact aggregate, enriched and
+  // deterministically top-20.
+  // ---------------------------------------------------------------
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = li(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(money(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 150)
+    big.join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), to_date(col("o_orderdate")).as("orderdate"),
+        fin(col("sum_qty_dec")).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18Sql =
+    s"""SELECT o_orderkey, c_name, CAST(o_orderdate AS DATE) AS orderdate,
+      | ${finSql("sum_qty_dec")} AS sum_qty
+      |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
+    Op("q14_promo_ratio", q14, Some(q14Sql)),
+    Op("q17_small_quantity", q17, Some(q17Sql)),
+    Op("q18_large_orders", q18, Some(q18Sql)),
     Op("q3_top_orders", q3, Some(q3Sql)),
     Op("q4_order_priority", q4, Some(q4Sql)),
     Op("q5_region_revenue", q5, Some(q5Sql)),

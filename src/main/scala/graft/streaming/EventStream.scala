@@ -53,6 +53,43 @@ object EventStream {
       }
   }
 
+  final case class OpenSession(user_id: Long, start_es: Long, last_es: Long,
+      n_events: Long, sum_value: Double)
+  final case class ClosedSession(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionizer via flatMapGroupsWithState (Append): a
+    * >30-minute silence closes the session; closed sessions are
+    * EMITTED, the trailing open session stays in state for the next
+    * micro-batch. The streaming counterpart of EventOps.ev_sessionize.
+    */
+  def closedSessions(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val GapSeconds = 1800L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          for (e <- sorted) {
+            val es = e.ts.getTime / 1000
+            open = open match {
+              case Some(s) if es - s.last_es > GapSeconds =>
+                closed += ClosedSession(userId, s.start_es, s.last_es, s.n_events, s.sum_value)
+                Some(OpenSession(userId, es, es, 1L, e.value))
+              case Some(s) =>
+                Some(s.copy(last_es = es, n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
+              case None =>
+                Some(OpenSession(userId, es, es, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Sliding windows (1 hour every 15 minutes): each event lands in 4
     * overlapping windows; same watermark bound.
     */

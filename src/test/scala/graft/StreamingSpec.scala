@@ -68,6 +68,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(got.filter(col("segment").isNull).count() == 0)
   }
 
+  test("flatMapGroupsWithState emits exactly the non-final batch sessions") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.startMemorySink(
+      EventStream.closedSessions(stream).toDF(), "sessions_test", OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sessions_test")
+    // batch truth: ev_sessionize over the same corpus; closed streaming
+    // sessions = all batch sessions except each user's final (still open)
+    val batchSessions = Registry.byName("ev_sessionize").run(spark, sfDir)
+    val users = batchSessions.select("user_id").distinct().count()
+    assert(closed.count() == batchSessions.count() - users)
+    // emitted sessions must match batch sessions exactly on (user, start, end, n)
+    assert(closed
+      .join(batchSessions,
+        closed("user_id") === batchSessions("user_id") &&
+          closed("session_start") === batchSessions("session_start") &&
+          closed("session_end") === batchSessions("session_end") &&
+          closed("n_events") === batchSessions("n_events"), "left_anti")
+      .count() == 0)
+  }
+
   test("stateful running user aggregate matches batch totals") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
