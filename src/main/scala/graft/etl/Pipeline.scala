@@ -33,20 +33,24 @@ object Pipeline {
   ): Result = {
     val active = specs.filter(_.table.activeFlag)
     val results = active.map { spec =>
-      val df = ExtractionPlanner.extract(spark, dir, spec)
-      val (count, status, err) =
-        try { (Some(df.count()), "SUCCESS", None) }
-        catch { case e: Throwable => (None, "FAILED", Some(e.getMessage)) }
-      StageDetail(
+      // plan construction can itself fail analysis (bad config
+      // expressions / columns) — it must land in the same FAILED
+      // stage row as an execution failure
+      val attempt = scala.util.Try {
+        val df = ExtractionPlanner.extract(spark, dir, spec)
+        df -> df.count()
+      }
+      val detail = StageDetail(
         stageName = "STAGING_EXTRACT",
         processId = processId,
         tableId = Some(spec.table.tableId),
         tableName = spec.table.tableName,
-        rowCount = count,
-        status = status,
-        errorMessage = err,
+        rowCount = attempt.toOption.map(_._2),
+        status = if (attempt.isSuccess) "SUCCESS" else "FAILED",
+        errorMessage = attempt.failed.toOption.map(_.getMessage),
         outputPath = spec.table.stagingZonePath
-      ) -> (spec.table.tableName -> df)
+      )
+      detail -> attempt.toOption.map(spec.table.tableName -> _._1)
     }
     val stages = results.map(_._1)
     val overall = if (stages.forall(_.status == "SUCCESS")) "SUCCESS"
@@ -56,7 +60,7 @@ object Pipeline {
         remarks = Some(s"Extraction summary -> Success: ${stages.count(_.status == "SUCCESS")}, " +
           s"Failed: ${stages.count(_.status != "SUCCESS")}")),
       stages,
-      results.map(_._2).toMap
+      results.flatMap(_._2).toMap
     )
   }
 

@@ -24,11 +24,22 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash60", exprs => SimHash60(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash32", exprs => MinHash32(exprs.head), "scala_udf")
   }
 
   private val localMd5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+
+  /** MinHash permutation constants — MUST stay identical to
+    * graft.ops.Dedup.perms (the DuckDB oracles embed these literals).
+    */
+  val MersennePrime = 2147483647L
+  val minhashPerms: Array[(Long, Long)] = (0 until 32).map { i =>
+    val a = ((1103515245L * (i + 7) + 12345L) % (MersennePrime - 1)) + 1
+    val b = (22695477L * (i + 3) + 54321L) % MersennePrime
+    (a, b)
+  }.toArray
 
   /** First 60 bits of md5(bytes) — numerically equal to
     * parseLong(hex(md5)[0:15], 16): the first 15 hex chars are the
@@ -42,6 +53,19 @@ object GraftFunctions {
     var i = 0
     while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
     l >>> 4
+  }
+
+  /** First 32 bits of md5(bytes) — numerically equal to
+    * parseLong(hex(md5)[0:8], 16) == conv(substr(md5(x),1,8),16,10).
+    */
+  private[functions] def md5High32(bytes: Array[Byte]): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var l = 0L
+    var i = 0
+    while (i < 4) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l
   }
 }
 
@@ -115,6 +139,43 @@ case class Shingles3(child: Expression) extends UnaryExpression with CodegenFall
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-slot MinHash signature over an array<string> of shingles —
+  * equivalent to, per permutation i:
+  *   array_min(transform(sids, x -> (a_i*x + b_i) % 2147483647))
+  * with sids = array_distinct(transform(sh, g ->
+  *   CAST(conv(substr(md5(g),1,8),16,10) AS BIGINT) % 2147483647)).
+  * (min is order-insensitive, so distinct-ness of sids is immaterial;
+  * ids are < 2^31 so a*x+b stays < 2^62.)
+  */
+case class MinHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val perms = GraftFunctions.minhashPerms
+    val mins = Array.fill(perms.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sid = GraftFunctions.md5High32(arr.getUTF8String(i).getBytes) % GraftFunctions.MersennePrime
+      var p = 0
+      while (p < perms.length) {
+        val (a, b) = perms(p)
+        val h = (a * sid + b) % GraftFunctions.MersennePrime
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -109,22 +109,19 @@ object Dedup {
   private val RowsPerBand = NPerm / NBands
   private val MersennePrime = 2147483647L // 2^31-1; ids < 2^31 keep products < 2^62
 
-  /** Deterministic permutation constants (fixed LCG fan-out). */
-  private[ops] val perms: Seq[(Long, Long)] = (0 until NPerm).map { i =>
-    val a = ((1103515245L * (i + 7) + 12345L) % (MersennePrime - 1)) + 1
-    val b = (22695477L * (i + 3) + 54321L) % MersennePrime
-    (a, b)
-  }
+  /** Deterministic permutation constants — canonical copy lives in
+    * GraftFunctions.minhashPerms (the native kernel); the SQL oracle
+    * below embeds the same literals.
+    */
+  private[ops] val perms: Seq[(Long, Long)] =
+    graft.functions.GraftFunctions.minhashPerms.toSeq
 
-  private def minhashBase(s: SparkSession, dir: String): DataFrame = {
-    val mins = perms.map { case (a, b) =>
-      s"array_min(transform(sids, x -> ($a * x + $b) % $MersennePrime))"
-    }
+  private def minhashBase(s: SparkSession, dir: String): DataFrame =
+    // native MinHash32 kernel — equivalence with the interpreted
+    // per-perm array_min form is locked by GraftFunctionsSpec
     withShingles(Tables.load(s, dir, "documents"))
-      .withColumn("sids", expr(s"array_distinct(transform(sh, g -> $sidSpark))"))
-      .withColumn("msig", expr(mins.mkString("array(", ", ", ")")))
+      .withColumn("msig", expr("graft_minhash32(sh)"))
       .select("doc_id", "sh", "msig")
-  }
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val base = minhashBase(s, dir)

@@ -33,6 +33,21 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter(col("native") =!= col("interp")).count() == 0)
   }
 
+  test("graft_minhash32 equals the interpreted per-perm array_min form") {
+    GraftFunctions.register(spark)
+    val mins = GraftFunctions.minhashPerms.toSeq.map { case (a, b) =>
+      s"array_min(transform(sids, x -> ($a * x + $b) % 2147483647))"
+    }
+    val df = graft.ops.TextOps.withTokens(Tables.load(spark, sfDir, "documents"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr("graft_shingles3(toks)"))
+      .withColumn("sids", expr(
+        "array_distinct(transform(sh, g -> CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT) % 2147483647))"))
+      .withColumn("native", expr("graft_minhash32(sh)"))
+      .withColumn("interp", expr(mins.mkString("array(", ", ", ")")))
+    assert(df.filter(col("native") =!= col("interp")).count() == 0)
+  }
+
   test("graft_array_dot equals the interpreted fold, including FP order") {
     GraftFunctions.register(spark)
     val df = Tables.load(spark, sfDir, "embeddings")
