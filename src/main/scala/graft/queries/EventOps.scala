@@ -96,8 +96,57 @@ object EventOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_asof_join — as-of join (each purchase matched to the latest
+  // signup at-or-before it, per user). Spark lacks the operator;
+  // preference order (a) applies: compose it as tagged-union +
+  // ignore-nulls last over one partitioned window — a single shuffle
+  // on the key, no per-row lookups, scales like any window.
+  // ---------------------------------------------------------------
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"), col("event_id"), col("value"), lit(1).as("tag"),
+        lit(null).cast("bigint").as("r_es"), lit(null).cast("double").as("r_value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("es"), col("event_id"), lit(null).cast("double").as("value"),
+        lit(0).as("tag"), col("es").as("r_es"), col("value").as("r_value"))
+    val w = Window.partitionBy("user_id").orderBy("es", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("signup_es", last(col("r_es"), ignoreNulls = true).over(w))
+      .withColumn("signup_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("es"), col("event_id"), col("value"),
+        coalesce(col("signup_es"), lit(-1L)).as("signup_es"),
+        coalesce(col("signup_value"), lit(-1.0)).as("signup_value"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
+  private val asofJoinSql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS es, event_id, event_type, value FROM events),
+      |u AS (
+      |  SELECT user_id, es, event_id, value, 1 AS tag,
+      |         CAST(NULL AS BIGINT) AS r_es, CAST(NULL AS DOUBLE) AS r_value
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, es, event_id, CAST(NULL AS DOUBLE), 0, es, value
+      |  FROM e WHERE event_type = 'signup'),
+      |c AS (SELECT *,
+      |        last_value(r_es IGNORE NULLS) OVER w AS signup_es,
+      |        last_value(r_value IGNORE NULLS) OVER w AS signup_value
+      |      FROM u
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY es, tag, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, es, event_id, value,
+      |  coalesce(signup_es, -1) AS signup_es,
+      |  coalesce(signup_value, -1.0) AS signup_value
+      |FROM c WHERE tag = 1
+      |ORDER BY user_id, es, event_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_tumbling", tumbling, Some(tumblingSql)),
     Op("ev_sessionize", sessionize, Some(sessionizeSql)),
-    Op("ev_json_props", jsonProps, Some(jsonPropsSql)))
+    Op("ev_json_props", jsonProps, Some(jsonPropsSql)),
+    Op("ev_asof_join", asofJoin, Some(asofJoinSql)))
 }
