@@ -265,8 +265,70 @@ object Dedup {
       |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // dedup_clusters — connected components over the near-dup pair
+  // graph (ngram Jaccard ≥ 0.5): iterative min-label propagation,
+  // the standard log-diameter distributed CC algorithm — a driver
+  // loop over DataFrames, each round one shuffle on doc_id; converges
+  // via a monotone label-sum fixpoint (no collect of vertices).
+  // ---------------------------------------------------------------
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+      val viaNeighbors = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .cache()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum // labels only ever decrease
+      rounds += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  private val clustersSql =
+    s"""$shinglesDuck,
+      |post AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |nd AS (SELECT doc_a, doc_b FROM pairs WHERE inter * 2 >= na + nb - inter),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
+      |          UNION SELECT doc_a, doc_a FROM nd UNION SELECT doc_b, doc_b FROM nd),
+      |reach AS (
+      |  WITH RECURSIVE r(u, v) AS (
+      |    SELECT u, v FROM edges
+      |    UNION
+      |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+      |  SELECT u, v FROM r),
+      |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM lab
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
+    Op("dedup_clusters", clusters, Some(clustersSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),

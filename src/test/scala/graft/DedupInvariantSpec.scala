@@ -35,6 +35,18 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(d.filter(col("group_size") === 1 && col("is_duplicate") === 1).count() == 0)
   }
 
+  test("dup clusters: canonical min ids, size >= 2, closed over the pair graph") {
+    val cl = pairs("dedup_clusters")
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    assert(cl.filter(col("cluster_size") < 2).count() == 0)
+    // both endpoints of every near-dup pair share a cluster
+    val p = pairs("dedup_ngram_jaccard").select("doc_a", "doc_b")
+    val la = cl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+    val lb = cl.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+    assert(p.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
   test("knn returns k ranked neighbors per query with sim in [-1,1]") {
     val k = pairs("sim_knn_brute")
     assert(k.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
