@@ -456,8 +456,33 @@ object Analytics {
       |ORDER BY sum_qty DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_percentiles — exact interpolated percentiles per group (Spark
+  // `percentile` == DuckDB `quantile_cont` linear interpolation).
+  // ---------------------------------------------------------------
+  private def qPct(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  private val qPctSql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
+    Op("q_percentiles", qPct, Some(qPctSql)),
     Op("q14_promo_ratio", q14, Some(q14Sql)),
     Op("q17_small_quantity", q17, Some(q17Sql)),
     Op("q18_large_orders", q18, Some(q18Sql)),
