@@ -161,8 +161,35 @@ object TextOps {
       |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_ngram_freq — corpus-level top-50 word bigrams: explode →
+  // count → deterministic rank. Map-side partial aggregation keeps
+  // the shuffle at vocabulary size, not corpus size.
+  // ---------------------------------------------------------------
+  private def ngramFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks)-1),
+          |  i -> element_at(toks,i) || ' ' || element_at(toks,i+1))""".stripMargin)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
+  private val ngramFreqSql =
+    """SELECT bigram, count(*) AS n
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) t
+      |) b
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 50""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("txt_stats", stats, Some(statsSql)),
+    Op("txt_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     Op("txt_quality", quality, Some(qualitySql)),
     Op("txt_langid", langid, Some(langidSql)),
     Op("txt_fingerprint", fingerprint, Some(fingerprintSql)))

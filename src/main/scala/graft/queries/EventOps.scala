@@ -144,8 +144,42 @@ object EventOps {
       |FROM c WHERE tag = 1
       |ORDER BY user_id, es, event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_funnel — signup→purchase conversion: per-user first-signup /
+  // first-subsequent-purchase, integer ppm conversion rate. One
+  // aggregation per stage + one join, all on user_id.
+  // ---------------------------------------------------------------
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("es")).as("signup_es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"))
+    val converted = signups.join(purchases, "user_id")
+      .filter(col("es") >= col("signup_es"))
+      .select("user_id").distinct()
+    val total = ev.select("user_id").distinct().count()
+    val nSignup = signups.count()
+    val nConv = converted.count()
+    import s.implicits._
+    Seq((total, nSignup, nConv, nConv * 1000000L / nSignup))
+      .toDF("n_users", "n_signup_users", "n_converted", "conversion_ppm")
+  }
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS es, event_type FROM events),
+      |s AS (SELECT user_id, min(es) AS signup_es FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT DISTINCT s.user_id
+      |      FROM s JOIN e ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.es >= s.signup_es)
+      |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      |       (SELECT count(*) FROM s) AS n_signup_users,
+      |       (SELECT count(*) FROM c) AS n_converted,
+      |       (SELECT count(*) FROM c) * 1000000 // (SELECT count(*) FROM s) AS conversion_ppm""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_tumbling", tumbling, Some(tumblingSql)),
+    Op("ev_funnel", funnel, Some(funnelSql)),
     Op("ev_sessionize", sessionize, Some(sessionizeSql)),
     Op("ev_json_props", jsonProps, Some(jsonPropsSql)),
     Op("ev_asof_join", asofJoin, Some(asofJoinSql)))
