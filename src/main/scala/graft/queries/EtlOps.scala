@@ -242,7 +242,49 @@ object EtlOps {
       |UNION ALL SELECT 'STAGING_EXTRACT', 4, 'part', (SELECT count(*) FROM part), 'SUCCESS'
       |ORDER BY table_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_end_to_end — the whole reference DAG as one Catalyst
+  // lineage: config-driven extract → DW output mapping → key-based
+  // merge with a simulated correction batch → loaded-table audit.
+  // (INIT → STAGING_EXTRACT → TRANSFORMATION → DATA_WAREHOUSE_LOAD.)
+  // ---------------------------------------------------------------
+  private def endToEnd(s: SparkSession, dir: String): DataFrame = {
+    val staged = ExtractionPlanner.extract(s, dir, SampleCatalog.lineitem)
+    val dw = ExtractionPlanner.mapToOutput(staged, SampleCatalog.lineitemOutput)
+      .withColumn("version", lit(1))
+    // correction batch: Net_Price restated for one order slice
+    val corrections = dw.filter(col("Order_Key") % 100 === 0)
+      .withColumn("Net_Price", col("Net_Price") + lit(1.0))
+      .withColumn("version", lit(2))
+    // the synthetic lineitem key has real duplicates — tiebreak the
+    // version order by the payload so the winner is engine-independent
+    val merged = Merger.upsert(dw, corrections, Seq("Order_Key", "Line_Number"),
+      Seq(col("version").desc, col("Net_Price")))
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("version") === 2, 1).otherwise(0)).cast("bigint").as("n_corrected"),
+      // 18,4 NOT 18,2: Net_Price carries exactly 4 decimal digits, so
+      // the cast is exact — scale-down re-rounding is the known
+      // cross-engine midpoint trap (SURVEY.md §7.1)
+      sum(col("Net_Price").cast("decimal(18,4)")).cast("decimal(28,4)").cast("double").as("total_net"))
+  }
+
+  private val endToEndSql =
+    s"""WITH staged AS (
+      |  SELECT l_orderkey AS Order_Key, l_linenumber AS Line_Number,
+      |         ${SampleCatalog.netPriceExpr} AS Net_Price
+      |  FROM lineitem),
+      |dw AS (SELECT Order_Key, Line_Number, Net_Price, 1 AS version FROM staged),
+      |corr AS (SELECT Order_Key, Line_Number, Net_Price + 1.0, 2 FROM dw WHERE Order_Key % 100 = 0),
+      |u AS (SELECT * FROM dw UNION ALL SELECT * FROM corr),
+      |m AS (SELECT *, row_number() OVER (PARTITION BY Order_Key, Line_Number ORDER BY version DESC, Net_Price) AS rn FROM u)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected,
+      |  ${finSql("sum(CAST(Net_Price AS DECIMAL(18,4)))")} AS total_net
+      |FROM m WHERE rn = 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_end_to_end", endToEnd, Some(endToEndSql)),
     Op("meta_extract", metaExtract, Some(metaExtractSql)),
     Op("etl_full_load", fullLoad, Some(fullLoadSql)),
     Op("etl_incremental_load", incrementalLoad, Some(incrementalLoadSql)),
