@@ -13,8 +13,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JMH-style: one untimed warmup run per query (JVM/codegen/parquet
     // reader init), then the timed run; stable alphabetical order so
-    // per-round numbers are comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // per-round numbers are comparable. SPARK_GRAFT_QUERIES=a,b,c
+    // restricts to a subset for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -16,12 +16,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table carries nanosecond parquet timestamps, which
-    * Spark rejects as a timestamp type; read them as BIGINT nanos
-    * (exact integer arithmetic downstream, no sub-micro truncation
-    * ambiguity).
+    * Spark rejects as a timestamp type; graft sessions read them as
+    * BIGINT nanos (exact integer arithmetic downstream, no sub-micro
+    * truncation ambiguity). The `nanosAsLong` conf this needs is part
+    * of the session contract — set once in [[GraftSession.build]] /
+    * [[GraftSession.tune]], NOT here: a conf flip inside a loader
+    * would race concurrent reads and silently retype other nanos
+    * columns mid-session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "graft sessions read parquet nanos as BIGINT; build the session via GraftSession.build/tune")
     load(spark, dir, "events")
   }
 }

@@ -185,20 +185,24 @@ case class MinHash32(child: Expression) extends UnaryExpression with CodegenFall
 /** Dot product of two array<double> columns: sequential left-to-right
   * accumulation — the same fold order as
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,v) -> s+v)`, so
-  * results are bit-identical to the interpreted form.
+  * results are bit-identical to the interpreted form — INCLUDING
+  * length mismatch: zip_with null-pads the shorter side and the null
+  * product poisons the sum, so ragged inputs yield NULL (not a silent
+  * partial dot product).
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_array_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toDoubleArray()
     val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+    if (xs.length != ys.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += xs(i) * ys(i); i += 1 }
+    while (i < xs.length) { s += xs(i) * ys(i); i += 1 }
     java.lang.Double.valueOf(s)
   }
 

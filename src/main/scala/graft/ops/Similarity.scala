@@ -8,9 +8,10 @@ import org.apache.spark.sql.expressions.Window
 /** Similarity search over the embeddings table (SURVEY.md §2
   * "Similarity search"): brute-force cosine top-k as the exact
   * baseline, plus two sub-linear scale paths — random-hyperplane LSH
-  * bucketing and IVF-style coarse quantization. The approximate ops
-  * are deterministic (hash-derived planes, fixed centroid seeds) but
-  * not SQL-oracle-checkable, so they carry rows-only checks.
+  * bucketing and IVF-style coarse quantization. All three ops are
+  * deterministic (hash-derived planes, fixed centroid seeds) AND
+  * SQL-expressible, so each registers a full DuckDB hash-check oracle
+  * — none fall back to rows-only checks.
   */
 object Similarity {
 

@@ -59,4 +59,18 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSuite {
     // exact equality: same sequential fold order ⇒ same double bits
     assert(df.filter(col("native") =!= col("interp")).count() == 0)
   }
+
+  test("graft_array_dot on ragged arrays is NULL, matching zip_with null-poisoning") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+        (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)),    // ragged → NULL
+        (Array(1.0, 2.0), Array(4.0, 5.0)))          // equal → 14.0
+      .toDF("v", "w")
+      .withColumn("native", expr("graft_array_dot(v, w)"))
+      .withColumn("interp",
+        expr("aggregate(zip_with(v, w, (x, y) -> x * y), CAST(0 AS DOUBLE), (s2, x) -> s2 + x)"))
+    assert(df.filter(col("native") <=> col("interp")).count() == 2)
+    assert(df.filter(col("native").isNull).count() == 1)
+  }
 }
