@@ -29,6 +29,7 @@ object Registry {
   val all: Seq[Op] =
     graft.queries.EtlOps.ops ++
       graft.queries.Analytics.ops ++
+      graft.queries.Analytics2.ops ++
       graft.queries.EventOps.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
