@@ -34,7 +34,8 @@ object Registry {
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
       graft.ops.Similarity.ops ++
-      graft.ops.Multimodal.ops
+      graft.ops.Multimodal.ops ++
+      graft.sources.SourceOps.ops
 
   private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
   def byName(name: String): Op = index(name)

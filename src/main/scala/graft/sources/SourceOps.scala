@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Source/sink capabilities surfaced through the driver contract —
+  * each op exercises a real write→read round trip through a non-
+  * parquet format (or a partitioned parquet layout) and then proves
+  * content fidelity against the DuckDB oracle reading the ORIGINAL
+  * table. The round-trip file layout lives in a per-invocation temp
+  * dir (no cross-run interference between Bench warmup/timed runs).
+  *
+  * Scale notes: csv/json readers take explicit schemas (inference is
+  * a full extra pass at 100 TB); the partitioned writer demonstrates
+  * the hive-layout + partition-pruned-scan path (the pruned read
+  * touches ONE partition's files, verified in SourcesSpec via the
+  * explain plan).
+  */
+object SourceOps {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---------------------------------------------------------------
+  // src_csv_roundtrip — csv sink + schema'd csv source: the customer
+  // dimension written to csv and read back must carry identical
+  // content (ints, strings — csv is not a float-safe format, so money
+  // columns stay out by design).
+  // ---------------------------------------------------------------
+  private val customerCsvSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_mktsegment", StringType)))
+
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_csv")
+    val cols = customerCsvSchema.fieldNames.map(col)
+    Sources.writeCsv(Tables.load(s, dir, "customer").select(cols.toSeq: _*), out)
+    Sources.csv(s, out, customerCsvSchema).orderBy("c_custkey")
+  }
+
+  private val csvRoundtripSql =
+    """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // src_json_roundtrip — json-lines sink + schema'd source with a
+  // NESTED payload: orders serialized as {key, detail: {status,
+  // priority}, day}; read back, flattened, content-compared. Dates
+  // travel as ISO strings (json has no date type).
+  // ---------------------------------------------------------------
+  private val ordersJsonSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("detail", StructType(Seq(
+      StructField("status", StringType),
+      StructField("priority", StringType)))),
+    StructField("order_day", StringType)))
+
+  private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_json")
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+          .as("detail"),
+        to_date(col("o_orderdate")).cast("string").as("order_day"))
+      .write.mode("overwrite").json(out)
+    Sources.jsonLines(s, out, ordersJsonSchema)
+      .select(col("o_orderkey"), col("detail.status").as("order_status"),
+        col("detail.priority").as("order_priority"),
+        col("order_day").cast("date").as("order_day"))
+      .orderBy("o_orderkey")
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT o_orderkey, o_orderstatus AS order_status, o_orderpriority AS order_priority,
+      | CAST(o_orderdate AS DATE) AS order_day
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // src_partitioned_prune — hive-partitioned parquet sink + a pruned
+  // read: lineitem written partitionBy(l_returnflag), then ONE
+  // partition read back through the partition filter (the scan lists
+  // only returnflag=R files — directory pruning, no data skipped at
+  // row level). Content equality against the unpartitioned original.
+  // ---------------------------------------------------------------
+  private def partitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_part")
+    Sources.writeParquet(
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+      out, partitionBy = Seq("l_returnflag"))
+    Sources.parquet(s, out)
+      .filter(col("l_returnflag") === "R") // directory-level prune
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double")
+          .as("sum_qty"))
+  }
+
+  private val partitionedPruneSql =
+    """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+      | CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    Op("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    Op("src_partitioned_prune", partitionedPrune, Some(partitionedPruneSql)))
+}

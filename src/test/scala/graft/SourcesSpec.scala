@@ -31,6 +31,12 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("order_year=1999")))
   }
 
+  test("source ops round-trip through the driver contract non-empty") {
+    Seq("src_csv_roundtrip", "src_json_roundtrip", "src_partitioned_prune").foreach { name =>
+      assert(Registry.byName(name).run(spark, sfDir).count() > 0, s"$name empty")
+    }
+  }
+
   test("writeParquet honors target file count") {
     val tmp = Files.createTempDirectory("graft_files").toString
     Sources.writeParquet(Tables.load(spark, sfDir, "lineitem"), tmp, targetFiles = Some(4))
