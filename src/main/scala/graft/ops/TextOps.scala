@@ -187,10 +187,57 @@ object TextOps {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_tfidf — top-3 characteristic terms per document. The idf is
+  // the raw inverse document-frequency ratio in integer ppm
+  // (tf · 10^6 · N ÷ df — log-free: ln() is libm-dependent and NOT
+  // bit-portable across engines, integer division is). Postings are
+  // (doc, term, tf) from one explode+groupBy; df is a groupBy over
+  // distinct postings — both shuffles are vocabulary-sized after
+  // map-side partial aggregation, never corpus-sized.
+  // ---------------------------------------------------------------
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val postings = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("term"))
+    postings.join(dfreq, "term")
+      // integer division on BOTH engines (Spark DIV == DuckDB // for
+      // positives); a double division + cast would truncate in Spark
+      // but ROUND in DuckDB
+      .withColumn("score_ppm", expr(s"tf * CAST(1000000 AS BIGINT) * $nDocs DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfSql =
+    """WITH postings AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf.tf, dfreq.df,
+      |    CAST(tf.tf * 1000000 * n.n_docs // dfreq.df AS BIGINT) AS score_ppm
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score_ppm
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("txt_stats", stats, Some(statsSql)),
     Op("txt_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     Op("txt_quality", quality, Some(qualitySql)),
     Op("txt_langid", langid, Some(langidSql)),
-    Op("txt_fingerprint", fingerprint, Some(fingerprintSql)))
+    Op("txt_fingerprint", fingerprint, Some(fingerprintSql)),
+    Op("txt_tfidf", tfidf, Some(tfidfSql)))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Op, Tables}
-import graft.etl.{Consolidator, ExtractionPlanner, Merger, Pipeline, QualityChecks}
+import graft.etl.{Consolidator, ExtractionPlanner, Merger, Pipeline, QualityChecks, Skew}
 import graft.meta.SampleCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -283,7 +283,36 @@ object EtlOps {
       |  ${finSql("sum(CAST(Net_Price AS DECIMAL(18,4)))")} AS total_net
       |FROM m WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_salted_agg — two-phase salted aggregation over a HOT 3-value
+  // key (l_returnflag funnels a third of 100 TB into one task under
+  // plain groupBy): phase 1 aggregates per (key, salt shard), phase 2
+  // merges shards — identical result to the direct aggregate (the
+  // oracle is the plain GROUP BY), `salt`× the reduce parallelism.
+  // ---------------------------------------------------------------
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    Skew.saltedAggregate(
+      Tables.load(s, dir, "lineitem"),
+      keys = Seq("l_returnflag"),
+      partials = Seq(
+        (count(lit(1)), "n_lines"),
+        (sum(col("l_quantity").cast("decimal(18,2)")), "qty_dec")),
+      merges = names => Seq(
+        sum(col(names.head)).as("n_lines"),
+        sum(col(names(1))).cast("decimal(28,4)").cast("double").as("sum_qty")))
+      .orderBy("l_returnflag")
+  }
+
+  private val saltedAggSql =
+    s"""SELECT l_returnflag, count(*) AS n_lines,
+      | ${finSql("sum(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_salted_agg", saltedAgg, Some(saltedAggSql)),
     Op("etl_end_to_end", endToEnd, Some(endToEndSql)),
     Op("meta_extract", metaExtract, Some(metaExtractSql)),
     Op("etl_full_load", fullLoad, Some(fullLoadSql)),

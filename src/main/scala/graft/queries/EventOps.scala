@@ -177,10 +177,87 @@ object EventOps {
       |       (SELECT count(*) FROM c) AS n_converted,
       |       (SELECT count(*) FROM c) * 1000000 // (SELECT count(*) FROM s) AS conversion_ppm""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_sliding — batch sliding-window aggregate: 1 h windows sliding
+  // every 15 min, so each event contributes to exactly 4 windows.
+  // Window membership is integer epoch arithmetic (explode of 4 shard
+  // ids — identical bucketing to Structured Streaming's
+  // window(ts, '1 hour', '15 minutes'), but portable to the oracle).
+  // The 4× row expansion happens BEFORE the shuffle but map-side
+  // partial aggregation collapses it to window cardinality.
+  // ---------------------------------------------------------------
+  private def sliding(s: SparkSession, dir: String): DataFrame =
+    withEs(s, dir)
+      .select(col("user_id"), col("es"), col("value"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("win_start", col("es") - pmod(col("es"), lit(900)) - col("k") * 900)
+      .groupBy("win_start")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("win_start")
+
+  private val slidingSql =
+    s"""SELECT win_start, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      | ${finSql("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value
+      |FROM (
+      |  SELECT user_id, value, es - (es % 900) - k * 900 AS win_start
+      |  FROM (SELECT user_id, value, epoch_ns(ts)//1000000000 AS es, unnest(range(0, 4)) AS k
+      |        FROM events) e
+      |) w
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ev_retention — monthly cohort retention: users cohorted by first-
+  // activity month; per (cohort, month offset) the share of the
+  // cohort still active. All month math is integer (year*12+month),
+  // the rate is integer ppm — no calendar/float drift across engines.
+  // ---------------------------------------------------------------
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val act = withEs(s, dir)
+      .withColumn("t", timestamp_seconds(col("es")))
+      .select(col("user_id"),
+        (year(col("t")) * 12 + month(col("t"))).cast("int").as("ym"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min(col("ym")).as("cohort_ym"))
+    val sizes = cohort.groupBy("cohort_ym").agg(countDistinct(col("user_id")).as("n_cohort"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("month_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_ym")
+      .select(col("cohort_ym"), col("month_offset"), col("n_active"), col("n_cohort"),
+        // integer DIV (== DuckDB // for positives); a double `/` then
+        // cast can round up in Spark where // floors in DuckDB
+        expr("n_active * CAST(1000000 AS BIGINT) DIV n_cohort").as("retention_ppm"))
+      .orderBy("cohort_ym", "month_offset")
+  }
+
+  private val retentionSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(year(t) * 12 + month(t) AS INT) AS ym
+      |  FROM (SELECT user_id, make_timestamp((epoch_ns(ts)//1000000000) * 1000000) AS t
+      |        FROM events) e),
+      |cohort AS (SELECT user_id, min(ym) AS cohort_ym FROM act GROUP BY user_id),
+      |sizes AS (SELECT cohort_ym, count(DISTINCT user_id) AS n_cohort FROM cohort GROUP BY cohort_ym),
+      |r AS (
+      |  SELECT c.cohort_ym, a.ym - c.cohort_ym AS month_offset,
+      |    count(DISTINCT a.user_id) AS n_active
+      |  FROM act a JOIN cohort c ON a.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT r.cohort_ym, month_offset, n_active, n_cohort,
+      |  n_active * 1000000 // n_cohort AS retention_ppm
+      |FROM r JOIN sizes ON r.cohort_ym = sizes.cohort_ym
+      |ORDER BY 1, 2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_tumbling", tumbling, Some(tumblingSql)),
     Op("ev_funnel", funnel, Some(funnelSql)),
     Op("ev_sessionize", sessionize, Some(sessionizeSql)),
     Op("ev_json_props", jsonProps, Some(jsonPropsSql)),
-    Op("ev_asof_join", asofJoin, Some(asofJoinSql)))
+    Op("ev_asof_join", asofJoin, Some(asofJoinSql)),
+    Op("ev_sliding", sliding, Some(slidingSql)),
+    Op("ev_retention", retention, Some(retentionSql)))
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the round-2 widening ops (sliding
+  * windows, cohort retention, tf-idf, salted aggregation).
+  */
+class WideningOpsSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("ev_sliding: every event lands in exactly 4 overlapping windows") {
+    val totalEvents = Tables.events(spark, sfDir).count()
+    val windowed = run("ev_sliding").agg(sum(col("n_events"))).head().getLong(0)
+    assert(windowed == totalEvents * 4)
+  }
+
+  test("ev_retention: offset-0 retention is exactly 100% for every cohort") {
+    val df = run("ev_retention").cache()
+    val zero = df.filter(col("month_offset") === 0)
+    assert(zero.count() > 0)
+    assert(zero.filter(col("retention_ppm") =!= 1000000L).count() == 0)
+    // retention never exceeds the cohort
+    assert(df.filter(col("n_active") > col("n_cohort")).count() == 0)
+  }
+
+  test("txt_tfidf: at most 3 ranked terms per doc, ranks contiguous from 1") {
+    val df = run("txt_tfidf").cache()
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+    assert(perDoc.filter(col("n") > 3 || col("n") =!= col("mx")).count() == 0)
+    assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+  }
+
+  test("etl_salted_agg: two-phase salted result equals the direct aggregate") {
+    val salted = run("etl_salted_agg")
+    val direct = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+    assert(salted.collect().toSeq == direct.collect().toSeq)
+  }
+}
