@@ -185,25 +185,58 @@ case class MinHash32(child: Expression) extends UnaryExpression with CodegenFall
 /** Dot product of two array<double> columns: sequential left-to-right
   * accumulation — the same fold order as
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,v) -> s+v)`, so
-  * results are bit-identical to the interpreted form — INCLUDING
-  * length mismatch: zip_with null-pads the shorter side and the null
-  * product poisons the sum, so ragged inputs yield NULL (not a silent
-  * partial dot product).
+  * results are bit-identical to the interpreted form — INCLUDING the
+  * null semantics: zip_with null-pads a shorter side and a null
+  * element poisons the sum, so ragged inputs and null elements yield
+  * NULL (not a silent partial dot product).
+  *
+  * Unlike the per-document kernels above, this one participates in
+  * whole-stage codegen (`doGenCode`): it sits inside O(n²) candidate
+  * loops (dedup_embedding, sim_*), where the fallback's per-call
+  * boxing would dominate.
   */
-case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_array_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
-    val ys = b.asInstanceOf[ArrayData].toDoubleArray()
-    if (xs.length != ys.length) return null
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < xs.length) { s += xs(i) * ys(i); i += 1 }
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      s += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
     java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
