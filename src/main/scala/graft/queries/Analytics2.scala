@@ -195,8 +195,10 @@ object Analytics2 {
   // ---------------------------------------------------------------
   // q15_top_supplier — TPC-H Q15: supplier(s) achieving the maximum
   // quarterly revenue. The max is compared on the EXACT decimal sum
-  // (engine-independent); only the output is rounded. The whole-table
-  // window is over supplier cardinality (post-aggregation), not facts.
+  // (engine-independent); only the output is rounded. The global max
+  // is a 1-row broadcast against the per-supplier aggregate — an
+  // unpartitioned window here would funnel every supplier's row into
+  // one task at scale.
   // ---------------------------------------------------------------
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val rev = li(s, dir)
@@ -204,8 +206,8 @@ object Analytics2 {
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(revenueRow).as("rev_dec"))
-    val w = Window.partitionBy()
-    rev.withColumn("max_rev", max(col("rev_dec")).over(w))
+    val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
       .filter(col("rev_dec") === col("max_rev"))
       .join(broadcast(sup(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), fin(col("rev_dec")).as("total_revenue"))
