@@ -106,6 +106,39 @@ object EventStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Watermark-bounded ingestion dedup: duplicate event ids arriving
+    * within the watermark horizon collapse to one row, and the dedup
+    * state is dropped once the watermark passes — the streaming
+    * counterpart of the batch replay-collapse (Merger.dedupLatest)
+    * with BOUNDED state, unlike a plain dropDuplicates which would
+    * keep every id forever.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase attributed to the
+    * same user's signup when it lands within [signup, signup + 1 h].
+    * Watermarks on BOTH sides + the time-range predicate let Spark
+    * expire join state (a signup older than watermark + 1 h can never
+    * match again and is evicted).
+    */
+  def purchaseAttribution(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "purchase_id", "purchase_ts", "signup_ts", "value")
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink (used by specs
     * and local smoke; production would use a parquet/Kafka sink).
     */

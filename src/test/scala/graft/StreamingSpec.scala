@@ -92,6 +92,46 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .count() == 0)
   }
 
+  test("watermarked stream dedup collapses replayed events exactly") {
+    // replay simulation: the same corpus written twice into one source dir
+    val dupDir = Files.createTempDirectory("graft_stream_dup").toString
+    val once = spark.read.parquet(eventsDir)
+    once.write.mode("overwrite").parquet(dupDir)
+    once.write.mode("append").parquet(dupDir)
+    val schema = once.schema
+    val stream = spark.readStream.schema(schema).parquet(dupDir)
+    val q = EventStream.startMemorySink(
+      EventStream.dedupedEvents(stream), "dedup_test", OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_test")
+    assert(spark.read.parquet(dupDir).count() == once.count() * 2) // replay really doubled
+    assert(got.count() == once.count()) // dedup collapsed it
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
+  test("stream-stream interval join matches the batch attribution join") {
+    val schema = spark.read.parquet(eventsDir).schema
+    def src = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStream.startMemorySink(
+      EventStream.purchaseAttribution(
+        src.filter(col("event_type") === "signup"),
+        src.filter(col("event_type") === "purchase")),
+      "attrib_test", OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib_test")
+    val ev = spark.read.parquet(eventsDir)
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .join(ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts")),
+        col("user_id") === col("s_user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want.select("user_id", "purchase_id", "purchase_ts", "signup_ts"),
+      Seq("user_id", "purchase_id", "purchase_ts", "signup_ts"), "left_anti").count() == 0)
+  }
+
   test("stateful running user aggregate matches batch totals") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
