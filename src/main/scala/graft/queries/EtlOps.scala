@@ -284,6 +284,29 @@ object EtlOps {
       |FROM m WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // meta_sqlgen — the generated extraction-query TEXT per configured
+  // table (the reference's Staging_Extraction_Metadata_Query.sql
+  // produces exactly this (tableName, DataExtractQuery) rowset; we
+  // keep it for audit parity even though execution goes through
+  // Catalyst columns, not SQL strings).
+  // ---------------------------------------------------------------
+  private def sqlGen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SampleCatalog.all
+      .map(spec => (spec.table.tableId, spec.table.tableName, ExtractionPlanner.renderSql(spec)))
+      .toDF("table_id", "table_name", "extract_query")
+      .orderBy("table_id")
+  }
+
+  private val sqlGenSql = {
+    def lit(sqlText: String) = sqlText.replace("'", "''")
+    SampleCatalog.all.map { spec =>
+      s"SELECT ${spec.table.tableId} AS table_id, '${spec.table.tableName}' AS table_name, " +
+        s"'${lit(ExtractionPlanner.renderSql(spec))}' AS extract_query"
+    }.mkString("", "\nUNION ALL ", "\nORDER BY table_id")
+  }
+
+  // ---------------------------------------------------------------
   // etl_salted_agg — two-phase salted aggregation over a HOT 3-value
   // key (l_returnflag funnels a third of 100 TB into one task under
   // plain groupBy): phase 1 aggregates per (key, salt shard), phase 2
@@ -312,6 +335,7 @@ object EtlOps {
       |ORDER BY l_returnflag""".stripMargin
 
   val ops: Seq[Op] = Seq(
+    Op("meta_sqlgen", sqlGen, Some(sqlGenSql)),
     Op("etl_salted_agg", saltedAgg, Some(saltedAggSql)),
     Op("etl_end_to_end", endToEnd, Some(endToEndSql)),
     Op("meta_extract", metaExtract, Some(metaExtractSql)),
