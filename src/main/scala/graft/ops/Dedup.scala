@@ -65,19 +65,29 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
-  // dedup_ngram_jaccard — EXACT Jaccard ≥ 0.5 pairs via the
-  // inverted-index (shared-shingle) join: postings explode → equality
-  // self-join → per-pair intersection counts. Never all-pairs; any
-  // pair with J ≥ 0.5 > 0 shares a shingle, so recall is exact.
+  // dedup_ngram_jaccard — Jaccard ≥ 0.5 pairs via the inverted-index
+  // (shared-shingle) join: postings explode → equality self-join →
+  // per-pair intersection counts. Never all-pairs; any pair with
+  // J ≥ 0.5 > 0 shares a shingle, so recall is exact. The join key is
+  // the 60-bit md5-derived shingle id, not the shingle STRING — an
+  // 8-byte shuffle key instead of a ~25-byte one (at 100 TB the
+  // postings shuffle is the op's whole cost); both engines derive the
+  // same id, and a 60-bit collision (≈1e-4 at 10⁹ distinct shingles)
+  // merely merges two shingles identically on both sides.
   // Integer-only output (intersection/union sizes).
   // ---------------------------------------------------------------
+  private val sid60Spark = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
+  private val sid60Duck = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
+
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val base = withShingles(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("bigint").as("n_sh"))
-    val post = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
-    val a = post.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("g"))
-    val b = post.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("g"))
-    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+    val post = base
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("n_sh"), expr(sid60Spark).as("sid"))
+    val a = post.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sid"))
+    val b = post.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sid"))
+    a.join(b, Seq("sid")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
@@ -88,10 +98,11 @@ object Dedup {
 
   private val ngramJaccardSql =
     s"""$shinglesDuck,
-      |post AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+      |post AS (SELECT doc_id, n_sh, $sid60Duck AS sid
+      |         FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s) u),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4)
       |SELECT doc_a, doc_b, inter, na + nb - inter AS uni
       |FROM pairs
@@ -325,10 +336,11 @@ object Dedup {
 
   private val clustersSql =
     s"""$shinglesDuck,
-      |post AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+      |post AS (SELECT doc_id, n_sh, $sid60Duck AS sid
+      |         FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s) u),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4),
       |nd AS (SELECT doc_a, doc_b FROM pairs WHERE inter * 2 >= na + nb - inter),
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
