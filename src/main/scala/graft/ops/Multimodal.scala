@@ -95,7 +95,71 @@ object Multimodal {
       |FROM f
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------
+  // mm_feature_extract — per-partition "model" inference over the
+  // binary column: payload → fixed-dim feature vector → per-media-
+  // type aggregation. The embedder below is the STUB (md5-derived
+  // integer features so the oracle can replay it bit-exactly); a real
+  // build would swap in an ONNX/JNI call at the same signature. The
+  // Spark shape is the real one: bytes stay executor-local, features
+  // are fixed-width columns, the aggregate is one shuffle on the
+  // 3-value type key (salt if a type dominates at 100 TB).
+  // ---------------------------------------------------------------
+  final case class DocFeatures(doc_id: Long, media_type: String,
+      f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** STUB EMBEDDER — deterministic fake: feature k is the 32-bit md5
+    * prefix of (payload ++ "#k") mod 1000. Same signature as a real
+    * per-item model call (bytes in, fixed-dim vector out).
+    */
+  private[ops] def extractFeatures(id: Long, mediaType: String, payload: Array[Byte]): DocFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def f(k: Int): Long = {
+      md.reset()
+      md.update(payload)
+      md.update(s"#$k".getBytes("UTF-8"))
+      val d = md.digest()
+      var l = 0L
+      var i = 0
+      while (i < 4) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+      l % 1000
+    }
+    DocFeatures(id, mediaType, f(0), f(1), f(2), f(3))
+  }
+
+  private def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, bytes) => extractFeatures(id, mt, bytes) })
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(f0) * CAST(1000000 AS BIGINT) DIV count(1)").as("f0_mean_ppm"),
+        expr("sum(f1) * CAST(1000000 AS BIGINT) DIV count(1)").as("f1_mean_ppm"),
+        expr("sum(f2) * CAST(1000000 AS BIGINT) DIV count(1)").as("f2_mean_ppm"),
+        expr("sum(f3) * CAST(1000000 AS BIGINT) DIV count(1)").as("f3_mean_ppm"))
+      .orderBy("media_type")
+  }
+
+  private val featureExtractSql = {
+    val fs = (0 to 3).map(k =>
+      s"(('0x' || substr(md5(text || '#$k'), 1, 8))::BIGINT) % 1000 AS f$k").mkString(",\n  ")
+    val means = (0 to 3).map(k =>
+      s"CAST(sum(f$k) AS BIGINT) * 1000000 // count(*) AS f${k}_mean_ppm").mkString(",\n ")
+    s"""SELECT media_type, count(*) AS n_docs,
+      | $means
+      |FROM (
+      |  SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  $fs
+      |  FROM documents) f
+      |GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
-    Op("mm_frame_sample", frameSample, Some(frameSampleSql)))
+    Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    Op("mm_feature_extract", featureExtract, Some(featureExtractSql)))
 }
