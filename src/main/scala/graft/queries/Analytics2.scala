@@ -456,7 +456,78 @@ object Analytics2 {
       |) x WHERE prev_dec IS NOT NULL
       |ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_grouping_sets — arbitrary GROUPING SETS (the general construct
+  // behind rollup/cube): (flag,status), (flag), (status) — but NOT
+  // the grand total, which neither rollup nor cube can express alone.
+  // Via the SQL entry path (spark.sql over a temp view).
+  // ---------------------------------------------------------------
+  private val groupingSetsText =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      | coalesce(l_linestatus, 'ALL') AS linestatus,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    li(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(groupingSetsText)
+  }
+
+  // ---------------------------------------------------------------
+  // q_set_ops — INTERSECT / EXCEPT composition: customers active in
+  // BOTH halves of the order history vs ONLY the early half. Set
+  // operators plan as aggregates/anti-joins — one shuffle each.
+  // ---------------------------------------------------------------
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("1998-01-01").cast("timestamp")
+    val early = ord(s, dir).filter(col("o_orderdate") < split).select("o_custkey")
+    val late = ord(s, dir).filter(col("o_orderdate") >= split).select("o_custkey")
+    val both = early.intersect(late).withColumn("cohort", lit("both_halves"))
+    val earlyOnly = early.except(late).withColumn("cohort", lit("early_only"))
+    both.unionByName(earlyOnly)
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("cohort")
+  }
+
+  private val qSetOpsSql =
+    """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+      |u AS (
+      |  SELECT o_custkey, 'both_halves' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late) b
+      |  UNION ALL
+      |  SELECT o_custkey, 'early_only' FROM (SELECT * FROM early EXCEPT SELECT * FROM late) e)
+      |SELECT cohort, count(*) AS n_customers
+      |FROM u GROUP BY cohort
+      |ORDER BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_sql_correlated — the spark.sql() entry path with a correlated
+  // EXISTS + scalar subquery, exactly as a warehouse user would write
+  // it; Catalyst decorrelates both into joins (no per-row execution).
+  // ---------------------------------------------------------------
+  private val correlatedText =
+    """SELECT c_mktsegment, count(*) AS n_big_spenders
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                   FROM customer)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private def qCorrelated(s: SparkSession, dir: String): DataFrame = {
+    cust(s, dir).createOrReplaceTempView("customer")
+    ord(s, dir).createOrReplaceTempView("orders")
+    s.sql(correlatedText)
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_grouping_sets", qGroupingSets, Some(groupingSetsText)),
+    Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    Op("q_sql_correlated", qCorrelated, Some(correlatedText)),
     Op("q7_nation_volume", q7, Some(q7Sql)),
     Op("q8_market_share", q8, Some(q8Sql)),
     Op("q12_late_lines", q12, Some(q12Sql)),
