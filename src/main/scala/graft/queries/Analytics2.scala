@@ -260,12 +260,18 @@ object Analytics2 {
   // suppliers, the offender id) in a single shuffle.
   // ---------------------------------------------------------------
   private def q21(s: SparkSession, dir: String): DataFrame = {
-    val perOrder = li(s, dir)
+    // pre-aggregate to distinct (order, supplier) pairs first: two
+    // countDistincts in one agg would EXPAND the fact table 2×; the
+    // pair grain is far smaller and needs only plain counts after
+    val perPair = li(s, dir)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val perOrder = perPair
       .groupBy("l_orderkey")
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"),
-        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("blame_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("has_r")).as("n_r_supp"),
+        max(when(col("has_r") === 1, col("l_suppkey"))).as("blame_supp"))
     perOrder
       .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
       .groupBy("blame_supp")
