@@ -20,6 +20,10 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(master)
+      // native graft kernels in the function registry + the
+      // HOF-dot-product → ArrayDot optimizer rewrite (cluster deploys
+      // set spark.sql.extensions=graft.plans.GraftExtensions instead)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
