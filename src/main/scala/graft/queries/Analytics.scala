@@ -403,16 +403,18 @@ object Analytics {
 
   // ---------------------------------------------------------------
   // q17_small_quantity — correlated aggregate subquery: lines whose
-  // quantity is below half their part's average. Expressed as an
-  // aggregate-then-join (one shuffle on partkey) — the scalable
-  // form of the correlated subquery.
+  // quantity is below half their part's average. Expressed as a
+  // partitioned window over l_partkey — ONE scan and ONE shuffle of
+  // the fact table (the aggregate-then-join form scans it twice and
+  // shuffles both sides); the decimal window sum keeps the average
+  // engine-exact.
   // ---------------------------------------------------------------
   private def q17(s: SparkSession, dir: String): DataFrame = {
-    val perPart = li(s, dir)
-      .groupBy(col("l_partkey").as("pk"))
-      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    val w = Window.partitionBy("l_partkey")
     li(s, dir)
-      .join(perPart, col("l_partkey") === col("pk"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty",
+        sum(money(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(
         count(lit(1)).as("n_small_lines"),

@@ -252,7 +252,38 @@ object EventOps {
       |FROM r JOIN sizes ON r.cohort_ym = sizes.cohort_ym
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_top_paths — behavioral path mining: the most common
+  // consecutive event-type transitions per user (ordered by time with
+  // the event id as the total-order tiebreak). One partitioned window
+  // (shuffle on user_id) + a vocabulary-sized transition aggregate.
+  // ---------------------------------------------------------------
+  private def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    withEs(s, dir)
+      .select(col("user_id"), col("es"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("next_type").as("step2"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("step1"), col("step2"))
+      .limit(20)
+  }
+
+  private val topPathsSql =
+    """SELECT event_type AS step1, next_type AS step2, count(*) AS n_transitions
+      |FROM (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_ns(ts)//1000000000, event_id) AS next_type
+      |  FROM events) p
+      |WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY n_transitions DESC, step1, step2
+      |LIMIT 20""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_top_paths", topPaths, Some(topPathsSql)),
     Op("ev_tumbling", tumbling, Some(tumblingSql)),
     Op("ev_funnel", funnel, Some(funnelSql)),
     Op("ev_sessionize", sessionize, Some(sessionizeSql)),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH banding parameter sweep over one 32-perm MinHash signature:
+  * with b bands of r = 32/b rows, a full 2r-row band match implies
+  * both r-row halves match, so candidate sets are provably MONOTONE
+  * in the band count — candidates(4 bands) ⊆ candidates(8) ⊆
+  * candidates(16) — and recall against the exact Jaccard pairs can
+  * only grow with more bands. This is the dial a 100 TB deployment
+  * turns: more bands = more recall = more verify work.
+  */
+class LshSweepSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val sigs: DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.ops.TextOps.withTokens(Tables.load(spark, sfDir, "documents"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr("graft_shingles3(toks)"))
+      .withColumn("msig", expr("graft_minhash32(sh)"))
+      .select("doc_id", "sh", "msig")
+      .cache()
+  }
+
+  /** Candidate pairs for b bands × (32/b) rows over the shared sig. */
+  private def candidates(nBands: Int): Set[(Long, Long)] = {
+    val rows = 32 / nBands
+    val bandSigs = (0 until nBands).map { j =>
+      val parts = (0 until rows)
+        .map(r => s"CAST(element_at(msig, ${j * rows + r + 1}) AS STRING)")
+      expr(parts.mkString("concat_ws('_', ", ", ", ")"))
+    }
+    val bands = sigs.select(col("doc_id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("candidate sets are monotone in band count (4 ⊆ 8 ⊆ 16)") {
+    val c4 = candidates(4)
+    val c8 = candidates(8)
+    val c16 = candidates(16)
+    assert(c4.subsetOf(c8) && c8.subsetOf(c16))
+    assert(c16.nonEmpty)
+  }
+
+  test("recall against exact Jaccard >= 0.5 pairs is nondecreasing with bands") {
+    val exactPairs = Registry.byName("dedup_ngram_jaccard").run(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    val recalls = Seq(4, 8, 16).map { b =>
+      val c = candidates(b)
+      exactPairs.count(c.contains).toDouble / exactPairs.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    // at 16 bands × 2 rows the sketch should catch essentially all
+    // true pairs in this corpus
+    assert(recalls.last >= recalls.head)
+    // the shipped op (8 × 4) must equal the sweep's 8-band candidates
+    // after exact-Jaccard verification
+    val verified = Registry.byName("dedup_minhash_lsh").run(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exactPairs.filter(candidates(8).contains))
+  }
+}
