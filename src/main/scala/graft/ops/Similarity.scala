@@ -181,8 +181,39 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, sim, cell FROM r WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // sim_range_search — radius query: ALL neighbors with cosine ≥ τ
+  // for each query (the other half of the ANN API surface next to
+  // top-k). Same broadcast-query shape as sim_knn_brute; at scale the
+  // corpus side would first prune by LSH bucket / IVF cell exactly as
+  // in the top-k paths.
+  // ---------------------------------------------------------------
+  private val RangeTau = 0.3
+
+  private def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .filter(col("sim") >= RangeTau)
+      .select("query_id", "neighbor_id", "sim")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val rangeSearchSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
+      |      FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, sim FROM p WHERE sim >= $RangeTau
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
-    Op("sim_ivf", knnIvf, Some(knnIvfSql)))
+    Op("sim_ivf", knnIvf, Some(knnIvfSql)),
+    Op("sim_range_search", rangeSearch, Some(rangeSearchSql)))
 }

@@ -142,6 +142,48 @@ object Analytics2 {
       |ORDER BY o_year""".stripMargin
 
   // ---------------------------------------------------------------
+  // q9_product_profit — TPC-H Q9 shape (no partsupp/supplycost table,
+  // so unit cost = 80% of p_retailprice): profit by supplier nation ×
+  // order year over one part-color slice. Decimal widths are chosen so the
+  // 3-factor product stays ≤ 38 digits in BOTH engines (Spark trims
+  // scale silently past 38; DuckDB errors) — (12,2)·(12,2)·(3,2) ⇒
+  // scale 6, precision ≤ 28, exact everywhere.
+  // ---------------------------------------------------------------
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_name").contains("blue"))
+      .select("p_partkey", "p_retailprice")
+    val n = nat(s, dir).select("n_nationkey", "n_name")
+    val sn = broadcast(sup(s, dir).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    val costRow = col("l_quantity").cast("decimal(12,2)") *
+      col("p_retailprice").cast("decimal(12,2)") * lit(0.8).cast("decimal(3,2)")
+    li(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(ord(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(fin(sum(revenueRow - costRow)).as("profit"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    s"""SELECT nation, o_year, ${finSql("sum(amount)")} AS profit, count(*) AS n_lines
+      |FROM (
+      |  SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    $revSql - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(3,2)) AS amount
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE p_name LIKE '%blue%'
+      |) v
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------
   // q12_late_lines — TPC-H Q12 shape (no shipmode column in the
   // schema, so the dimension is l_linestatus): lines shipped >90 days
   // after the order date, split by order-priority criticality.
@@ -536,6 +578,7 @@ object Analytics2 {
     Op("q_sql_correlated", qCorrelated, Some(correlatedText)),
     Op("q7_nation_volume", q7, Some(q7Sql)),
     Op("q8_market_share", q8, Some(q8Sql)),
+    Op("q9_product_profit", q9, Some(q9Sql)),
     Op("q12_late_lines", q12, Some(q12Sql)),
     Op("q13_customer_distribution", q13, Some(q13Sql)),
     Op("q15_top_supplier", q15, Some(q15Sql)),
