@@ -110,8 +110,35 @@ object SourceOps {
       |FROM lineitem
       |WHERE l_returnflag = 'R'""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_orc_roundtrip — ORC sink + source (Spark's second native
+  // columnar format; types survive exactly, unlike csv/json): the
+  // supplier dim with its DOUBLE balance round-trips bit-exactly and
+  // is re-aggregated to prove content fidelity including the decimal
+  // money path.
+  // ---------------------------------------------------------------
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_orc")
+    Tables.load(s, dir, "supplier").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("decimal(28,4)").cast("double")
+          .as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      | CAST(CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_bal
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Op("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    Op("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     Op("src_partitioned_prune", partitionedPrune, Some(partitionedPruneSql)))
 }
