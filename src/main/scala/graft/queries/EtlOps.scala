@@ -307,6 +307,68 @@ object EtlOps {
   }
 
   // ---------------------------------------------------------------
+  // etl_cdc_diff — change-data-capture between two warehouse
+  // snapshots: full-outer join on the key + md5 row-fingerprint
+  // comparison classifies every key as INSERT / UPDATE / DELETE /
+  // UNCHANGED in one shuffle. This is the missing half of the
+  // reference's incremental load: watermark filters catch appends,
+  // CDC diffs catch in-place mutation and deletion. The simulated new
+  // snapshot deletes key%11, restates key%7 and appends shifted keys.
+  // ---------------------------------------------------------------
+  private def cdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def fingerprinted(df: DataFrame) = df.select(
+      col("order_key"),
+      md5(concat_ws("|", col("order_status"), col("total_cents").cast("string"))).as("fp"))
+    val prev = fingerprinted(o.select(
+      col("o_orderkey").as("order_key"), col("o_orderstatus").as("order_status"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("total_cents")))
+    val next = fingerprinted(
+      o.filter(col("o_orderkey") % 11 =!= 0) // deletes
+        .select(col("o_orderkey").as("order_key"),
+          when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus"))
+            .as("order_status"), // restatements
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("total_cents"))
+        .unionByName(o.select((col("o_orderkey") + 90000000L).as("order_key"),
+          lit("N").as("order_status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("total_cents"))
+          .filter(col("order_key") % 90000013L === 3))) // sparse inserts
+    prev.as("p").join(next.as("n"), Seq("order_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("p.fp").isNull, "INSERT")
+          .when(col("n.fp").isNull, "DELETE")
+          .when(col("p.fp") =!= col("n.fp"), "UPDATE")
+          .otherwise("UNCHANGED"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("change_type")
+  }
+
+  private val cdcDiffSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS order_key, o_orderstatus AS order_status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+      |  FROM orders),
+      |prev AS (SELECT order_key, md5(order_status || '|' || CAST(total_cents AS VARCHAR)) AS fp FROM base),
+      |nexts AS (
+      |  SELECT order_key,
+      |    md5(CASE WHEN order_key % 7 = 0 THEN 'X' ELSE order_status END
+      |        || '|' || CAST(total_cents AS VARCHAR)) AS fp
+      |  FROM base WHERE order_key % 11 <> 0
+      |  UNION ALL
+      |  SELECT order_key + 90000000, md5('N' || '|' || CAST(total_cents AS VARCHAR))
+      |  FROM base WHERE (order_key + 90000000) % 90000013 = 3),
+      |d AS (
+      |  SELECT CASE WHEN p.fp IS NULL THEN 'INSERT'
+      |              WHEN n.fp IS NULL THEN 'DELETE'
+      |              WHEN p.fp <> n.fp THEN 'UPDATE'
+      |              ELSE 'UNCHANGED' END AS change_type
+      |  FROM prev p FULL OUTER JOIN nexts n USING (order_key))
+      |SELECT change_type, count(*) AS n_keys
+      |FROM d GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_salted_agg — two-phase salted aggregation over a HOT 3-value
   // key (l_returnflag funnels a third of 100 TB into one task under
   // plain groupBy): phase 1 aggregates per (key, salt shard), phase 2
@@ -336,6 +398,7 @@ object EtlOps {
 
   val ops: Seq[Op] = Seq(
     Op("meta_sqlgen", sqlGen, Some(sqlGenSql)),
+    Op("etl_cdc_diff", cdcDiff, Some(cdcDiffSql)),
     Op("etl_salted_agg", saltedAgg, Some(saltedAggSql)),
     Op("etl_end_to_end", endToEnd, Some(endToEndSql)),
     Op("meta_extract", metaExtract, Some(metaExtractSql)),
