@@ -136,8 +136,39 @@ object SourceOps {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_schema_evolution — mergeSchema read over snapshots written
+  // with DIFFERENT schemas (a later extract adds a column, as the
+  // reference's mutable column config implies): the union schema
+  // surfaces, old rows carry NULL in the new column, and nothing is
+  // dropped. Old/new snapshots split the orders table by key parity.
+  // ---------------------------------------------------------------
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_evo")
+    val o = Tables.load(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$out/snap=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/snap=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_with_new_col"),
+        sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("bigint")
+          .as("n_old_schema_rows"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT count(*) AS n_rows,
+      | count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_new_col,
+      | CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old_schema_rows
+      |FROM orders""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    Op("src_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Op("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     Op("src_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     Op("src_partitioned_prune", partitionedPrune, Some(partitionedPruneSql)))

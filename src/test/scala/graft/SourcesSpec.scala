@@ -32,7 +32,8 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("source ops round-trip through the driver contract non-empty") {
-    Seq("src_csv_roundtrip", "src_json_roundtrip", "src_partitioned_prune").foreach { name =>
+    Seq("src_csv_roundtrip", "src_json_roundtrip", "src_partitioned_prune",
+      "src_orc_roundtrip", "src_schema_evolution").foreach { name =>
       assert(Registry.byName(name).run(spark, sfDir).count() > 0, s"$name empty")
     }
   }
