@@ -158,8 +158,51 @@ object Multimodal {
       |ORDER BY media_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // mm_resize — stubbed media downscale: payload → smaller payload
+  // (every 4th byte — a real build swaps in the codec's scaler at the
+  // same bytes→bytes signature), re-emitted as a binary column with
+  // its own typed metadata. Byte-level plumbing is the real thing:
+  // the resized blob is a first-class binary column ready for a sink.
+  // ---------------------------------------------------------------
+  private val ResizeStride = 4
+
+  private[ops] def resizeStub(payload: Array[Byte]): Array[Byte] =
+    Iterator.range(0, payload.length, ResizeStride).map(payload(_)).toArray
+
+  private def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, bytes) =>
+        val small = resizeStub(bytes)
+        (id, mt, bytes.length.toLong, small.length.toLong, small)
+      })
+      .toDF("doc_id", "media_type", "orig_bytes", "resized_bytes", "resized_payload")
+      .select(col("doc_id"), col("media_type"), col("orig_bytes"), col("resized_bytes"),
+        md5(col("resized_payload")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ASCII text ⇒ chars == bytes, so DuckDB rebuilds the strided blob
+  // with string ops and hashes the same bytes.
+  private val resizeSql =
+    s"""SELECT doc_id,
+      | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      | octet_length(encode(text)) AS orig_bytes,
+      | octet_length(encode(small)) AS resized_bytes,
+      | md5(small) AS resized_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    array_to_string(list_transform(range(1, length(text) + 1, $ResizeStride),
+      |      i -> substring(text, CAST(i AS INT), 1)), '') AS small
+      |  FROM documents) r
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    Op("mm_feature_extract", featureExtract, Some(featureExtractSql)))
+    Op("mm_feature_extract", featureExtract, Some(featureExtractSql)),
+    Op("mm_resize", resize, Some(resizeSql)))
 }
