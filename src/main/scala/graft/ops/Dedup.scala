@@ -357,11 +357,97 @@ object Dedup {
       |FROM lab
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // dedup_corpus_pipeline — the end-to-end training-corpus cleaning
+  // flow as ONE lineage (the LLM-data analog of etl_end_to_end's DW
+  // DAG): exact dedup keeps the canonical doc per content hash →
+  // near-dup clustering drops non-canonical cluster members → a
+  // quality gate (integer-ppm score) filters the survivors → final
+  // corpus stats. Output = per-stage survivor counts + surviving
+  // token mass, so any stage regression is visible in one row.
+  // ---------------------------------------------------------------
+  private val QualityGatePpm = 550000L
+
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.load(s, dir, "documents").count()
+    // stage 1: exact — canonical doc per normalized-content hash
+    val exactKeep = exact(s, dir).filter(col("is_duplicate") === 0).select("doc_id")
+    // stage 2: near-dup — drop cluster members that are not the label
+    val dropNearDup = clusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val afterNearDup = exactKeep.join(dropNearDup, Seq("doc_id"), "left_anti")
+    // stage 3: quality gate over the survivors
+    val quality = TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> x IN (${TextOps.stopList})))"))
+      .withColumn("short_cnt", expr("size(filter(toks, x -> length(x) <= 2))"))
+      .withColumn("dup_cnt", col("n") - size(array_distinct(col("toks"))))
+      .withColumn("quality_ppm",
+        expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n"))
+      .select(col("doc_id"), col("quality_ppm"), col("n").cast("bigint").as("n_tokens"))
+    val survivors = afterNearDup.join(quality, "doc_id")
+      .filter(col("quality_ppm") >= QualityGatePpm)
+    val nExact = exactKeep.count()
+    val nNearDup = afterNearDup.count()
+    val fin = survivors.agg(
+      count(lit(1)).as("n_final"),
+      sum(col("n_tokens")).as("final_tokens")).head()
+    import s.implicits._
+    Seq((nDocs, nExact, nNearDup, fin.getLong(0), fin.getLong(1)))
+      .toDF("n_docs", "n_after_exact", "n_after_neardup", "n_final", "final_tokens")
+  }
+
+  private val corpusPipelineSql =
+    s"""$shinglesDuck,
+      |post AS (SELECT doc_id, n_sh, $sid60Duck AS sid
+      |         FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s) u),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |nd AS (SELECT doc_a, doc_b FROM pairs WHERE inter * 2 >= na + nb - inter),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
+      |          UNION SELECT doc_a, doc_a FROM nd UNION SELECT doc_b, doc_b FROM nd),
+      |reach AS (
+      |  WITH RECURSIVE r(u, v) AS (
+      |    SELECT u, v FROM edges
+      |    UNION
+      |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+      |  SELECT u, v FROM r),
+      |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      |exact_keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS canon
+      |    FROM documents) e
+      |  WHERE doc_id = canon),
+      |after_neardup AS (
+      |  SELECT doc_id FROM exact_keep k
+      |  WHERE NOT EXISTS (SELECT 1 FROM lab WHERE lab.doc_id = k.doc_id AND lab.doc_id <> lab.cluster_id)),
+      |q AS (
+      |  SELECT doc_id,
+      |    (10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) // n AS quality_ppm,
+      |    n AS n_tokens
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n,
+      |      len(list_filter(toks, x -> x IN (${TextOps.stopList}))) AS stop_cnt,
+      |      len(list_filter(toks, x -> length(x) <= 2)) AS short_cnt,
+      |      len(toks) - len(list_distinct(toks)) AS dup_cnt
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents) t) x),
+      |surv AS (
+      |  SELECT q.doc_id, q.n_tokens FROM after_neardup a JOIN q ON a.doc_id = q.doc_id
+      |  WHERE q.quality_ppm >= $QualityGatePpm)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |  (SELECT count(*) FROM exact_keep) AS n_after_exact,
+      |  (SELECT count(*) FROM after_neardup) AS n_after_neardup,
+      |  (SELECT count(*) FROM surv) AS n_final,
+      |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM surv) AS final_tokens""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_clusters", clusters, Some(clustersSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
-    Op("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)))
+    Op("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)),
+    Op("dedup_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)))
 }

@@ -52,7 +52,7 @@ object TextOps {
   // txt_quality — stopword / short-token / duplicate-token ratios +
   // composite score (all from exact integer counts, rounded once).
   // ---------------------------------------------------------------
-  private val stopList = "'the','a','of','to','and','in','on','is'"
+  private[ops] val stopList = "'the','a','of','to','and','in','on','is'"
 
   private def quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

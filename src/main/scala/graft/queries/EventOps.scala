@@ -282,7 +282,48 @@ object EventOps {
       |ORDER BY n_transitions DESC, step1, step2
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_anomaly_days — volume anomaly detection: days whose event
+  // count deviates from the corpus mean by more than 2σ. The z-score
+  // test is algebraically cleared of divisions — flag day x iff
+  // (n·x − S)² > 4·(n·SS − S²) with S = Σx, SS = Σx² over n days
+  // (both sides are n²·(…): lhs = n²(x−μ)², rhs = 4·n²·σ²) —
+  // so the whole detector is EXACT integer arithmetic (no float mean
+  // or stddev to drift across engines). The daily series is tiny
+  // post-aggregation; stats are a 1-row broadcast. The products fit
+  // BIGINT up to ~10⁹ events/day × 10⁴ days; past that, lift lhs/rhs
+  // to DECIMAL(38,0) on both sides (same exactness, wider headroom).
+  // ---------------------------------------------------------------
+  private def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = withEs(s, dir)
+      .groupBy(expr("es DIV 86400").as("day_num"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("ss"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("lhs", (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")))
+      .withColumn("rhs", lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
+      .filter(col("lhs") > col("rhs"))
+      .select(col("day_num"), col("x").as("n_events"),
+        col("s"), col("ss"), col("n").as("n_days"))
+      .orderBy("day_num")
+  }
+
+  private val anomalyDaysSql =
+    """WITH daily AS (
+      |  SELECT (epoch_ns(ts)//1000000000) // 86400 AS day_num, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+      |              CAST(sum(x * x) AS BIGINT) AS ss FROM daily)
+      |SELECT day_num, x AS n_events, s, ss, n AS n_days
+      |FROM daily CROSS JOIN st
+      |WHERE (n * x - s) * (n * x - s) > 4 * (n * ss - s * s)
+      |ORDER BY day_num""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_anomaly_days", anomalyDays, Some(anomalyDaysSql)),
     Op("ev_top_paths", topPaths, Some(topPathsSql)),
     Op("ev_tumbling", tumbling, Some(tumblingSql)),
     Op("ev_funnel", funnel, Some(funnelSql)),
