@@ -369,14 +369,14 @@ object Dedup {
   private val QualityGatePpm = 550000L
 
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.load(s, dir, "documents").count()
-    // stage 1: exact — canonical doc per normalized-content hash
-    val exactKeep = exact(s, dir).filter(col("is_duplicate") === 0).select("doc_id")
-    // stage 2: near-dup — drop cluster members that are not the label
-    val dropNearDup = clusters(s, dir)
-      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val afterNearDup = exactKeep.join(dropNearDup, Seq("doc_id"), "left_anti")
-    // stage 3: quality gate over the survivors
+    // per-doc stage flags, folded in ONE aggregation pass — separate
+    // .count() actions per stage would re-execute the (expensive)
+    // cluster lineage once per stage
+    val exactFlag = exact(s, dir)
+      .select(col("doc_id"), (col("is_duplicate") === 0).cast("int").as("keep_exact"))
+    val nearDrop = clusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("nd_drop"))
     val quality = TextOps.withTokens(Tables.load(s, dir, "documents"))
       .withColumn("n", size(col("toks")))
       .withColumn("stop_cnt", expr(s"size(filter(toks, x -> x IN (${TextOps.stopList})))"))
@@ -385,16 +385,17 @@ object Dedup {
       .withColumn("quality_ppm",
         expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n"))
       .select(col("doc_id"), col("quality_ppm"), col("n").cast("bigint").as("n_tokens"))
-    val survivors = afterNearDup.join(quality, "doc_id")
-      .filter(col("quality_ppm") >= QualityGatePpm)
-    val nExact = exactKeep.count()
-    val nNearDup = afterNearDup.count()
-    val fin = survivors.agg(
-      count(lit(1)).as("n_final"),
-      sum(col("n_tokens")).as("final_tokens")).head()
-    import s.implicits._
-    Seq((nDocs, nExact, nNearDup, fin.getLong(0), fin.getLong(1)))
-      .toDF("n_docs", "n_after_exact", "n_after_neardup", "n_final", "final_tokens")
+    val nearKept = col("keep_exact") === 1 && col("nd_drop").isNull
+    val finalKept = nearKept && col("quality_ppm") >= QualityGatePpm
+    exactFlag
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(quality, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep_exact")).cast("bigint").as("n_after_exact"),
+        sum(when(nearKept, 1).otherwise(0)).cast("bigint").as("n_after_neardup"),
+        sum(when(finalKept, 1).otherwise(0)).cast("bigint").as("n_final"),
+        sum(when(finalKept, col("n_tokens")).otherwise(0L)).as("final_tokens"))
   }
 
   private val corpusPipelineSql =
