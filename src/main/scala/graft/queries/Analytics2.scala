@@ -9,7 +9,9 @@ import org.apache.spark.sql.expressions.Window
   * expressible over the available star schema (no partsupp table in
   * the testdata, so Q2/Q11/Q16/Q20 shapes are out of scope), plus
   * window-function coverage (ntile/cume_dist, RANGE frames, lag-based
-  * growth) and CUBE grouping.
+  * growth) and CUBE grouping. (ref: /root/reference/source_code/sql/
+  * "1. Metadata Creation.sql" DW_Output_* — the warehouse these
+  * queries consume is the one that metadata model loads.)
   *
   * Same oracle-parity discipline as [[Analytics]] (SURVEY.md §5):
   * decimal-exact money sums, round-then-cast finalization, strict

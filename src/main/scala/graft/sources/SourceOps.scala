@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 
-/** Source/sink capabilities surfaced through the driver contract —
-  * each op exercises a real write→read round trip through a non-
-  * parquet format (or a partitioned parquet layout) and then proves
-  * content fidelity against the DuckDB oracle reading the ORIGINAL
-  * table. The round-trip file layout lives in a per-invocation temp
+/** Source/sink capabilities surfaced through the driver contract
+  * (ref: /root/reference/source_code/python/airflow_utility/
+  * staging_data_extraction.py writes a single staging format; the
+  * zone paths in config.yaml imply the multi-format lake this layer
+  * generalizes to) — each op exercises a real write→read round trip
+  * through a non-parquet format (or a partitioned parquet layout) and
+  * then proves content fidelity against the DuckDB oracle reading the
+  * ORIGINAL table. The round-trip file layout lives in a per-invocation temp
   * dir (no cross-run interference between Bench warmup/timed runs).
   *
   * Scale notes: csv/json readers take explicit schemas (inference is
