@@ -443,8 +443,48 @@ object Dedup {
       |  (SELECT count(*) FROM surv) AS n_final,
       |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM surv) AS final_tokens""".stripMargin
 
+  // ---------------------------------------------------------------
+  // dedup_source_sketch — per-source corpus MinHash sketch via the
+  // typed [[graft.functions.MinHashUnion]] Aggregator: signatures
+  // merge by element-wise min (MinHash is a mergeable sketch), so the
+  // group sketch aggregates distributively — partial merges collapse
+  // each partition to one 32-slot array before the shuffle, like a
+  // built-in sum. Output exploded to (source, perm, sig_min) scalar
+  // rows for the oracle; two source sketches estimate cross-corpus
+  // Jaccard as matching-slots/32.
+  // ---------------------------------------------------------------
+  private def sourceSketch(s: SparkSession, dir: String): DataFrame = {
+    val base = withShingles(Tables.load(s, dir, "documents"))
+      .withColumn("msig", expr("graft_minhash32(sh)"))
+      .select("source", "msig")
+    val sketch = udaf(graft.functions.MinHashUnion)
+    base.groupBy("source").agg(sketch(col("msig")).as("sk"))
+      .select(col("source"), posexplode(col("sk")).as(Seq("perm", "sig_min")))
+      .orderBy("source", "perm")
+  }
+
+  private val sourceSketchSql = {
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(sids, x -> ($a * x + $b) % $MersennePrime))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |s2 AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks)-1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |       FROM t WHERE len(toks) >= 3),
+      |sig AS (SELECT source, list_distinct(list_transform(sh, g -> $sidDuck)) AS sids FROM s2),
+      |m AS (SELECT source,
+      |      $mins AS msig
+      |      FROM sig),
+      |e AS (SELECT source, CAST(unnest(range(0, ${graft.functions.MinHashUnion.Slots})) AS INT) AS perm, msig FROM m)
+      |SELECT source, perm, min(msig[perm + 1]) AS sig_min
+      |FROM e
+      |GROUP BY source, perm
+      |ORDER BY source, perm""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", exact, Some(exactSql)),
+    Op("dedup_source_sketch", sourceSketch, Some(sourceSketchSql)),
     Op("dedup_clusters", clusters, Some(clustersSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

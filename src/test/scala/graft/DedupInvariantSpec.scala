@@ -47,6 +47,18 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
       .filter(col("ca") =!= col("cb")).count() == 0)
   }
 
+  test("typed MinHashUnion aggregator equals the declarative posexplode+min form") {
+    val agg = pairs("dedup_source_sketch")
+    val declarative = graft.ops.TextOps.withTokens(Tables.load(spark, sfDir, "documents"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("msig", expr("graft_minhash32(graft_shingles3(toks))"))
+      .select(col("source"), posexplode(col("msig")).as(Seq("perm", "v")))
+      .groupBy("source", "perm").agg(min(col("v")).as("sig_min"))
+    assert(agg.count() > 0)
+    assert(agg.join(declarative, Seq("source", "perm", "sig_min"), "left_anti").count() == 0)
+    assert(declarative.join(agg, Seq("source", "perm", "sig_min"), "left_anti").count() == 0)
+  }
+
   test("knn returns k ranked neighbors per query with sim in [-1,1]") {
     val k = pairs("sim_knn_brute")
     assert(k.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
