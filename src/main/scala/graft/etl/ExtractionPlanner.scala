@@ -37,8 +37,15 @@ object ExtractionPlanner {
     * INCREMENTAL applies the filter before projection (the filter
     * references source column names, as in the reference).
     */
-  def extract(spark: SparkSession, dir: String, spec: ExtractSpec): DataFrame = {
-    val base = Tables.load(spark, dir, spec.table.tableName)
+  def extract(spark: SparkSession, dir: String, spec: ExtractSpec): DataFrame =
+    extractFrom(Tables.load(spark, dir, spec.table.tableName), spec)
+
+  /** Same plan over an arbitrary base relation (parquet, JDBC, …) —
+    * the filter/projection are Catalyst expressions, so the source
+    * connector decides what it can push (a JDBC source ships the
+    * incremental WHERE to the remote DB; parquet prunes row groups).
+    */
+  def extractFrom(base: DataFrame, spec: ExtractSpec): DataFrame = {
     val filtered = spec.table.incrementalFilter match {
       case Some(f) if spec.table.loadType == "INCREMENTAL" => base.where(expr(f))
       case _ => base

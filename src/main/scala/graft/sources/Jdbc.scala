@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.meta.TableConfig
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.sql.DriverManager
+import java.util.Properties
+
+/** JDBC extraction — the Spark-native re-expression of the
+  * reference's actual ingest path (ref: /root/reference/source_code/
+  * python/airflow_utility/staging_data_extraction.py:84-106
+  * `extract_table_data`: `pd.read_sql(query, con=engine,
+  * chunksize=chunk_size)` pulling row chunks through one driver
+  * connection, and local_utility/mysql_connection.py building the
+  * engine from config).
+  *
+  * The scale translation: the reference's `chunksize` serializes the
+  * whole table through ONE connection on ONE machine. Spark's
+  * partitioned JDBC read opens `numPartitions` connections, each
+  * scanning a bounded key range (`partitionColumn` BETWEEN bounds) —
+  * the same "chunking" idea, but the chunks run in parallel on
+  * executors and never funnel through the driver. [[partitionsFor]]
+  * maps the reference's BatchSize (rows per chunk) onto a partition
+  * count over the observed key range.
+  *
+  * Incremental predicates (TableConfig.incrementalFilter) are applied
+  * on the DataFrame: Catalyst pushes JDBC-compilable predicates into
+  * the remote WHERE clause, so an incremental load ships only new
+  * rows over the wire — the reference achieves this by string-
+  * concatenating the filter into its generated SQL.
+  *
+  * Tests/ops use embedded Derby (in `/opt/spark/jars`, runs in-JVM —
+  * the sandbox stand-in for the reference's MySQL server; the code
+  * path is the same `spark.read.jdbc` a cluster would point at a real
+  * database).
+  */
+object Jdbc {
+
+  // Keep Derby's home (derby.log etc.) out of the repo working dir.
+  locally {
+    if (System.getProperty("derby.system.home") == null) {
+      val home = java.nio.file.Files.createTempDirectory("graft_derby")
+      System.setProperty("derby.system.home", home.toString)
+    }
+  }
+
+  /** Connection + parallelism spec for one JDBC source table. */
+  final case class JdbcSourceSpec(
+      url: String,
+      table: String,
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 1,
+      fetchSize: Int = 10000)
+
+  private def props(spec: JdbcSourceSpec): Properties = {
+    val p = new Properties()
+    p.setProperty("driver", spec.driver)
+    p.setProperty("fetchsize", spec.fetchSize.toString)
+    p
+  }
+
+  /** Driver-side MIN/MAX bounds query for the partition column — the
+    * standard prelude to a partitioned JDBC read (one tiny indexed
+    * aggregate on the remote DB, never a data scan through the
+    * driver).
+    */
+  def keyBounds(spec: JdbcSourceSpec, column: String): (Long, Long) = {
+    Class.forName(spec.driver)
+    val conn = DriverManager.getConnection(spec.url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"""SELECT MIN("$column"), MAX("$column") FROM ${spec.table}""")
+      require(rs.next(), s"bounds query over ${spec.table} returned no row")
+      (rs.getLong(1), rs.getLong(2))
+    } finally conn.close()
+  }
+
+  /** Reference BatchSize (rows per chunk) → Spark partition count
+    * over a key range, clamped to [1, 64]. Assumes roughly dense
+    * keys; a sparse key space just yields skinnier partitions.
+    */
+  def partitionsFor(bounds: (Long, Long), batchSize: Int): Int = {
+    val span = bounds._2 - bounds._1 + 1
+    if (batchSize <= 0) 1
+    else math.max(1L, math.min(64L, (span + batchSize - 1) / batchSize)).toInt
+  }
+
+  /** Parallel read: bounded range scan per partition when
+    * `partitionColumn` is set, single connection otherwise.
+    */
+  def read(spark: SparkSession, spec: JdbcSourceSpec): DataFrame =
+    spec.partitionColumn match {
+      case Some(col) =>
+        val (lo, hi) = keyBounds(spec, col)
+        spark.read.jdbc(spec.url, spec.table, col, lo, hi,
+          math.max(1, spec.numPartitions), props(spec))
+      case None =>
+        spark.read.jdbc(spec.url, spec.table, props(spec))
+    }
+
+  /** Read driven by a [[TableConfig]]: partition count derived from
+    * the config's BatchSize over the live key bounds.
+    */
+  def readConfigured(spark: SparkSession, spec: JdbcSourceSpec, cfg: TableConfig): DataFrame =
+    spec.partitionColumn match {
+      case Some(col) =>
+        val bounds = keyBounds(spec, col)
+        spark.read.jdbc(spec.url, spec.table, col, bounds._1, bounds._2,
+          partitionsFor(bounds, cfg.batchSize), props(spec))
+      case None => read(spark, spec)
+    }
+
+  /** JDBC sink (used to seed the embedded test DB; on a cluster this
+    * is the reverse-ETL path). `stringColumnTypes` forces VARCHAR for
+    * string columns — Spark's Derby dialect defaults strings to CLOB,
+    * which Derby refuses to compare/sort.
+    */
+  def write(df: DataFrame, spec: JdbcSourceSpec,
+      stringColumnTypes: Map[String, Int] = Map.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    val typed =
+      if (stringColumnTypes.isEmpty) w
+      else w.option("createTableColumnTypes",
+        stringColumnTypes.map { case (c, n) => s"$c VARCHAR($n)" }.mkString(", "))
+    typed.jdbc(spec.url, spec.table, props(spec))
+  }
+}

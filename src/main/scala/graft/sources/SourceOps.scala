@@ -1,10 +1,13 @@
 package graft.sources
 
 import graft.{Op, Tables}
+import graft.etl.ExtractionPlanner
+import graft.meta.SampleCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+import java.util.Comparator
 
 /** Source/sink capabilities surfaced through the driver contract
   * (ref: /root/reference/source_code/python/airflow_utility/
@@ -24,8 +27,26 @@ import java.nio.file.Files
   */
 object SourceOps {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // Round-trip dirs are per-invocation (no cross-run interference)
+  // and reaped at JVM exit — Bench runs each op twice and Verify once
+  // more, so without the hook repeated runs would leak a full table
+  // copy per invocation.
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { d =>
+        try
+          Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        catch { case _: Exception => () } // best-effort reaper
+      }))
+  }
+
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    tmpDirs.add(d)
+    d.toString
+  }
 
   // ---------------------------------------------------------------
   // src_csv_roundtrip — csv sink + schema'd csv source: the customer
@@ -169,7 +190,55 @@ object SourceOps {
       | CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old_schema_rows
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_jdbc — the reference's real ingest path (pd.read_sql over a
+  // MySQL engine with chunksize; staging_data_extraction.py:84-106),
+  // re-expressed as a partitioned spark.read.jdbc: the orders table
+  // is seeded into an embedded Derby DB (the sandbox's MySQL
+  // stand-in), then extracted back through N parallel bounded range
+  // scans on o_orderkey, partition count derived from the config's
+  // BatchSize, with the config's INCREMENTAL filter applied so the
+  // JDBC-compilable part ships to the remote WHERE clause. Content
+  // fidelity is proven against the oracle reading the ORIGINAL
+  // parquet — the full DB round trip must be value-exact.
+  // ---------------------------------------------------------------
+  private val jdbcSeeded = new java.util.concurrent.ConcurrentHashMap[String, Jdbc.JdbcSourceSpec]()
+
+  private def seededOrdersSpec(s: SparkSession, dir: String): Jdbc.JdbcSourceSpec =
+    jdbcSeeded.computeIfAbsent(dir, { d =>
+      // one in-memory DB per SF dir per JVM; in-JVM ⇒ reachable from
+      // local-mode executor threads (a cluster points url at a server)
+      val db = "graft_" + Integer.toHexString(d.hashCode).takeRight(8)
+      val spec = Jdbc.JdbcSourceSpec(
+        url = s"jdbc:derby:memory:$db;create=true",
+        table = "ORDERS",
+        partitionColumn = Some("o_orderkey"))
+      Jdbc.write(
+        Tables.load(s, d, "orders").coalesce(4), // bound seed connections
+        spec,
+        stringColumnTypes = Map("o_orderstatus" -> 8, "o_orderpriority" -> 32))
+      spec
+    })
+
+  private def jdbcExtract(s: SparkSession, dir: String): DataFrame = {
+    val spec = seededOrdersSpec(s, dir)
+    // BatchSize 2000 over sf0.01's ~15k keys → ~8 parallel range scans
+    val cfg = SampleCatalog.orders.table.copy(batchSize = 2000)
+    val base = Jdbc.readConfigured(s, spec, cfg)
+    ExtractionPlanner.extractFrom(base, SampleCatalog.orders.copy(table = cfg))
+      .orderBy("Order_Key")
+  }
+
+  private val jdbcExtractSql =
+    """SELECT o_orderkey AS Order_Key, o_custkey AS Customer_Key, o_orderstatus AS Order_Status,
+      | o_totalprice AS Total_Price, CAST(o_orderdate AS DATE) AS Order_Date,
+      | o_orderpriority AS Order_Priority
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |ORDER BY Order_Key""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("src_jdbc", jdbcExtract, Some(jdbcExtractSql)),
     Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Op("src_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Op("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
