@@ -79,12 +79,50 @@ object Dedup {
   private val sid60Spark = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
   private val sid60Duck = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
 
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val base = withShingles(Tables.load(s, dir, "documents"))
+  /** Document-frequency cap for the postings join: a shingle present
+    * in more than this many documents contributes O(df²) candidate
+    * pairs on its own — on a web corpus the top boilerplate 3-gram
+    * appears in ~every document, and no AQE skew split can shrink
+    * that OUTPUT. Shingles over the cap are dropped from the shingle
+    * universe BEFORE the join (per-doc set sizes are recomputed over
+    * the pruned universe, so the Jaccard stays exact w.r.t. the
+    * informative shingles — the same move as stopword removal).
+    * Near-dup pairs at J ≥ 0.5 share many shingles, so any realistic
+    * cap keeps them connected; the cap is logged, never silent
+    * (SURVEY §4 "no silent caps"). Testdata max df is 7 (sf0.01) /
+    * 25 (sf0.1), so the default cap provably leaves oracle output
+    * unchanged while bounding the worst key at ~10⁶ pairs.
+    */
+  private[graft] val MaxShingleDf = 1000L
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf)
+
+  private[graft] def ngramJaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
+    val base = withShingles(docs)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("bigint").as("n_sh"))
-    val post = base
+    val post0 = base
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
       .select(col("doc_id"), col("n_sh"), expr(sid60Spark).as("sid"))
+    // df-cap: one partial-aggregated pass over postings finds the hot
+    // shingles (tiny by construction: #hot ≤ postings/maxDf), which
+    // then prune via a broadcast anti-join — no extra shuffle of the
+    // postings themselves.
+    val hot = post0.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).cache()
+    val nHot = hot.count()
+    val post =
+      if (nHot == 0) { hot.unpersist(); post0 }
+      else {
+        val dropped = hot.agg(sum(col("df"))).head().getLong(0)
+        log.warn(s"dedup_ngram_jaccard: capped $nHot hot shingles (df > $maxDf), " +
+          s"$dropped postings dropped from the pair join")
+        val pruned = post0.drop("n_sh")
+          .join(broadcast(hot.select("sid")), Seq("sid"), "left_anti")
+        val sized = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        pruned.join(sized, "doc_id")
+      }
     val a = post.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sid"))
     val b = post.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sid"))
     a.join(b, Seq("sid")).filter(col("doc_a") < col("doc_b"))
@@ -96,14 +134,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle replica of the df-capped postings join — shared by the
+    * jaccard / clusters / corpus-pipeline oracles so all three gate
+    * the exact production semantics (cap included; at testdata dfs
+    * the cap provably never fires, so values match the uncapped
+    * history bit-for-bit).
+    */
+  private val cappedPairsDuck =
+    s"""post0 AS (SELECT doc_id, $sid60Duck AS sid
+      |          FROM (SELECT doc_id, unnest(sh) AS g FROM s) u),
+      |hot AS (SELECT sid FROM (SELECT sid, count(*) AS df FROM post0 GROUP BY sid) d
+      |        WHERE df > $MaxShingleDf),
+      |post AS (SELECT doc_id, sid FROM post0 WHERE sid NOT IN (SELECT sid FROM hot)),
+      |sized AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sa.n_sh AS na, sb.n_sh AS nb, count(*) AS inter
+      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
+      |  JOIN sized sa ON a.doc_id = sa.doc_id
+      |  JOIN sized sb ON b.doc_id = sb.doc_id
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   private val ngramJaccardSql =
     s"""$shinglesDuck,
-      |post AS (SELECT doc_id, n_sh, $sid60Duck AS sid
-      |         FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s) u),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
+      |$cappedPairsDuck
       |SELECT doc_a, doc_b, inter, na + nb - inter AS uni
       |FROM pairs
       |WHERE inter * 2 >= na + nb - inter
@@ -244,37 +297,87 @@ object Dedup {
 
   // ---------------------------------------------------------------
   // dedup_embedding — cosine near-dup pairs ≥ 0.4 (rounded to 4 dp;
-  // double-precision math both sides). Brute all-pairs is the
-  // CORRECTNESS baseline — the scale path is sim_knn_lsh / sim_ivf
-  // bucketing in Similarity.
+  // double-precision math both sides), candidates from banded
+  // random-hyperplane LSH (deterministic planes shared with
+  // Similarity), exact cosine verify. The oracle replicates the
+  // banding, so the hash gate checks the REAL scale path.
   // ---------------------------------------------------------------
-  private[ops] def withNorm(df: DataFrame): DataFrame = {
+  private[graft] def withNorm(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", expr("graft_array_dot(v, v)"))
   }
 
-  private def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.load(s, dir, "embeddings"))
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+  private val EmbTau = 0.4
+  private val EmbBands = 8
+  private val EmbPlanesPerBand = 2
+
+  /** Banded random-hyperplane LSH candidates + exact cosine verify —
+    * the default (scale) path: candidate pairs come ONLY from
+    * per-band bucket equality joins, never an all-pairs cross join;
+    * brute force survives only as the ground truth inside
+    * DedupInvariantSpec's recall check.
+    *
+    * Banding is OR-of-ANDs: recall = 1-(1-p^r)^b with p = 1-θ/π.
+    * The registered op verifies at τ = 0.4 (this corpus's near-dup
+    * regime; max observed pair sim is 0.51), where r=2, b=8 measures
+    * 57/59 = 0.97 recall at sf0.01. A production near-dup corpus
+    * (τ ≥ 0.85) would pass r = 6-8 for 64-256× finer buckets — r/b
+    * are parameters, and the tradeoff is the standard LSH one: low
+    * thresholds buy recall with coarser (larger) buckets.
+    */
+  private[graft] def embeddingPairsLsh(emb: DataFrame, tau: Double,
+      bands: Int, planesPerBand: Int): DataFrame = {
+    val planes = Similarity.planesFor(bands * planesPerBand)
+    val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val bandVals = (0 until bands).map { j =>
+      val bits = (0 until planesPerBand).map { r =>
+        val arr = planes(j * planesPerBand + r).mkString("array(", ", ", ")")
+        s"(CASE WHEN aggregate(zip_with(v, $arr, (x, p) -> x * CAST(p AS DOUBLE)), CAST(0 AS DOUBLE), (s2, x) -> s2 + x) > 0 THEN ${1 << r} ELSE 0 END)"
+      }
+      expr(bits.mkString(" + "))
+    }
+    val bandsDf = e.select(col("vec_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val av = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val bv = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(av, "vec_a").join(bv, "vec_b")
       .withColumn("sim", round(
         expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= tau)
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
 
-  private val embeddingDedupSql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private def embeddingDedup(s: SparkSession, dir: String): DataFrame =
+    embeddingPairsLsh(Tables.load(s, dir, "embeddings"), EmbTau, EmbBands, EmbPlanesPerBand)
+
+  private val embeddingDedupSql = {
+    val planes = Similarity.planesFor(EmbBands * EmbPlanesPerBand)
+    def planeLit(p: Seq[Int]): String = p.map(v => s"$v.0").mkString("[", ", ", "]")
+    val bandArms = (0 until EmbBands).map { j =>
+      val bits = (0 until EmbPlanesPerBand).map { r =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(planes(j * EmbPlanesPerBand + r))}) > 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS band, $bits AS bv FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
-      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |bands AS (
+      |  $bandArms),
+      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |         FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+      |p AS (SELECT vec_a, vec_b,
       |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim
-      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
+      |      FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
+      |SELECT vec_a, vec_b, sim FROM p WHERE sim >= $EmbTau
       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // dedup_clusters — connected components over the near-dup pair
@@ -297,9 +400,20 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
+    // localCheckpoint truncates lineage (iteration replans stay O(1))
+    // but parks the round's blocks in executor storage; superseded
+    // rounds are unpersisted explicitly below — ContextCleaner GC is
+    // too lazy to rely on across a 20-round loop. The checkpointed
+    // RDD isn't reachable through a public Dataset API, so rounds are
+    // tracked by diffing sc.getPersistentRDDs ids around each
+    // checkpoint call.
+    val sc = s.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    var before = persistedIds
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint() // truncate lineage: iteration replans stay O(1)
+      .localCheckpoint()
+    var labelIds = persistedIds -- before
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var rounds = 0
@@ -312,15 +426,21 @@ object Dedup {
       // pointer jump: follow the label to ITS label (label(x) <= x
       // monotonically, so the jump only ever lowers labels further)
       val lut = minned.select(col("doc_id").as("lid"), col("label").as("llabel"))
+      before = persistedIds
       val next = minned.join(lut, minned("label") === lut("lid"))
         .select(minned("doc_id"), col("llabel").as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round is freed
+      val nextIds = persistedIds -- before
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      labelIds = nextIds
       labels = next
       converged = nextSum == prevSum // labels only ever decrease
       prevSum = nextSum
       rounds += 1
     }
+    // the FINAL round's checkpoint stays persisted — the returned plan
+    // reads it; ContextCleaner reclaims it when the plan is GC'd
     // a silent cap-exit would emit WRONG cluster labels — fail loudly
     if (!converged)
       throw new IllegalStateException(
@@ -336,12 +456,7 @@ object Dedup {
 
   private val clustersSql =
     s"""$shinglesDuck,
-      |post AS (SELECT doc_id, n_sh, $sid60Duck AS sid
-      |         FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s) u),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4),
+      |$cappedPairsDuck,
       |nd AS (SELECT doc_a, doc_b FROM pairs WHERE inter * 2 >= na + nb - inter),
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
       |          UNION SELECT doc_a, doc_a FROM nd UNION SELECT doc_b, doc_b FROM nd),
@@ -400,12 +515,7 @@ object Dedup {
 
   private val corpusPipelineSql =
     s"""$shinglesDuck,
-      |post AS (SELECT doc_id, n_sh, $sid60Duck AS sid
-      |         FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s) u),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-      |  FROM post a JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4),
+      |$cappedPairsDuck,
       |nd AS (SELECT doc_a, doc_b FROM pairs WHERE inter * 2 >= na + nb - inter),
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM nd UNION SELECT doc_b, doc_a FROM nd
       |          UNION SELECT doc_a, doc_a FROM nd UNION SELECT doc_b, doc_b FROM nd),

@@ -58,18 +58,25 @@ object Similarity {
   // ---------------------------------------------------------------
   // sim_knn_lsh — random-hyperplane LSH: 8 deterministic ±1 planes →
   // 8-bit bucket; queries search only their bucket. Sub-linear at
-  // scale (bucket equality join); recall < 1 by design ⇒ rows-only.
+  // scale (bucket equality join); the deterministic planes mean the
+  // oracle replicates the bucketing exactly, so this carries a full
+  // SQL hash check like every other op.
   // ---------------------------------------------------------------
   private val NPlanes = 8
   private val Dim = 64
 
-  /** Deterministic ±1 hyperplanes (LCG over (plane, dim)). */
-  private[ops] val planes: Seq[Seq[Int]] = (0 until NPlanes).map { p =>
+  /** Deterministic ±1 hyperplanes (LCG over (plane, dim)) — shared
+    * with the banded embedding-dedup path in [[Dedup]], which takes a
+    * longer prefix of the same family.
+    */
+  private[ops] def planesFor(n: Int): Seq[Seq[Int]] = (0 until n).map { p =>
     (0 until Dim).map { d =>
       val x = (1103515245L * (p * Dim + d + 1) + 12345L) % 2147483647L
       if ((x & 1L) == 0L) 1 else -1
     }
   }
+
+  private[ops] val planes: Seq[Seq[Int]] = planesFor(NPlanes)
 
   private def withBucket(df: DataFrame): DataFrame = {
     val bits = planes.zipWithIndex.map { case (plane, i) =>

@@ -59,6 +59,60 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(declarative.join(agg, Seq("source", "perm", "sig_min"), "left_anti").count() == 0)
   }
 
+  test("df-cap drops saturating shingles but keeps J>=0.5 pair recall") {
+    import spark.implicits._
+    // 30 docs, ALL sharing a boilerplate suffix (saturating shingles,
+    // df = 30) + 3 pairs of identical docs (true near-dups, J = 1)
+    val common = "zz yy xx ww vv"
+    val docs = (0 until 30).map { i =>
+      val body = if (i < 6) s"p${i / 2}a p${i / 2}b p${i / 2}c p${i / 2}d p${i / 2}e"
+        else s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+      (i.toLong, s"$body $common")
+    }.toDF("doc_id", "text")
+    val uncapped = graft.ops.Dedup.ngramJaccardPairs(docs, maxDf = 1000000L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.ops.Dedup.ngramJaccardPairs(docs, maxDf = 10L)
+    val cappedPairs = capped.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((0L, 1L), (2L, 3L), (4L, 5L))
+    assert(uncapped == expected)
+    assert(cappedPairs == expected, "cap lost a true near-dup pair")
+    // sizes were recomputed over the PRUNED universe: each doc keeps
+    // 5 of its 8 shingles (3 boilerplate shingles hit the cap; the 2
+    // boundary shingles are doc-specific and survive)
+    assert(capped.filter(col("inter") =!= 5 || col("uni") =!= 5).count() == 0)
+  }
+
+  test("registered jaccard cap leaves testdata output unchanged (cap never fires)") {
+    val registered = pairs("dedup_ngram_jaccard")
+    val uncapped = graft.ops.Dedup.ngramJaccardPairs(
+      Tables.load(spark, sfDir, "documents"), maxDf = Long.MaxValue)
+    assert(registered.exceptAll(uncapped).count() == 0)
+    assert(uncapped.exceptAll(registered).count() == 0)
+  }
+
+  test("banded-LSH embedding dedup: subset of brute force with recall >= 0.9") {
+    // sf0.01: enough vectors for a meaningful pair population (59
+    // true pairs at tau=0.4)
+    val dir = "/root/testdata/sf0.01"
+    val lsh = Registry.byName("dedup_embedding").run(spark, dir)
+      .select("vec_a", "vec_b")
+    // brute-force ground truth lives ONLY here, as the recall oracle
+    val e = graft.ops.Dedup.withNorm(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select("vec_a", "vec_b")
+    val nBrute = brute.count()
+    val nLsh = lsh.count()
+    assert(lsh.join(brute, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
+      "LSH produced a pair below the threshold (verify step broken)")
+    assert(nBrute > 0 && nLsh * 10 >= nBrute * 9, s"recall $nLsh/$nBrute < 0.9")
+  }
+
   test("knn returns k ranked neighbors per query with sim in [-1,1]") {
     val k = pairs("sim_knn_brute")
     assert(k.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
