@@ -14,20 +14,37 @@ object Bench {
     // JMH-style: one untimed warmup run per query (JVM/codegen/parquet
     // reader init), then the timed run; stable alphabetical order so
     // per-round numbers are comparable. SPARK_GRAFT_QUERIES=a,b,c
-    // restricts to a subset for local iteration.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // restricts to a subset for local iteration — unknown names fail
+    // fast instead of silently benchmarking a partial (or empty) set.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    // a failing query records as an ERROR (-1 marker, excluded from the
+    // total) — elapsed-to-failure must never masquerade as a fast result
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    if (results.exists(_._2 < 0)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

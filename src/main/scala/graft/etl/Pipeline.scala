@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.meta.{ExtractSpec, ProcessMaster, StageDetail}
+import graft.meta.{ExtractSpec, ProcessMaster, StageDetail, ZoneConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference DAG's stage flow as a pure Scala orchestration:
@@ -29,7 +29,8 @@ object Pipeline {
       dir: String,
       specs: Seq[ExtractSpec],
       processId: Long = 1L,
-      processDate: String = "1970-01-01"
+      processDate: String = "1970-01-01",
+      zones: Option[ZoneConfig] = None
   ): Result = {
     val active = specs.filter(_.table.activeFlag)
     val results = active.map { spec =>
@@ -48,7 +49,10 @@ object Pipeline {
         rowCount = attempt.toOption.map(_._2),
         status = if (attempt.isSuccess) "SUCCESS" else "FAILED",
         errorMessage = attempt.failed.toOption.map(_.getMessage),
+        // per-table override wins; otherwise the zone layout decides
+        // (the reference concatenates STAGING_ZONE + table the same way)
         outputPath = spec.table.stagingZonePath
+          .orElse(zones.map(_.stagingPathFor(spec.table.tableName)))
       )
       detail -> attempt.toOption.map(spec.table.tableName -> _._1)
     }
@@ -64,6 +68,45 @@ object Pipeline {
     )
   }
 
+  /** Failed-stage resume: re-extract ONLY the tables whose stage rows
+    * FAILED in a previous run, then merge update-if-exists style —
+    * each retried table's old FAILED row is replaced by its new row,
+    * successful rows carry over untouched, and the master status is
+    * recomputed over the merged log (ref: process_logger.py
+    * update_process_stage_detail updates the same stage record after
+    * completion instead of appending a duplicate).
+    *
+    * `specs` is the CURRENT catalog — a rerun naturally follows a
+    * config fix, so retried tables extract under the corrected spec.
+    * Tables that failed before but are absent/inactive in the current
+    * catalog keep their FAILED row (nothing to retry with).
+    */
+  def rerunFailed(
+      spark: SparkSession,
+      dir: String,
+      specs: Seq[ExtractSpec],
+      previous: Result,
+      zones: Option[ZoneConfig] = None
+  ): Result = {
+    val failedIds = previous.stages.filter(_.status == "FAILED").flatMap(_.tableId).toSet
+    val retrySpecs = specs.filter(s => failedIds.contains(s.table.tableId))
+    val retried = runStagingExtract(spark, dir, retrySpecs,
+      previous.master.processId, previous.master.processDate, zones)
+    val retriedIds = retried.stages.flatMap(_.tableId).toSet
+    val mergedStages = previous.stages.filterNot(s =>
+      s.tableId.exists(retriedIds.contains)) ++ retried.stages
+    val overall = if (mergedStages.forall(_.status == "SUCCESS")) "SUCCESS"
+      else if (mergedStages.exists(_.status == "SUCCESS")) "PARTIAL" else "FAILED"
+    Result(
+      previous.master.copy(status = overall,
+        remarks = Some(s"Rerun of ${retried.stages.size} FAILED table(s) -> " +
+          s"Success: ${mergedStages.count(_.status == "SUCCESS")}, " +
+          s"Failed: ${mergedStages.count(_.status != "SUCCESS")}")),
+      mergedStages,
+      previous.extracts ++ retried.extracts
+    )
+  }
+
   /** Stage-detail rows as a DataFrame (deterministic projection:
     * no wall-clock columns — timings live outside the comparable
     * contract).
@@ -71,7 +114,8 @@ object Pipeline {
   def stageLog(spark: SparkSession, result: Result): DataFrame = {
     import spark.implicits._
     result.stages
-      .map(s => (s.stageName, s.tableId.getOrElse(-1), s.tableName, s.rowCount.getOrElse(-1L), s.status))
-      .toDF("stage_name", "table_id", "table_name", "row_count", "status")
+      .map(s => (s.stageName, s.tableId.getOrElse(-1), s.tableName,
+        s.rowCount.getOrElse(-1L), s.status, s.outputPath.getOrElse("")))
+      .toDF("stage_name", "table_id", "table_name", "row_count", "status", "output_path")
   }
 }

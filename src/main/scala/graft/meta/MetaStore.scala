@@ -44,4 +44,28 @@ object MetaStore {
     SampleCatalog.all.map(_.table),
     SampleCatalog.all.flatMap(_.columns),
     SampleCatalog.lineitemOutput)
+
+  /** Zone config persists beside the catalog (the reference keeps it
+    * in config.yaml PATHS; here it round-trips through the lake like
+    * every other config table). Multiple environments live in one
+    * dataset; [[loadZones]] selects by env name like the DAG's `env`
+    * argument selects its ENVIRONMENT block.
+    */
+  def saveZones(spark: SparkSession, zones: Seq[ZoneConfig], dir: String): Unit = {
+    import spark.implicits._
+    zones.toDS().write.mode("overwrite").parquet(s"$dir/zone_config")
+  }
+
+  def loadZones(spark: SparkSession, dir: String, env: String): ZoneConfig = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/zone_config").as[ZoneConfig]
+      .collect().find(_.env == env)
+      .getOrElse(sys.error(s"no ZoneConfig for env=$env"))
+  }
+
+  /** Deterministic sample zones (logical roots; deployments point
+    * these at real lake URIs).
+    */
+  def sampleZones: ZoneConfig =
+    ZoneConfig("DEV", "raw_zone", "staging_zone", "curated_zone", "logs")
 }

@@ -79,3 +79,22 @@ final case class StageDetail(
 
 /** A full table-level extraction spec: table config + its columns. */
 final case class ExtractSpec(table: TableConfig, columns: Seq[ColumnConfig])
+
+/** Lake-zone layout for one environment — the typed form of the
+  * reference's config.yaml PATHS block (RAW_ZONE / STAGING_ZONE /
+  * CURATED_ZONE / LOGS_PATH, ref: /root/reference/config/config.yaml)
+  * keyed by the ENVIRONMENT name the reference's DAG selects with its
+  * `env` argument. Zone paths derive from here; TableConfig's
+  * per-table path overrides stay possible but optional.
+  */
+final case class ZoneConfig(
+    env: String, // DEV | PROD
+    rawZone: String,
+    stagingZone: String,
+    curatedZone: String,
+    logsPath: String
+) {
+  def rawPathFor(table: String): String = s"$rawZone/$table"
+  def stagingPathFor(table: String): String = s"$stagingZone/$table"
+  def curatedPathFor(table: String): String = s"$curatedZone/$table"
+}

@@ -23,7 +23,16 @@ object Multimodal {
     * reproducible in the oracle).
     */
   def withPayload(df: DataFrame): DataFrame =
-    df.withColumn("payload", col("text").cast("binary"))
+    // oracle parity strides BYTES on the Spark side but CHARS in the
+    // DuckDB SQL — only equal for single-byte (ASCII) text. A
+    // multi-byte document fails HERE with a clear message instead of
+    // surfacing as a baffling oracle hash mismatch. The guard lives
+    // inside the payload expression so column pruning can't drop it.
+    df.withColumn("payload",
+        when(octet_length(col("text")) === length(col("text")), col("text").cast("binary"))
+          .otherwise(raise_error(format_string(
+            "multimodal stub ops require single-byte (ASCII) text for byte/char parity; doc_id=%s is multi-byte",
+            col("doc_id")))))
       .withColumn("media_type",
         element_at(typedLit(Seq("image", "audio", "video")), (col("doc_id") % 3 + 1).cast("int")))
 
@@ -71,9 +80,11 @@ object Multimodal {
 
   private def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // no repartition: decodeFrames is row-local, so payload bytes are
+    // decoded wherever the scan read them — shuffling every media byte
+    // first would double the job's IO for zero co-location benefit
     val framed = withPayload(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("payload"))
-      .repartition(col("doc_id")) // co-locate payload bytes; frames stay executor-local
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => decodeFrames(id, bytes) })
     framed.toDF().orderBy("doc_id", "frame_idx")

@@ -403,18 +403,23 @@ object Analytics {
 
   // ---------------------------------------------------------------
   // q17_small_quantity — correlated aggregate subquery: lines whose
-  // quantity is below half their part's average. Expressed as a
-  // partitioned window over l_partkey — ONE scan and ONE shuffle of
-  // the fact table (the aggregate-then-join form scans it twice and
-  // shuffles both sides); the decimal window sum keeps the average
-  // engine-exact.
+  // quantity is below half their part's average. Expressed as
+  // aggregate-then-join after an r3 A/B against the r2 window form
+  // (sf0.1, local[32], min of 3 warm runs): agg-join 0.740s vs
+  // window 0.822s. The plans explain why at 100 TB too: the window
+  // form Exchange+Sorts the ENTIRE fact on l_partkey (the sort spill
+  // is the scale risk), where this form map-side-combines the per-part
+  // averages (partial HashAggregate → small shuffle) and
+  // broadcast-joins them back — the fact table itself is never
+  // shuffled or sorted, just scanned twice (cheap: column-pruned
+  // 3-column scan). The decimal sum keeps the average engine-exact.
   // ---------------------------------------------------------------
   private def q17(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_partkey")
-    li(s, dir)
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .withColumn("avg_qty",
-        sum(money(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
+    val l = li(s, dir)
+    val avgs = l.groupBy("l_partkey")
+      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    l.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(avgs, "l_partkey")
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(
         count(lit(1)).as("n_small_lines"),
@@ -482,9 +487,64 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_percentiles_hist — the SAME exact interpolated percentiles, but
+  // shuffle-bounded: Spark's exact `percentile` buffers every raw
+  // value of a group in one task's memory (billions of doubles per
+  // group at 100×), where this path aggregates the (group, value)
+  // VALUE-GRID first — prices live on a finite 2-dp grid, so the
+  // histogram is orders of magnitude smaller than the data and the
+  // cumulative-rank window sorts a bounded, spillable relation. The
+  // interpolation replays percentile's formula (pos = p·(n−1),
+  // x_lo + frac·(x_hi − x_lo)) over cumulative counts, so results are
+  // value-identical to q_percentiles / quantile_cont.
+  // ---------------------------------------------------------------
+  private def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    var based = hist
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    ps.foreach { case (name, p) =>
+      val pos = lit(p) * (col("n") - lit(1)).cast("double") // 0-based rank
+      val kf = floor(pos) // lower order statistic (0-based)
+      based = based
+        // rank kf+1 (1-based) falls inside this value's [cum-c+1, cum] run
+        .withColumn(s"${name}_lo",
+          when(col("cum") - col("c") <= kf && col("cum") >= kf + 1, col("v")))
+        .withColumn(s"${name}_hi",
+          when(col("cum") - col("c") <= kf + 1 && col("cum") >= kf + 2, col("v")))
+        .withColumn(s"${name}_frac", pos - kf)
+    }
+    val aggCols = ps.map { case (name, _) =>
+      val lo = max(col(s"${name}_lo"))
+      val hi = max(col(s"${name}_hi"))
+      val frac = max(col(s"${name}_frac")) // constant within the group
+      round(when(frac === 0.0, lo).otherwise(lo + frac * (hi - lo)), 4).as(name)
+    }
+    based.groupBy(col(groupCol)).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def qPctHist(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val price = histQuantiles(l, "l_returnflag", "l_extendedprice",
+      Seq(("p50_price", 0.5), ("p90_price", 0.9)))
+    val qty = histQuantiles(l, "l_returnflag", "l_quantity", Seq(("p50_qty", 0.5)))
+    val counts = l.groupBy("l_returnflag").agg(count(lit(1)).as("n_lines"))
+    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+      .select("l_returnflag", "p50_price", "p90_price", "p50_qty", "n_lines")
+      .orderBy("l_returnflag")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q_percentiles", qPct, Some(qPctSql)),
+    Op("q_percentiles_hist", qPctHist, Some(qPctSql)),
     Op("q14_promo_ratio", q14, Some(q14Sql)),
     Op("q17_small_quantity", q17, Some(q17Sql)),
     Op("q18_large_orders", q18, Some(q18Sql)),

@@ -229,17 +229,21 @@ object EtlOps {
   // a Dataset (deterministic projection, no wall-clock columns).
   // ---------------------------------------------------------------
   private def processLog(s: SparkSession, dir: String): DataFrame = {
-    val result = Pipeline.runStagingExtract(s, dir, SampleCatalog.all)
+    // zone-config-derived output paths (ref: config.yaml PATHS block) —
+    // per-table overrides stay possible via TableConfig.stagingZonePath
+    val result = Pipeline.runStagingExtract(s, dir, SampleCatalog.all,
+      zones = Some(graft.meta.MetaStore.sampleZones))
     Pipeline.stageLog(s, result).orderBy("table_id")
   }
 
   private val processLogSql =
     """SELECT 'STAGING_EXTRACT' AS stage_name, 1 AS table_id, 'lineitem' AS table_name,
-      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS row_count, 'SUCCESS' AS status
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS row_count, 'SUCCESS' AS status,
+      |  'staging_zone/lineitem' AS output_path
       |UNION ALL SELECT 'STAGING_EXTRACT', 2, 'orders',
-      |  (SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'), 'SUCCESS'
-      |UNION ALL SELECT 'STAGING_EXTRACT', 3, 'customer', (SELECT count(*) FROM customer), 'SUCCESS'
-      |UNION ALL SELECT 'STAGING_EXTRACT', 4, 'part', (SELECT count(*) FROM part), 'SUCCESS'
+      |  (SELECT count(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'), 'SUCCESS', 'staging_zone/orders'
+      |UNION ALL SELECT 'STAGING_EXTRACT', 3, 'customer', (SELECT count(*) FROM customer), 'SUCCESS', 'staging_zone/customer'
+      |UNION ALL SELECT 'STAGING_EXTRACT', 4, 'part', (SELECT count(*) FROM part), 'SUCCESS', 'staging_zone/part'
       |ORDER BY table_id""".stripMargin
 
   // ---------------------------------------------------------------

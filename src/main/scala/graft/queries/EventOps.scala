@@ -190,7 +190,10 @@ object EventOps {
     withEs(s, dir)
       .select(col("user_id"), col("es"), col("value"),
         explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("win_start", col("es") - pmod(col("es"), lit(900)) - col("k") * 900)
+      // `%` (not pmod): DuckDB's % keeps the dividend's sign, and the
+      // oracle buckets with `es % 900` — pmod would silently shift
+      // window starts for pre-1970 (negative-epoch) timestamps
+      .withColumn("win_start", col("es") - col("es") % 900 - col("k") * 900)
       .groupBy("win_start")
       .agg(
         count(lit(1)).as("n_events"),

@@ -145,4 +145,49 @@ object EventStream {
   def startMemorySink(df: DataFrame, name: String, outputMode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** RocksDB state store provider class — the at-scale state backend:
+    * the default HDFS-backed provider keeps every key of every
+    * stateful operator on the executor HEAP (an OOM funnel once
+    * sessionization / dedup state reaches tens of GB per executor),
+    * where RocksDB spills state to local SSD with bounded memory and
+    * incremental-checkpoints changed files only.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Session-level conf enabling RocksDB state + changelog
+    * checkpointing (call once before starting stateful queries; per-
+    * query override is not supported by Spark — the provider is a
+    * session conf by design).
+    */
+  def enableRocksDbState(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    // checkpoint deltas instead of full SST uploads per batch
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
+  def disableRocksDbState(spark: SparkSession): Unit = {
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+  }
+
+  /** Run a streaming query with Trigger.AvailableNow against a real
+    * checkpoint: process EVERYTHING currently in the source across as
+    * many micro-batches as needed, then stop — the scheduled-backfill
+    * trigger (the Spark-native form of the reference DAG's EOD batch
+    * over a REALTIME-configured table; rerunning resumes from the
+    * checkpoint exactly-once). Blocks until the query drains.
+    */
+  def runAvailableNow(df: DataFrame, name: String, outputMode: OutputMode,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -20,4 +20,17 @@ class MetaStoreSpec extends AnyFunSuite with SparkSuite {
     val n = ExtractionPlanner.extract(spark, sfDir, loaded.specFor(1)).count()
     assert(n == Tables.load(spark, sfDir, "lineitem").count())
   }
+
+  test("zone config round-trips and selects by environment") {
+    import graft.meta.ZoneConfig
+    val tmp = Files.createTempDirectory("graft_zones").toString
+    val dev = MetaStore.sampleZones
+    val prod = ZoneConfig("PROD", "s3://lake/raw", "s3://lake/staging",
+      "s3://lake/curated", "s3://lake/logs")
+    MetaStore.saveZones(spark, Seq(dev, prod), tmp)
+    assert(MetaStore.loadZones(spark, tmp, "DEV") == dev)
+    val p = MetaStore.loadZones(spark, tmp, "PROD")
+    assert(p.stagingPathFor("orders") == "s3://lake/staging/orders")
+    assertThrows[RuntimeException](MetaStore.loadZones(spark, tmp, "UAT"))
+  }
 }

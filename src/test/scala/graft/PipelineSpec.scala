@@ -22,6 +22,43 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(result.stages.find(_.tableId.contains(99)).get.errorMessage.nonEmpty)
   }
 
+  test("rerunFailed retries ONLY failed tables and merges update-if-exists") {
+    val first = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, broken))
+    assert(first.master.status == "PARTIAL")
+    // the operator fixed the config (column now exists) and reruns
+    val fixed = ExtractSpec(
+      broken.table,
+      Seq(ColumnConfig(991, 99, "o_orderkey", Some("Fixed"))))
+    val rerun = Pipeline.rerunFailed(spark, sfDir, Seq(SampleCatalog.customer, fixed), first)
+    assert(rerun.master.status == "SUCCESS")
+    // one row per table — the FAILED row was REPLACED, not appended
+    assert(rerun.stages.size == 2)
+    val byTable = rerun.stages.map(s => s.tableId.get -> s).toMap
+    assert(byTable(99).status == "SUCCESS" && byTable(99).rowCount.exists(_ > 0))
+    // the successful table's original row carried over (same rowCount)
+    assert(byTable(3) == first.stages.find(_.tableId.contains(3)).get)
+    // both extracts available after the merge
+    assert(rerun.extracts.keySet == Set("customer", "orders"))
+  }
+
+  test("rerunFailed keeps the FAILED row when the current catalog can't retry it") {
+    val first = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, broken))
+    val rerun = Pipeline.rerunFailed(spark, sfDir, Seq(SampleCatalog.customer), first)
+    assert(rerun.master.status == "PARTIAL")
+    assert(rerun.stages.count(_.status == "FAILED") == 1)
+  }
+
+  test("zone config supplies output paths; per-table override wins") {
+    val zones = graft.meta.MetaStore.sampleZones
+    val overridden = SampleCatalog.customer.copy(table =
+      SampleCatalog.customer.table.copy(stagingZonePath = Some("custom/path")))
+    val result = Pipeline.runStagingExtract(spark, sfDir,
+      Seq(overridden, SampleCatalog.part), zones = Some(zones))
+    val byTable = result.stages.map(s => s.tableName -> s.outputPath).toMap
+    assert(byTable("customer").contains("custom/path"))
+    assert(byTable("part").contains("staging_zone/part"))
+  }
+
   test("inactive tables are skipped") {
     val inactive = SampleCatalog.part.copy(table = SampleCatalog.part.table.copy(activeFlag = false))
     val result = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, inactive))

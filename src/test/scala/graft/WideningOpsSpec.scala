@@ -10,6 +10,26 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
 
   private def run(name: String) = Registry.byName(name).run(spark, sfDir)
 
+  test("multimodal payload guard rejects non-ASCII text loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "plain ascii here"), (2L, "café au lait")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.ops.Multimodal.withPayload(bad).select("payload").collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("ASCII") && chain.contains("doc_id=2"))
+    // pure-ASCII corpus passes untouched
+    val ok = Seq((1L, "plain ascii here")).toDF("doc_id", "text")
+    assert(graft.ops.Multimodal.withPayload(ok).select("payload").count() == 1)
+  }
+
+  test("q_percentiles_hist is value-identical to the buffered exact percentile") {
+    val hist = run("q_percentiles_hist").collect().map(_.toSeq)
+    val exact = run("q_percentiles").collect().map(_.toSeq)
+    assert(hist.nonEmpty && hist.toSeq == exact.toSeq)
+  }
+
   test("ev_sliding: every event lands in exactly 4 overlapping windows") {
     val totalEvents = Tables.events(spark, sfDir).count()
     val windowed = run("ev_sliding").agg(sum(col("n_events"))).head().getLong(0)
