@@ -96,10 +96,22 @@ object Dedup {
   private[graft] val MaxShingleDf = 1000L
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf)
+  /** Corpus hot-shingle statistics memo, keyed by (table dir, cap):
+    * whether any shingle exceeds the cap is per-corpus METADATA (an
+    * ANALYZE-style statistic), so the registered ops compute it once
+    * per JVM per corpus — dedup_clusters and dedup_corpus_pipeline
+    * re-derive the pair graph through this same entry point, and
+    * without the memo each would repeat the df-scan job.
+    */
+  private val hotStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 
-  private[graft] def ngramJaccardPairs(docs: DataFrame, maxDf: Long): DataFrame = {
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf,
+      memoKey = Some(dir -> MaxShingleDf))
+
+  private[graft] def ngramJaccardPairs(docs: DataFrame, maxDf: Long,
+      memoKey: Option[(String, Long)] = None): DataFrame = {
     val base = withShingles(docs)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("bigint").as("n_sh"))
     val post0 = base
@@ -109,17 +121,29 @@ object Dedup {
     // shingles (tiny by construction: #hot ≤ postings/maxDf), which
     // then prune via a broadcast anti-join — no extra shuffle of the
     // postings themselves.
-    val hot = post0.groupBy("sid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).cache()
-    val nHot = hot.count()
+    def hotDf() = post0.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    def countHot(): Long = {
+      val hot = hotDf().cache()
+      try {
+        val n = hot.count()
+        if (n > 0) {
+          val dropped = hot.agg(sum(col("df"))).head().getLong(0)
+          log.warn(s"dedup_ngram_jaccard: capped $n hot shingles (df > $maxDf), " +
+            s"$dropped postings dropped from the pair join")
+        }
+        n
+      } finally hot.unpersist()
+    }
+    val nHot = memoKey match {
+      case Some(k) => hotStatsMemo.computeIfAbsent(k, _ => countHot())
+      case None => countHot()
+    }
     val post =
-      if (nHot == 0) { hot.unpersist(); post0 }
+      if (nHot == 0) post0
       else {
-        val dropped = hot.agg(sum(col("df"))).head().getLong(0)
-        log.warn(s"dedup_ngram_jaccard: capped $nHot hot shingles (df > $maxDf), " +
-          s"$dropped postings dropped from the pair join")
         val pruned = post0.drop("n_sh")
-          .join(broadcast(hot.select("sid")), Seq("sid"), "left_anti")
+          .join(broadcast(hotDf().select("sid")), Seq("sid"), "left_anti")
         val sized = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         pruned.join(sized, "doc_id")
       }
