@@ -107,6 +107,32 @@ object Pipeline {
     )
   }
 
+  /** Persist the run's audit rows to a JDBC database — the
+    * reference's process logger writes DW_Process_Master /
+    * DW_Process_Stage_Detail to MySQL (ref: process_logger.py
+    * create_process_master / log_process_stage_detail); this is the
+    * same surface over `df.write.jdbc`, so the warehouse's audit
+    * trail can live in an operational RDBMS while the data stays in
+    * the lake. Overwrite by default: callers log the FINAL merged
+    * result (rerunFailed already applies update-if-exists in memory).
+    */
+  def writeAuditLog(spark: SparkSession, result: Result, url: String): Unit = {
+    import graft.sources.Jdbc
+    import spark.implicits._
+    // na.fill(""): absent remarks/errors travel as empty strings —
+    // Spark's JDBC writer calls setNull with the dialect's DEFAULT
+    // string type (CLOB on Derby) even when createTableColumnTypes
+    // declared VARCHAR, and Derby refuses the CLOB/VARCHAR mix
+    Jdbc.write(Seq(result.master).toDS().toDF().na.fill("").coalesce(1),
+      Jdbc.JdbcSourceSpec(url, "DW_PROCESS_MASTER"),
+      stringColumnTypes = Map("processDate" -> 32, "processType" -> 16,
+        "currentStage" -> 64, "status" -> 16, "remarks" -> 512, "errorMessage" -> 512))
+    Jdbc.write(result.stages.toDS().toDF().na.fill("").coalesce(1),
+      Jdbc.JdbcSourceSpec(url, "DW_PROCESS_STAGE_DETAIL"),
+      stringColumnTypes = Map("stageName" -> 64, "tableName" -> 128,
+        "status" -> 16, "errorMessage" -> 512, "outputPath" -> 512))
+  }
+
   /** Stage-detail rows as a DataFrame (deterministic projection:
     * no wall-clock columns — timings live outside the comparable
     * contract).

@@ -59,6 +59,22 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(byTable("part").contains("staging_zone/part"))
   }
 
+  test("audit log round-trips through a JDBC database (reference's MySQL logger)") {
+    import graft.sources.Jdbc
+    val url = "jdbc:derby:memory:pipeline_audit;create=true"
+    val result = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, broken),
+      zones = Some(graft.meta.MetaStore.sampleZones))
+    Pipeline.writeAuditLog(spark, result, url)
+    val master = Jdbc.read(spark, Jdbc.JdbcSourceSpec(url, "DW_PROCESS_MASTER")).collect()
+    assert(master.length == 1)
+    assert(master(0).getAs[String]("status") == "PARTIAL")
+    val stages = Jdbc.read(spark, Jdbc.JdbcSourceSpec(url, "DW_PROCESS_STAGE_DETAIL"))
+    assert(stages.count() == 2)
+    import org.apache.spark.sql.functions.col
+    assert(stages.filter(col("status") === "FAILED").count() == 1)
+    assert(stages.filter(col("outputPath") === "staging_zone/customer").count() == 1)
+  }
+
   test("inactive tables are skipped") {
     val inactive = SampleCatalog.part.copy(table = SampleCatalog.part.table.copy(activeFlag = false))
     val result = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, inactive))
