@@ -218,9 +218,95 @@ object Similarity {
       |SELECT query_id, neighbor_id, sim FROM p WHERE sim >= $RangeTau
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // emb_label_centroid — per-label embedding centroid (corpus drift /
+  // class-balance monitoring: a training pipeline tracks per-source
+  // and per-label centroids across snapshots). Components quantize to
+  // integer ppm via floor(x·10⁶) — floor of a double is deterministic
+  // and midpoint-free on BOTH engines, so the BIGINT sums are exact
+  // and the hash gate is stable (SURVEY §5: no raw double sums).
+  // Plan shape: posexplode → (label, dim) groupBy — map-side partial
+  // aggregation collapses each task to |labels|×64 rows before the
+  // shuffle, like any distributive agg.
+  // ---------------------------------------------------------------
+  private val PpmExpr = "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+
+  private def labelCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), expr(PpmExpr).as("v_ppm"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("v_ppm")).as("sum_ppm"))
+      .withColumn("centroid", col("sum_ppm").cast("double") / 1000000.0 / col("n_vecs"))
+      .select("label", "dim", "n_vecs", "sum_ppm", "centroid")
+      .orderBy("label", "dim")
+
+  private val labelCentroidSql =
+    """WITH x AS (
+      |  SELECT label, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT label, embedding, unnest(range(0, len(embedding))) AS i FROM embeddings) u)
+      |SELECT label, dim, count(*) AS n_vecs, CAST(sum(v_ppm) AS BIGINT) AS sum_ppm,
+      |  CAST(sum(v_ppm) AS DOUBLE) / 1000000 / count(*) AS centroid
+      |FROM x
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------
+  // emb_outliers — farthest-from-centroid vectors per label (the
+  // mislabeled/noisy-sample gate of a training pipeline). Distance is
+  // compared entirely in scaled integers: for each dim,
+  // term = n·v_ppm − Σv_ppm (∝ n·(v − centroid)); dist = Σ term² in
+  // DECIMAL(38,0) — exact on both engines, so the per-label ranking
+  // is deterministic without any FP summation-order hazard. Scale
+  // shape: the per-(label,dim) sums are a tiny broadcastable table;
+  // the per-vector term join never shuffles the corpus twice.
+  // ---------------------------------------------------------------
+  private val OutliersPerLabel = 3
+
+  private def outliers(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"), expr(PpmExpr).as("v_ppm"))
+    val sums = x.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("v_ppm")).as("s_ppm"))
+    val dist = x.join(broadcast(sums), Seq("label", "dim"))
+      .withColumn("term",
+        (col("n").cast("decimal(19,0)") * col("v_ppm").cast("decimal(19,0)")
+          - col("s_ppm").cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("term") * col("term")).cast("decimal(38,0)").as("dist2"))
+    val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    dist
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OutliersPerLabel)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist2").cast("double").as("dist2"))
+      .orderBy("label", "rank")
+  }
+
+  private val outliersSql =
+    s"""WITH x AS (
+      |  SELECT vec_id, label, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT vec_id, label, embedding, unnest(range(0, len(embedding))) AS i FROM embeddings) u),
+      |s AS (SELECT label, dim, count(*) AS n, sum(v_ppm) AS s_ppm FROM x GROUP BY label, dim),
+      |d AS (
+      |  SELECT x.vec_id, x.label,
+      |    sum(CAST(CAST(s.n AS HUGEINT) * x.v_ppm - s.s_ppm AS HUGEINT)
+      |      * CAST(CAST(s.n AS HUGEINT) * x.v_ppm - s.s_ppm AS HUGEINT)) AS dist2
+      |  FROM x JOIN s ON x.label = s.label AND x.dim = s.dim
+      |  GROUP BY x.vec_id, x.label),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS INT) AS rank
+      |      FROM d)
+      |SELECT label, rank, vec_id, CAST(dist2 AS DOUBLE) AS dist2
+      |FROM r WHERE rank <= $OutliersPerLabel
+      |ORDER BY label, rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
-    Op("sim_range_search", rangeSearch, Some(rangeSearchSql)))
+    Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),
+    Op("emb_label_centroid", labelCentroid, Some(labelCentroidSql)),
+    Op("emb_outliers", outliers, Some(outliersSql)))
 }

@@ -113,6 +113,22 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(nBrute > 0 && nLsh * 10 >= nBrute * 9, s"recall $nLsh/$nBrute < 0.9")
   }
 
+  test("label centroids cover every vector once; outlier ranks are contiguous") {
+    val cent = pairs("emb_label_centroid").cache()
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    // every (label,dim) cell counts each vector of that label exactly once
+    assert(cent.filter(col("dim") === 0).agg(sum("n_vecs")).head().getLong(0) == total)
+    assert(cent.filter(col("centroid") < -1.000001 || col("centroid") > 1.000001).count() == 0)
+    val out = pairs("emb_outliers").cache()
+    val perLabel = out.groupBy("label").agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+    assert(perLabel.filter(col("n") =!= 3 || col("mx") =!= 3).count() == 0)
+    assert(out.filter(col("dist2") < 0).count() == 0)
+    // rank 1 is the per-label max distance
+    val w = out.groupBy("label").agg(max(col("dist2")).as("mx"))
+    assert(out.filter(col("rank") === 1).join(w, "label")
+      .filter(col("dist2") =!= col("mx")).count() == 0)
+  }
+
   test("knn returns k ranked neighbors per query with sim in [-1,1]") {
     val k = pairs("sim_knn_brute")
     assert(k.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
