@@ -55,6 +55,31 @@ class JdbcSourcesSpec extends AnyFunSuite with SparkSuite {
     assert(scan.contains("PushedFilters") || scan.toLowerCase.contains("o_orderkey"))
   }
 
+  test("watermark-incremental extraction over JDBC ships only new rows") {
+    import graft.etl.IncrementalTracker
+    val spec = freshSpec("ORDERS_INCR")
+    val orig = Tables.load(spark, sfDir, "orders")
+    val half = orig.count() / 2
+    Jdbc.write(orig.filter(col("o_orderkey") <= half).coalesce(1), spec,
+      stringColumnTypes = Map("o_orderstatus" -> 8, "o_orderpriority" -> 32))
+    // first pull: everything, watermark = max key
+    val (b1, w1) = IncrementalTracker.strictBatch(
+      Jdbc.read(spark, spec), "o_orderkey", None)
+    val n1 = b1.count()
+    assert(n1 > 0 && w1.contains(half.toString))
+    // late arrivals land in the source DB
+    Jdbc.write(orig.filter(col("o_orderkey") > half).coalesce(1), spec,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // second pull: only the new rows, via a filter PUSHED to the remote DB
+    val (b2, w2) = IncrementalTracker.strictBatch(
+      Jdbc.read(spark, spec), "o_orderkey", w1)
+    assert(b2.count() == orig.count() - n1)
+    assert(b2.agg(min(col("o_orderkey"))).head().getLong(0) > half)
+    assert(w2.exists(_.toLong > half))
+    val plan = b2.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_orderkey"))
+  }
+
   test("src_jdbc op equals the parquet-side incremental extraction") {
     val viaJdbc = Registry.byName("src_jdbc").run(spark, sfDir)
     val viaParquet = graft.etl.ExtractionPlanner

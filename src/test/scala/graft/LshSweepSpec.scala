@@ -68,4 +68,33 @@ class LshSweepSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(verified == exactPairs.filter(candidates(8).contains))
   }
+
+  test("hyperplane banding sweep: recall rises with bands, buckets sharpen with planes") {
+    // the embedding-dedup dial (OR-of-ANDs over Similarity.planesFor):
+    // same total planes split into more bands = higher recall; more
+    // planes PER band = finer buckets (fewer candidates) at the cost
+    // of per-band recall. Ground truth = brute-force pairs at tau.
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, dir, "embeddings")
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.ops.Dedup.withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val brute = pairsOf(
+      e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+          col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
+        .filter(col("sim") >= 0.4))
+    assert(brute.nonEmpty)
+    // 16 planes split as (bands, planesPerBand): recall grows with bands
+    val recalls = Seq((4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+      val got = pairsOf(graft.ops.Dedup.embeddingPairsLsh(emb, 0.4, b, r))
+      assert(got.subsetOf(brute)) // exact verify never passes a sub-tau pair
+      brute.count(got.contains).toDouble / brute.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in bands: $recalls")
+    assert(recalls.last == 1.0, s"16x1 banding should catch every pair: $recalls")
+    // the registered op's banding (8x2) is the measured middle: >= 0.9
+    assert(recalls(1) >= 0.9)
+  }
 }
