@@ -35,7 +35,8 @@ object Registry {
       graft.ops.Dedup.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Multimodal.ops ++
-      graft.sources.SourceOps.ops
+      graft.sources.SourceOps.ops ++
+      graft.streaming.StreamOps.ops
 
   private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
   def byName(name: String): Op = index(name)

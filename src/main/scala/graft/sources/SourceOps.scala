@@ -42,7 +42,7 @@ object SourceOps {
       }))
   }
 
-  private def tmpDir(prefix: String): String = {
+  private[graft] def tmpDir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix)
     tmpDirs.add(d)
     d.toString
