@@ -233,7 +233,55 @@ object TextOps {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_pii_scrub — PII redaction, the compliance gate every
+  // training-data pipeline runs before tokenization. The corpus is
+  // synthetic (no real PII), so the op DERIVES deterministic
+  // email/phone strings into a third of the docs first (both engines
+  // synthesize identically, like the multimodal payload synth), then
+  // scrubs with explicit-class regexes — no \w/\d shorthands, whose
+  // unicode semantics differ between Java regex and RE2-style
+  // engines — and reports per-doc redaction counts + the md5 of the
+  // cleaned text. Redaction must be idempotent and total: the hash
+  // gate fails if one engine leaves a partial match behind.
+  // ---------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+  private val PhoneRe = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+  private def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("seeded", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +00-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .withColumn("n_emails",
+        size(split(col("seeded"), EmailRe, -1)).cast("bigint") - 1)
+      .withColumn("n_phones",
+        size(split(col("seeded"), PhoneRe, -1)).cast("bigint") - 1)
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("seeded"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  private val piiScrubSql =
+    s"""WITH seeded AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact user' || doc_id || '@example.com or +00-555-' ||
+      |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END AS seeded
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(string_split_regex(seeded, '$EmailRe')) - 1 AS n_emails,
+      |  len(string_split_regex(seeded, '$PhoneRe')) - 1 AS n_phones,
+      |  md5(regexp_replace(regexp_replace(seeded, '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g')) AS clean_md5
+      |FROM seeded
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("txt_pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("txt_stats", stats, Some(statsSql)),
     Op("txt_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     Op("txt_quality", quality, Some(qualitySql)),
