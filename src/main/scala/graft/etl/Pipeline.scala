@@ -107,6 +107,21 @@ object Pipeline {
     )
   }
 
+  /** Write every successful extract to its staging-zone path (the
+    * reference's extraction stage lands snappy parquet under
+    * STAGING_ZONE/<table>; ref: staging_data_extraction.py
+    * extract_table_data + config.yaml PATHS). Returns table → path.
+    * Failed tables have no extract and are skipped — their FAILED
+    * stage rows carry the error; rerunFailed retries them.
+    */
+  def writeStaged(result: Result, zones: ZoneConfig): Map[String, String] =
+    result.extracts.map { case (table, df) =>
+      val path = result.stages.find(_.tableName == table).flatMap(_.outputPath)
+        .getOrElse(zones.stagingPathFor(table))
+      graft.sources.Sources.writeParquet(df, path)
+      table -> path
+    }
+
   /** Persist the run's audit rows to a JDBC database — the
     * reference's process logger writes DW_Process_Master /
     * DW_Process_Stage_Detail to MySQL (ref: process_logger.py

@@ -101,6 +101,55 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // sim_knn_multiprobe — multi-probe LSH: each query searches its own
+  // bucket PLUS every 1-bit-flip neighbor bucket (9 of 256 buckets
+  // probed). Near misses in hyperplane LSH concentrate in buckets at
+  // Hamming distance 1 (one borderline plane), so multi-probe buys
+  // most of the recall of many hash tables for one table's memory —
+  // the standard production dial (Lv et al., VLDB'07). Corpus side is
+  // still bucket-partitioned; only the tiny query side fans out 9×.
+  // ---------------------------------------------------------------
+  private def knnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = withBucket(emb(s, dir))
+    val probeExprs = col("bucket") +: (0 until NPlanes).map(i =>
+      expr(s"CAST(bucket ^ ${1 << i} AS INT)"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(probeExprs: _*)).as("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
+      col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnMultiprobeSql = {
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val masks = (0 +: (0 until NPlanes).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |b AS (SELECT vec_id, v, nrm,
+      |      $bucketExpr AS bucket
+      |      FROM n),
+      |q AS (SELECT vec_id, v, nrm, CAST(xor(bucket, m) AS INT) AS bucket
+      |      FROM b, (SELECT unnest($masks) AS m) masks
+      |      WHERE vec_id < $NQueries),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
+      |      FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |      FROM p)
+      |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // sim_ivf — IVF-style coarse quantization: fixed seed centroids
   // (every 25th vector), each vector assigned to nearest centroid;
   // queries probe the nprobe=2 nearest centroid lists only.
@@ -305,6 +354,7 @@ object Similarity {
   val ops: Seq[Op] = Seq(
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
+    Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     Op("emb_label_centroid", labelCentroid, Some(labelCentroidSql)),

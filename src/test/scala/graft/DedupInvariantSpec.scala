@@ -129,6 +129,19 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
       .filter(col("dist2") =!= col("mx")).count() == 0)
   }
 
+  test("multi-probe LSH recall dominates single-bucket LSH against brute truth") {
+    def hits(name: String): Long = {
+      val truth = pairs("sim_knn_brute").select("query_id", "neighbor_id")
+      pairs(name).select("query_id", "neighbor_id").join(truth, Seq("query_id", "neighbor_id")).count()
+    }
+    val single = hits("sim_knn_lsh")
+    val multi = hits("sim_knn_multiprobe")
+    // multiprobe candidates are a superset per query ⇒ true-top-k overlap
+    // can only grow
+    assert(multi >= single, s"multiprobe overlap $multi < single-bucket $single")
+    assert(multi > 0)
+  }
+
   test("knn returns k ranked neighbors per query with sim in [-1,1]") {
     val k = pairs("sim_knn_brute")
     assert(k.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)

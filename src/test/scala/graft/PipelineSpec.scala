@@ -75,6 +75,18 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(stages.filter(col("outputPath") === "staging_zone/customer").count() == 1)
   }
 
+  test("writeStaged lands each successful extract under its zone path") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zone_root").toString
+    val zones = graft.meta.MetaStore.sampleZones.copy(stagingZone = s"$root/staging")
+    val result = Pipeline.runStagingExtract(spark, sfDir,
+      Seq(SampleCatalog.customer, broken), zones = Some(zones))
+    val written = Pipeline.writeStaged(result, zones)
+    assert(written.keySet == Set("customer")) // FAILED table skipped
+    val back = spark.read.parquet(written("customer"))
+    assert(back.count() == Tables.load(spark, sfDir, "customer").count())
+    assert(written("customer").startsWith(s"$root/staging/"))
+  }
+
   test("inactive tables are skipped") {
     val inactive = SampleCatalog.part.copy(table = SampleCatalog.part.table.copy(activeFlag = false))
     val result = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, inactive))
