@@ -11,9 +11,9 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // JMH-style: one untimed warmup run per query (JVM/codegen/parquet
-    // reader init), then the timed run; stable alphabetical order so
-    // per-round numbers are comparable. SPARK_GRAFT_QUERIES=a,b,c
+    // JMH-style: an untimed warmup pass over every query (JVM/codegen/
+    // parquet reader init), then a timed pass; stable alphabetical
+    // order so per-round numbers are comparable. SPARK_GRAFT_QUERIES=a,b,c
     // restricts to a subset for local iteration — unknown names fail
     // fast instead of silently benchmarking a partial (or empty) set.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -25,19 +25,27 @@ object Bench {
     }
     // a failing query records as an ERROR (-1 marker, excluded from the
     // total) — elapsed-to-failure must never masquerade as a fast result
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    }
+    // Warmup above primed JVM/codegen/parquet readers — but it also
+    // staged the shared near-dup pair graph. Timed runs must pay that
+    // staging exactly ONCE (reuse across consumers costs once per run,
+    // not zero times): drop every staged pair graph so the first timed
+    // dedup consumer re-stages it inside its measured interval.
+    graft.ops.Dedup.resetPairStage()
+    val results = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }

@@ -110,23 +110,34 @@ object Dedup {
   /** Content-version marker for the documents table under `dir`: the
     * md5 of the file listing (relative path, size, mtime). Driver-side
     * local-FS metadata only — the same listing a parquet scan's file
-    * index performs, never a data read.
+    * index performs, never a data read. Returns None when `dir` is
+    * NOT a local filesystem path (hdfs://, s3a://, …): java.nio can't
+    * see those, and hashing a constant would serve a stale staged
+    * result forever after any table rewrite — callers must skip
+    * memoization instead (a genuinely absent local table also returns
+    * None; the consumer's own parquet read fails loudly on it).
     */
-  private[graft] def corpusSnapshot(dir: String, table: String = "documents"): String = {
+  private[graft] def corpusSnapshot(dir: String, table: String = "documents"): Option[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val root = Paths.get(dir, s"$table.parquet")
+    val scheme = java.net.URI.create(dir.replace(" ", "%20")).getScheme
+    if (scheme != null && scheme != "file") return None
+    val root = Paths.get(dir.stripPrefix("file:"), s"$table.parquet")
     val entries =
-      if (!Files.exists(root)) Seq(s"absent:$root")
+      if (!Files.exists(root)) return None
       else if (Files.isRegularFile(root))
         Seq(s"${root.getFileName}:${Files.size(root)}:${Files.getLastModifiedTime(root).toMillis}")
-      else
-        Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).map(p =>
-          s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-          .toSeq.sorted
-    java.security.MessageDigest.getInstance("MD5")
+      else {
+        val walk = Files.walk(root)
+        try
+          walk.iterator().asScala.filter(Files.isRegularFile(_)).map(p =>
+            s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted
+        finally walk.close()
+      }
+    Some(java.security.MessageDigest.getInstance("MD5")
       .digest(entries.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+      .map("%02x".format(_)).mkString)
   }
 
   // ---------------------------------------------------------------
@@ -139,9 +150,57 @@ object Dedup {
   // pattern as the reference's staging zone (extract once, consume
   // many). Registered ops stage into managed temp space; production
   // points [[stagePairGraph]] at a ZoneConfig staging path.
+  //
+  // Staging happens at FIRST ACTION over the corpus (plan
+  // construction is lazy about it only to the extent the memo hit
+  // is); Bench resets the memo between warmup and timed phases via
+  // [[resetPairStage]] so the first timed consumer pays the full
+  // staging cost — reuse across consumers must cost once per run,
+  // not zero times.
   // ---------------------------------------------------------------
+  /** snapshot-key → staged parquet dir. */
   private val pairStageMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  /** corpus dir → its CURRENT snapshot key, for evicting superseded
+    * stage dirs when an in-process rewrite changes the snapshot.
+    */
+  private val pairStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def deleteDirQuietly(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally walk.close()
+    }
+  }
+
+  /** Drop every staged pair graph and its backing dir. The next
+    * consumer re-stages from scratch — Bench calls this between its
+    * warmup and timed phases so staging cost lands in exactly one
+    * timed consumer (hot-shingle STATISTICS stay memoized: they are
+    * per-corpus metadata, not op output).
+    */
+  def resetPairStage(): Unit = {
+    import scala.jdk.CollectionConverters._
+    pairStageMemo.values.asScala.foreach(deleteDirQuietly)
+    pairStageMemo.clear()
+    pairStageLatest.clear()
+  }
+
+  /** Plans that execute INSIDE staging and are therefore invisible to
+    * a registered op's own queryExecution (the op reads the staged
+    * parquet back) — exposed so PlanGuardSpec runs the registry-wide
+    * cartesian/window guards over the real staging subplan too,
+    * keeping its coverage honest after the staging split.
+    */
+  private[graft] def stagingPlans(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq("dedup_pair_stage(unstaged)" ->
+      ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf))
 
   /** Compute the near-dup pair graph for `docs` and persist it to
     * `path` (parquet); returns a reader over the staged set. The
@@ -157,19 +216,44 @@ object Dedup {
 
   /** Staged pair graph for the corpus under `dir`, computed at most
     * once per JVM per corpus snapshot (keyed like [[hotStatsMemo]], so
-    * a rewritten table re-stages instead of serving stale pairs).
+    * a rewritten table re-stages instead of serving stale pairs, and
+    * the superseded stage dir is deleted). A staged path reaped from
+    * /tmp behind our back re-stages instead of failing; a non-local
+    * `dir` (no usable snapshot) skips staging entirely and computes
+    * the pair plan inline — correct, never stale.
     */
-  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val snap = s"$dir@${corpusSnapshot(dir)}"
-    val path = pairStageMemo.computeIfAbsent(snap -> MaxShingleDf, _ => {
-      val p = graft.sources.SourceOps.tmpDir("graft_pair_graph")
-      log.info(s"staging near-dup pair graph for $dir -> $p")
-      stagePairGraph(Tables.load(s, dir, "documents"), p, MaxShingleDf,
-        memoKey = Some(snap -> MaxShingleDf))
-      p
-    })
-    s.read.parquet(path)
-  }
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    corpusSnapshot(dir) match {
+      case None =>
+        log.warn(s"near-dup pair staging skipped for $dir (not a readable " +
+          "local path; no snapshot => no safe memo) — computing pair graph inline")
+        ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf)
+      case Some(snapHash) =>
+        val key = (s"$dir@$snapHash", MaxShingleDf)
+        // a memoized path whose dir vanished (e.g. /tmp reaped) must
+        // re-stage, not poison every dedup op until JVM restart
+        Option(pairStageMemo.get(key))
+          .filterNot(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+          .foreach { gone =>
+            log.warn(s"staged pair graph at $gone no longer exists; re-staging")
+            pairStageMemo.remove(key, gone)
+          }
+        val path = pairStageMemo.computeIfAbsent(key, _ => {
+          val prev = pairStageLatest.put(dir, key)
+          Option(prev).filter(_ != key).foreach { old =>
+            Option(pairStageMemo.remove(old)).foreach { oldPath =>
+              log.info(s"evicting superseded pair-graph stage $oldPath")
+              deleteDirQuietly(oldPath)
+            }
+          }
+          val p = graft.sources.SourceOps.tmpDir("graft_pair_graph")
+          log.info(s"staging near-dup pair graph for $dir -> $p")
+          stagePairGraph(Tables.load(s, dir, "documents"), p, MaxShingleDf,
+            memoKey = Some(key))
+          p
+        })
+        s.read.parquet(path)
+    }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(s, dir).orderBy("doc_a", "doc_b")

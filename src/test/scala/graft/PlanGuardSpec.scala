@@ -25,21 +25,30 @@ class PlanGuardSpec extends AnyFunSuite with SparkSuite {
   private def subtreeHasAggregate(p: LogicalPlan): Boolean =
     p.collectFirst { case _: Aggregate => () }.isDefined
 
-  test("no registered op compiles to a cartesian product") {
-    val offenders = Registry.all.flatMap { op =>
-      val phys = op.run(spark, sfDir).queryExecution.executedPlan.toString
-      if (phys.contains("CartesianProduct")) Some(op.name) else None
+  /** Every plan the guards cover: each registered op's surfaced plan
+    * PLUS the staging subplans that execute behind a staged-parquet
+    * read (the staged ops' surfaced plan is just a scan — without
+    * these the riskiest subplan in the repo would be unguarded).
+    */
+  private def guardedPlans: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    Registry.all.map(op => op.name -> op.run(spark, sfDir)) ++
+      graft.ops.Dedup.stagingPlans(spark, sfDir)
+
+  test("no registered op (or staging subplan) compiles to a cartesian product") {
+    val offenders = guardedPlans.flatMap { case (name, df) =>
+      val phys = df.queryExecution.executedPlan.toString
+      if (phys.contains("CartesianProduct")) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
   test("every unpartitioned window runs over a pre-aggregated (bounded) input") {
-    val offenders = Registry.all.flatMap { op =>
-      val logical = op.run(spark, sfDir).queryExecution.optimizedPlan
+    val offenders = guardedPlans.flatMap { case (name, df) =>
+      val logical = df.queryExecution.optimizedPlan
       val bad = logical.collect {
         case w: LWindow if w.partitionSpec.isEmpty && !subtreeHasAggregate(w.child) => w
       }
-      if (bad.nonEmpty) Some(op.name) else None
+      if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"unpartitioned windows over raw (unbounded) inputs: $offenders")
