@@ -268,6 +268,73 @@ object Similarity {
       |ORDER BY query_id, neighbor_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // sim_range_search_lsh — bucketed radius query: banded
+  // random-hyperplane LSH candidates (8 bands × 2 planes, OR of
+  // ANDs — the same shared plane family and banding the embedding
+  // dedup path uses) then exact cosine ≥ τ verify. This is the
+  // 100 TB shape of sim_range_search: the corpus is only touched
+  // through a (band, signature) equality join, never a full scan per
+  // query batch. A wide radius (τ = 0.3 ⇒ ~72° apart) makes 1-bit
+  // multi-probe too shallow — measured 0.28 recall vs 0.93+ for
+  // banding at the same verify cost — so the range op takes the
+  // banded dial, and candidate pairs are distinct-ed as skinny id
+  // pairs BEFORE the vector rejoin (the A/B-measured order from
+  // dedup_embedding).
+  // ---------------------------------------------------------------
+  private val RangeBands = 8
+  private val RangePlanesPerBand = 2
+
+  private def rangeSearchLsh(s: SparkSession, dir: String): DataFrame = {
+    val fam = planesFor(RangeBands * RangePlanesPerBand)
+    val e = emb(s, dir)
+    val bandVals = (0 until RangeBands).map { j =>
+      val bits = (0 until RangePlanesPerBand).map { r =>
+        val arr = fam(j * RangePlanesPerBand + r).mkString("array(", ", ", ")")
+        s"(CASE WHEN aggregate(zip_with(v, $arr, (x, p) -> x * CAST(p AS DOUBLE)), CAST(0 AS DOUBLE), (s2, x) -> s2 + x) > 0 THEN ${1 << r} ELSE 0 END)"
+      }
+      expr(bits.mkString(" + "))
+    }
+    val bandsDf = e.select(col("vec_id"), posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    val qb = bandsDf.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bv"))
+    val cb = bandsDf.select(col("vec_id").as("neighbor_id"), col("band"), col("bv"))
+    val cand = broadcast(qb).join(cb, Seq("band", "bv"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .filter(col("sim") >= RangeTau)
+      .select("query_id", "neighbor_id", "sim")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val rangeSearchLshSql = {
+    val fam = planesFor(RangeBands * RangePlanesPerBand)
+    val bandRows = (0 until RangeBands).map { j =>
+      val bits = (0 until RangePlanesPerBand).map { r =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(fam(j * RangePlanesPerBand + r))}) > 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS band, $bits AS bv FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |b AS (
+      |  $bandRows),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM b q JOIN b c ON q.band = c.band AND q.bv = c.bv
+      |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+      |p AS (SELECT cand.query_id, cand.neighbor_id,
+      |        round(list_dot_product(a.v, t.v) / sqrt(a.nrm * t.nrm), 4) AS sim
+      |      FROM cand JOIN n a ON cand.query_id = a.vec_id
+      |                JOIN n t ON cand.neighbor_id = t.vec_id)
+      |SELECT query_id, neighbor_id, sim FROM p WHERE sim >= $RangeTau
+      |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // emb_label_centroid — per-label embedding centroid (corpus drift /
   // class-balance monitoring: a training pipeline tracks per-source
   // and per-label centroids across snapshots). Components quantize to
@@ -357,6 +424,7 @@ object Similarity {
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),
+    Op("sim_range_search_lsh", rangeSearchLsh, Some(rangeSearchLshSql)),
     Op("emb_label_centroid", labelCentroid, Some(labelCentroidSql)),
     Op("emb_outliers", outliers, Some(outliersSql)))
 }

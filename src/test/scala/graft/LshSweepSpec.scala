@@ -97,4 +97,22 @@ class LshSweepSpec extends AnyFunSuite with SparkSuite {
     // the registered op's banding (8x2) is the measured middle: >= 0.9
     assert(recalls(1) >= 0.9)
   }
+
+  test("bucketed range search verifies exactly and recalls most of brute truth") {
+    def resSet(name: String): Set[(Long, Long, Double)] =
+      Registry.byName(name).run(spark, sfDir)
+        .select("query_id", "neighbor_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = resSet("sim_range_search")
+    val lsh = resSet("sim_range_search_lsh")
+    assert(brute.nonEmpty)
+    // the exact-cosine verify step means every returned pair is a true
+    // ≥ τ pair with the identical (rounded) sim — a strict subset
+    // relation, not just id overlap
+    assert(lsh.subsetOf(brute))
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    info(s"banded range-search recall vs brute: $recall (${lsh.size}/${brute.size})")
+    // measured 0.97 (65/67) at sf0.001 with the 8×2 banding
+    assert(recall >= 0.9, s"banded range recall too low: $recall")
+  }
 }
