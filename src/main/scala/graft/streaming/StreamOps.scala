@@ -55,6 +55,73 @@ object StreamOps {
       |GROUP BY hour_epoch, event_type
       |ORDER BY hour_epoch, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_sessionize — STATEFUL streaming (flatMapGroupsWithState
+  // gap sessionizer, EventStream.closedSessions) through the DuckDB
+  // hash gate, checked against the same semantics as the batch
+  // ev_sessionize op. Gate mechanics:
+  //  - value is pre-cast to exact integer cents with the SAME Spark
+  //    cast the batch op uses, so the state's running sum is exact
+  //    integer arithmetic — summation ORDER cannot move the hash
+  //    (doubles hold integers exactly to 2^53).
+  //  - a per-user sentinel event (event_id = -1, es = corpus max +
+  //    3600 > gap) closes every user's trailing session; the
+  //    sentinel's own 1-event session stays in state and is never
+  //    emitted, so the drained sink holds exactly the real sessions.
+  //  - the staged copy is written as ONE file: Trigger.AvailableNow
+  //    then processes it as one deterministic micro-batch (the
+  //    sessionizer itself is in-order-safe per micro-batch; cross-
+  //    batch arrival order is the source's contract — a production
+  //    deployment feeds it per-user-ordered partitions, e.g. Kafka
+  //    keyed by user_id — and StreamingSpec covers multi-batch
+  //    checkpoint-resume).
+  //  - session_no is assigned AFTER draining by ranking each user's
+  //    emitted sessions on start time — a deterministic rename, the
+  //    sessionization itself all happened in streaming state.
+  // ---------------------------------------------------------------
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_sess_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"),
+        expr("CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE)").as("value"))
+    val maxEs = ev.agg(max(col("es"))).head().getLong(0)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(maxEs + 3600L).as("es"), col("user_id"),
+        lit(0.0).as("value"))
+    ev.unionByName(sentinels)
+      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"), col("user_id"),
+        lit("e").as("event_type"), col("value"))
+      .repartition(1) // single staged file = single AvailableNow micro-batch (see header)
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_sessionize_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val sessions = EventStream.closedSessions(
+      s.readStream.schema(schema).parquet(src).as[EventStream.Event])
+    EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    s.table(name)
+      .withColumn("session_no", row_number().over(w).cast("bigint"))
+      .select(col("user_id"), col("session_no"), col("session_start"), col("session_end"),
+        col("n_events"), (col("sum_value") / lit(100.0)).as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  private val streamSessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, value FROM events),
+      |f AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM f)
+      |SELECT user_id, session_no, min(es) AS session_start, max(es) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)))
+    Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
+    Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)))
 }
