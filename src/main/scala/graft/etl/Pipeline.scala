@@ -107,6 +107,54 @@ object Pipeline {
     )
   }
 
+  /** Automatic retry policy — the typed counterpart of the reference
+    * DAG's `retries` / `retry_delay` default args (ref:
+    * /root/reference/dag/SMFG_DW_ETL_DAG.py:38-44, retries=0,
+    * retry_delay=5min). Spark already retries TASKS; this is the
+    * STAGE-level re-entry the DAG scheduler would drive, wrapped
+    * around [[rerunFailed]].
+    */
+  final case class RetryPolicy(retries: Int = 0,
+      delay: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.Duration(5, "min"))
+
+  /** Run STAGING_EXTRACT, then retry ONLY the failed tables up to
+    * `policy.retries` times with `policy.delay` between attempts
+    * (update-if-exists merge per attempt, exactly [[rerunFailed]]).
+    * `catalog` is re-read before every attempt — the scheduler
+    * re-reads config when it re-runs a task, so a fix landed between
+    * attempts is picked up (that's what makes a failure transient).
+    * Returns the final merged result plus every attempt's own result
+    * — the per-attempt stage rows are the audit trail (one row per
+    * table per attempt across the sequence). Stops early once nothing
+    * is FAILED.
+    */
+  def runWithRetries(
+      spark: SparkSession,
+      dir: String,
+      catalog: () => Seq[ExtractSpec],
+      policy: RetryPolicy,
+      processId: Long = 1L,
+      processDate: String = "1970-01-01",
+      zones: Option[ZoneConfig] = None
+  ): (Result, Seq[Result]) = {
+    val first = runStagingExtract(spark, dir, catalog(), processId, processDate, zones)
+    var merged = first
+    val attempts = Seq.newBuilder[Result]
+    attempts += first
+    var attempt = 0
+    while (attempt < policy.retries && merged.stages.exists(_.status == "FAILED")) {
+      if (policy.delay.toMillis > 0) Thread.sleep(policy.delay.toMillis)
+      val before = merged
+      merged = rerunFailed(spark, dir, catalog(), before, zones)
+      // the attempt's own rows = what this rerun actually re-extracted
+      attempts += merged.copy(stages =
+        merged.stages.diff(before.stages))
+      attempt += 1
+    }
+    (merged, attempts.result())
+  }
+
   /** Write every successful extract to its staging-zone path (the
     * reference's extraction stage lands snappy parquet under
     * STAGING_ZONE/<table>; ref: staging_data_extraction.py

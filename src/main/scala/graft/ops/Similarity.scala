@@ -150,32 +150,64 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
-  // sim_ivf — IVF-style coarse quantization: fixed seed centroids
-  // (every 25th vector), each vector assigned to nearest centroid;
-  // queries probe the nprobe=2 nearest centroid lists only.
+  // sim_ivf — IVF coarse quantization with ONE deterministic Lloyd
+  // refinement: seed centroids (every 25th vector) → assign all
+  // vectors → recompute each cell's centroid as the exact
+  // integer-ppm component mean (the same quantization
+  // emb_label_centroid hash-gates, so both engines reproduce the
+  // refined centroids bit-for-bit) → final assignment against the
+  // refined centroids; queries probe the nprobe=2 nearest lists.
+  // Fixed-stride seeds land poorly on clustered corpora (adjacent
+  // seeds inside one cluster split it; other clusters share a cell);
+  // the Lloyd step moves centroids to the actual cluster means. At
+  // scale the centroid table stays k×64 doubles — broadcast both in
+  // the assign join and here.
   // ---------------------------------------------------------------
   private val CentroidStride = 25
   private val NProbe = 2
 
+  /** Assign each row of `df` to its `probes` nearest centroids
+    * (rounded cosine, cid tiebreak). `cent` must be broadcastable:
+    * (cid, centv, centn).
+    */
+  private[graft] def assignTo(df: DataFrame, cent: DataFrame, idCol: String, probes: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+    df.join(broadcast(cent), lit(true))
+      .withColumn("csim", cosine(
+        expr("graft_array_dot(v, centv)"), col("nrm"), col("centn")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= probes)
+      .withColumnRenamed("cid", "cell")
+      .drop("centv", "centn", "csim", "crank")
+  }
+
+  /** Refined centroids: one Lloyd iteration over the seed assignment
+    * in exact BIGINT ppm sums (deterministic and engine-portable —
+    * no FP summation-order hazard in the means).
+    */
+  private[graft] def refinedCentroids(e: DataFrame): DataFrame = {
+    val cent0 = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
+    val a0 = assignTo(e, cent0, "vec_id", 1).select(col("vec_id"), col("cell"))
+    val px = e.join(a0, "vec_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("cell"), col("dim"), expr(PpmExpr).as("v_ppm"))
+    px.groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("v_ppm")).as("s_ppm"))
+      .withColumn("comp", col("s_ppm").cast("double") / 1000000.0 / col("n"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("dim"), col("comp"))).as("cc"))
+      .select(col("cell").as("cid"),
+        expr("transform(array_sort(cc), s -> s.comp)").as("centv"))
+      .withColumn("centn", expr("graft_array_dot(centv, centv)"))
+  }
+
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cent = e.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // assign every vector to its nearest centroid (cosine)
-    def assign(df: DataFrame, idCol: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-      df.join(broadcast(cent.withColumnRenamed("cent_id", "cid")
-          .withColumnRenamed("qv", "centv").withColumnRenamed("qn", "centn")), lit(true))
-        .withColumn("csim", cosine(
-          expr("graft_array_dot(v, centv)"), col("nrm"), col("centn")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= probes)
-        .withColumnRenamed("cid", "cell")
-        .drop("centv", "centn", "csim", "crank")
-    }
-    val corpus = assign(e, "vec_id", 1)
+    val cent = refinedCentroids(e)
+    val corpus = assignTo(e, cent, "vec_id", 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
-    val queries = assign(e.filter(col("vec_id") < NQueries), "vec_id", NProbe)
+    val queries = assignTo(e.filter(col("vec_id") < NQueries), cent, "vec_id", NProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
@@ -214,20 +246,38 @@ object Similarity {
   private val knnIvfSql =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
-      |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id % $CentroidStride = 0),
+      |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id % $CentroidStride = 0),
+      |a0 AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT x.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
+      |    FROM n x CROSS JOIN cent0 c) a
+      |  WHERE cr = 1),
+      |px AS (
+      |  SELECT cell, CAST(i AS INT) AS dim,
+      |    CAST(floor(v[CAST(i + 1 AS INT)] * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT a0.cell, x.v, unnest(range(0, len(x.v))) AS i
+      |        FROM n x JOIN a0 ON x.vec_id = a0.vec_id) u),
+      |cs AS (SELECT cell, dim, count(*) AS nn, sum(v_ppm) AS s_ppm FROM px GROUP BY cell, dim),
+      |cent AS (
+      |  SELECT cell AS cid,
+      |    list(CAST(s_ppm AS DOUBLE) / 1000000 / nn ORDER BY dim) AS centv
+      |  FROM cs GROUP BY cell),
+      |centf AS (SELECT cid, centv, list_dot_product(centv, centv) AS centn FROM cent),
       |corpus AS (
       |  SELECT vec_id AS neighbor_id, v, nrm, cid AS cell FROM (
       |    SELECT x.vec_id, x.v, x.nrm, c.cid,
       |      row_number() OVER (PARTITION BY x.vec_id
       |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN cent c) a
+      |    FROM n x CROSS JOIN centf c) a
       |  WHERE cr = 1),
       |qs AS (
       |  SELECT vec_id AS query_id, v, nrm, cid AS cell FROM (
       |    SELECT x.vec_id, x.v, x.nrm, c.cid,
       |      row_number() OVER (PARTITION BY x.vec_id
       |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN cent c WHERE x.vec_id < $NQueries) a
+      |    FROM n x CROSS JOIN centf c WHERE x.vec_id < $NQueries) a
       |  WHERE cr <= $NProbe),
       |p AS (SELECT q.query_id, t.neighbor_id, q.cell,
       |        round(list_dot_product(q.v, t.v) / sqrt(q.nrm * t.nrm), 4) AS sim

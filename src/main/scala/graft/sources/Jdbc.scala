@@ -43,14 +43,25 @@ object Jdbc {
     }
   }
 
-  /** Connection + parallelism spec for one JDBC source table. */
+  /** Connection + parallelism spec for one JDBC source table.
+    * `numPartitions = 0` (the default) means DERIVE the partition
+    * count from the live key bounds at [[DefaultBatchSize]] rows per
+    * partition — a partitioned read must never silently serialize
+    * through one connection just because the caller didn't pick a
+    * number (the exact reference failure mode this source replaces).
+    */
   final case class JdbcSourceSpec(
       url: String,
       table: String,
       driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
       partitionColumn: Option[String] = None,
-      numPartitions: Int = 1,
+      numPartitions: Int = 0,
       fetchSize: Int = 10000)
+
+  /** Rows per partition when the caller doesn't size the read —
+    * matches the reference's default BatchSize order of magnitude.
+    */
+  val DefaultBatchSize = 100000
 
   private def props(spec: JdbcSourceSpec): Properties = {
     val p = new Properties()
@@ -85,16 +96,25 @@ object Jdbc {
     else math.max(1L, math.min(64L, (span + batchSize - 1) / batchSize)).toInt
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Parallel read: bounded range scan per partition when
-    * `partitionColumn` is set, single connection otherwise.
+    * `partitionColumn` is set — with the partition count DERIVED from
+    * the key bounds (DefaultBatchSize rows each) unless the spec
+    * pins one explicitly. No partition column = one connection; that
+    * choice is loud (warn), never implicit sizing.
     */
   def read(spark: SparkSession, spec: JdbcSourceSpec): DataFrame =
     spec.partitionColumn match {
       case Some(col) =>
-        val (lo, hi) = keyBounds(spec, col)
-        spark.read.jdbc(spec.url, spec.table, col, lo, hi,
-          math.max(1, spec.numPartitions), props(spec))
+        val bounds = keyBounds(spec, col)
+        val n =
+          if (spec.numPartitions > 0) spec.numPartitions
+          else partitionsFor(bounds, DefaultBatchSize)
+        spark.read.jdbc(spec.url, spec.table, col, bounds._1, bounds._2, n, props(spec))
       case None =>
+        log.warn(s"Jdbc.read(${spec.table}): no partitionColumn — the whole table " +
+          "funnels through ONE connection; set partitionColumn for a parallel scan")
         spark.read.jdbc(spec.url, spec.table, props(spec))
     }
 

@@ -22,6 +22,25 @@ object StreamOps {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** PRODUCTION entry point: stream a real landing directory (any
+    * parquet dir whose rows carry `ts` TIMESTAMP, `event_type`,
+    * `value`) through the watermarked tumbling aggregate — no corpus
+    * rewrite. A deployment points this at its event landing zone (or
+    * swaps the file source for Kafka) and attaches a real sink +
+    * checkpoint; the registered `stream_tumbling` op stages a
+    * timestamp-typed COPY of the test events table first only because
+    * the hash gate needs a deterministic bounded drain of a
+    * nanos-BIGINT batch table.
+    */
+  def tumblingFrom(s: SparkSession, sourceDir: String): DataFrame = {
+    val schema = s.read.parquet(sourceDir).schema // metadata-only peek
+    s.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+  }
+
   private def streamTumbling(s: SparkSession, dir: String): DataFrame = {
     // stage a micro-precision streamable copy (graft sessions read the
     // events nanos column as BIGINT; streams watermark on TIMESTAMP)
@@ -30,14 +49,9 @@ object StreamOps {
       .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
         col("event_type"), col("value"))
       .write.mode("overwrite").parquet(src)
-    val schema = s.read.parquet(src).schema
     val name = s"graft_stream_tumbling_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
-    val agg = s.readStream.schema(schema).parquet(src)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+    val agg = tumblingFrom(s, src)
     EventStream.runAvailableNow(agg, name, OutputMode.Complete(), ckpt)
     s.table(name)
       .select(

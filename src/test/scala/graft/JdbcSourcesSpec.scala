@@ -35,6 +35,19 @@ class JdbcSourcesSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() == orig.count())
   }
 
+  test("unsized partitioned read derives parallelism from key bounds") {
+    val spec = freshSpec("ORDERS_AUTO").copy(partitionColumn = Some("o_orderkey"))
+    val orig = Tables.load(spark, sfDir, "orders")
+    Jdbc.write(orig.coalesce(2), spec,
+      stringColumnTypes = Map("o_orderstatus" -> 8, "o_orderpriority" -> 32))
+    assert(spec.numPartitions == 0) // default = derive, not 1
+    val back = Jdbc.read(spark, spec)
+    val (lo, hi) = Jdbc.keyBounds(spec, "o_orderkey")
+    assert(back.rdd.getNumPartitions ==
+      Jdbc.partitionsFor((lo, hi), Jdbc.DefaultBatchSize))
+    assert(back.count() == orig.count())
+  }
+
   test("partitionsFor maps BatchSize onto the key span") {
     assert(Jdbc.partitionsFor((1L, 15000L), 2000) == 8)
     assert(Jdbc.partitionsFor((1L, 100L), 2000) == 1)

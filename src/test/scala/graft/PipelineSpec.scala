@@ -41,6 +41,43 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rerun.extracts.keySet == Set("customer", "orders"))
   }
 
+  test("runWithRetries: transient failure succeeds on retry, one stage row per attempt") {
+    import scala.concurrent.duration.Duration
+    val fixed = ExtractSpec(
+      broken.table,
+      Seq(ColumnConfig(991, 99, "o_orderkey", Some("Fixed"))))
+    // catalog re-read per attempt: broken on attempt 1, fixed after —
+    // the deterministic form of a transient failure (scheduler retry
+    // picks up the repaired config/source)
+    var calls = 0
+    val catalog = () => {
+      calls += 1
+      Seq(SampleCatalog.customer, if (calls == 1) broken else fixed)
+    }
+    val (merged, attempts) = Pipeline.runWithRetries(spark, sfDir, catalog,
+      Pipeline.RetryPolicy(retries = 2, delay = Duration.Zero))
+    assert(merged.master.status == "SUCCESS")
+    // retried once, then stopped early (no third attempt)
+    assert(attempts.size == 2)
+    // attempt 1: both tables; attempt 2: ONLY the failed table's new row
+    assert(attempts(0).stages.size == 2)
+    assert(attempts(0).stages.count(_.status == "FAILED") == 1)
+    assert(attempts(1).stages.map(_.tableId) == Seq(Some(99)))
+    assert(attempts(1).stages.head.status == "SUCCESS")
+    // final audit: one row per table, update-if-exists applied
+    assert(merged.stages.size == 2 && merged.stages.forall(_.status == "SUCCESS"))
+  }
+
+  test("runWithRetries stops at the cap and keeps the FAILED row") {
+    import scala.concurrent.duration.Duration
+    val (merged, attempts) = Pipeline.runWithRetries(spark, sfDir,
+      () => Seq(SampleCatalog.customer, broken),
+      Pipeline.RetryPolicy(retries = 2, delay = Duration.Zero))
+    assert(merged.master.status == "PARTIAL")
+    assert(attempts.size == 3) // initial + 2 capped retries
+    assert(merged.stages.count(_.status == "FAILED") == 1)
+  }
+
   test("rerunFailed keeps the FAILED row when the current catalog can't retry it") {
     val first = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, broken))
     val rerun = Pipeline.rerunFailed(spark, sfDir, Seq(SampleCatalog.customer), first)
