@@ -183,10 +183,12 @@ object Similarity {
 
   /** Refined centroids: one Lloyd iteration over the seed assignment
     * in exact BIGINT ppm sums (deterministic and engine-portable —
-    * no FP summation-order hazard in the means).
+    * no FP summation-order hazard in the means). `stride` picks the
+    * seed density (every stride-th vec_id); sim_ivf uses the fixed
+    * default, the cell-bounded embedding dedup passes ceil(√N).
     */
-  private[graft] def refinedCentroids(e: DataFrame): DataFrame = {
-    val cent0 = e.filter(col("vec_id") % CentroidStride === 0)
+  private[graft] def refinedCentroids(e: DataFrame, stride: Long = CentroidStride): DataFrame = {
+    val cent0 = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
     val a0 = assignTo(e, cent0, "vec_id", 1).select(col("vec_id"), col("cell"))
     val px = e.join(a0, "vec_id")

@@ -91,7 +91,7 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(uncapped.exceptAll(registered).count() == 0)
   }
 
-  test("banded-LSH embedding dedup: subset of brute force with recall >= 0.9") {
+  test("cell-bounded embedding dedup: subset of brute force with recall >= 0.9") {
     // sf0.01: enough vectors for a meaningful pair population (59
     // true pairs at tau=0.4)
     val dir = "/root/testdata/sf0.01"
@@ -109,7 +109,7 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     val nBrute = brute.count()
     val nLsh = lsh.count()
     assert(lsh.join(brute, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
-      "LSH produced a pair below the threshold (verify step broken)")
+      "candidate path produced a pair below the threshold (verify step broken)")
     assert(nBrute > 0 && nLsh * 10 >= nBrute * 9, s"recall $nLsh/$nBrute < 0.9")
   }
 
