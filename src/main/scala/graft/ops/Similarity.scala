@@ -161,10 +161,18 @@ object Similarity {
   // seeds inside one cluster split it; other clusters share a cell);
   // the Lloyd step moves centroids to the actual cluster means. At
   // scale the centroid table stays k×64 doubles — broadcast both in
-  // the assign join and here.
+  // the assign join and here. The stride is ceil(√N) (one metadata
+  // count action, replicated by the oracle as a scalar subquery):
+  // k = √N centroids is the classic IVF balance — a FIXED stride
+  // would grow k linearly with N and make the N×k assignment
+  // quadratic (the 10× scaling bench measured exactly that before
+  // this changed: 12.5× op growth at 10× data).
   // ---------------------------------------------------------------
-  private val CentroidStride = 25
+  private val CentroidStride = 25 // legacy default for refinedCentroids callers
   private val NProbe = 2
+
+  private def ivfStride(e: DataFrame): Long =
+    math.ceil(math.sqrt(e.count().toDouble)).toLong
 
   /** Assign each row of `df` to its `probes` nearest centroids
     * (rounded cosine, cid tiebreak). `cent` must be broadcastable:
@@ -206,7 +214,7 @@ object Similarity {
 
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cent = refinedCentroids(e)
+    val cent = refinedCentroids(e, ivfStride(e))
     val corpus = assignTo(e, cent, "vec_id", 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
     val queries = assignTo(e.filter(col("vec_id") < NQueries), cent, "vec_id", NProbe)
@@ -248,7 +256,9 @@ object Similarity {
   private val knnIvfSql =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
-      |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id % $CentroidStride = 0),
+      |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n),
+      |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
+      |          WHERE vec_id % (SELECT stride FROM st) = 0),
       |a0 AS (
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT x.vec_id, c.cid,
