@@ -33,6 +33,7 @@ object Registry {
       graft.queries.EventOps.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
+      graft.ops.Sampling.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Multimodal.ops ++
       graft.sources.SourceOps.ops ++

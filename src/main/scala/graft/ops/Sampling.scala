@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling / sharding operators for training-data
+  * curation (SURVEY.md §2) — the selection stage of an LLM data
+  * pipeline: rate-based stratified sampling, fixed-size per-class
+  * samples, and stable shard assignment for export.
+  *
+  * Everything is hash-deterministic (md5 of the document id — the
+  * same engine-portable trick the dedup family uses), never
+  * `rand()`: a training-data sample must be REPRODUCIBLE across
+  * runs, engines and partitionings, or no experiment that uses it
+  * is. That also makes every op fully DuckDB-oracle-checkable.
+  *
+  * Scale shapes:
+  *  - samp_stratified is a pure map-side filter — no shuffle at all;
+  *    the scan's predicate is the hash comparison.
+  *  - samp_fixed_per_class windows per stratum — one shuffle on the
+  *    (low-cardinality) stratum key; AQE skew handles a giant class.
+  *  - exp_shards is a partial-aggregated groupBy on the derived
+  *    shard id — one shuffle of pre-combined per-task rows.
+  */
+object Sampling {
+
+  /** Portable deterministic per-doc hash in [0, 10000) (basis
+    * points): first 8 md5 hex chars of the id string, mod 10⁴.
+    */
+  private val bpSpark =
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"
+  private val bpDuck =
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000"
+
+  // ---------------------------------------------------------------
+  // samp_stratified — rate-based stratified sample: keep ~20% of
+  // every language stratum by hash threshold. Inclusion depends only
+  // on doc_id, so the sample is stable under reruns, repartitioning
+  // and incremental corpus growth (a doc never flips in or out).
+  // ---------------------------------------------------------------
+  private val SampleBp = 2000L // 20.00%
+
+  private def stratified(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("h_bp", expr(bpSpark))
+      .filter(col("h_bp") < SampleBp)
+      .select(col("lang"), col("doc_id"), col("h_bp"))
+      .orderBy("lang", "doc_id")
+
+  private val stratifiedSql =
+    s"""SELECT lang, doc_id, $bpDuck AS h_bp
+      |FROM documents
+      |WHERE $bpDuck < $SampleBp
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // samp_fixed_per_class — deterministic fixed-size sample: the K
+  // hash-smallest docs per language (a reproducible "reservoir" —
+  // rank by hash, not arrival). Class-balancing for eval/training
+  // splits: every stratum contributes exactly min(K, |stratum|).
+  // ---------------------------------------------------------------
+  private val PerClassK = 50
+
+  private def fixedPerClass(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h_bp"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("h_bp", expr(bpSpark))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PerClassK)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"), col("h_bp"))
+      .orderBy("lang", "rk")
+  }
+
+  private val fixedPerClassSql =
+    s"""SELECT lang, rk, doc_id, h_bp FROM (
+      |  SELECT lang, doc_id, h_bp,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h_bp, doc_id) AS INT) AS rk
+      |  FROM (SELECT lang, doc_id, $bpDuck AS h_bp FROM documents) h) r
+      |WHERE rk <= $PerClassK
+      |ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // exp_shards — stable shard assignment for training-data export
+  // (shard = hash % 16): per-shard row/char/stratum stats prove the
+  // hash spreads the corpus evenly, so downstream loaders get
+  // balanced files. The write itself is partitionBy(shard) on this
+  // derived column; the op surfaces the audit the writer would log.
+  // ---------------------------------------------------------------
+  private val NShards = 16L
+
+  private def shards(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("shard", expr(bpSpark) % NShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("shard")
+
+  private val shardsSql =
+    s"""SELECT ($bpDuck) % $NShards AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("samp_stratified", stratified, Some(stratifiedSql)),
+    Op("samp_fixed_per_class", fixedPerClass, Some(fixedPerClassSql)),
+    Op("exp_shards", shards, Some(shardsSql)))
+}

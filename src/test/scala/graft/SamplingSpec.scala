@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the deterministic sampling/sharding family (beyond
+  * the per-op oracle hash checks): reproducibility, stability under
+  * corpus growth, stratum coverage and shard balance.
+  */
+class SamplingSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("stratified sample is reproducible and within rate bounds") {
+    val s1 = run("samp_stratified").collect().toSeq
+    val s2 = run("samp_stratified").collect().toSeq
+    assert(s1 == s2) // hash-deterministic: identical across runs
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val frac = s1.size.toDouble / total
+    // 20% nominal; md5 is uniform enough for a wide tolerance band
+    assert(frac > 0.1 && frac < 0.3, s"sample fraction $frac far from 0.2")
+    assert(s1.forall(_.getLong(2) < 2000L)) // every h_bp under threshold
+  }
+
+  test("stratified sample is stable under corpus growth (no doc flips out)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    def sampleIds(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .withColumn("h_bp",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .filter(col("h_bp") < 2000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fromHalf = sampleIds(half)
+    val fromFull = sampleIds(docs)
+    // growing the corpus only ADDS sampled docs; membership of
+    // existing docs never changes (incremental-pipeline contract)
+    assert(fromHalf.subsetOf(fromFull))
+  }
+
+  test("fixed-per-class sample has exactly min(K, stratum size) rows per class") {
+    val fixed = run("samp_fixed_per_class").cache()
+    val strata = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = fixed.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == strata.keySet) // every stratum represented
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(50L, strata(lang)), s"$lang: $n rows")
+    }
+    // ranks are contiguous from 1 per stratum
+    assert(fixed.filter(col("rk") < 1 || col("rk") > 50).count() == 0)
+  }
+
+  test("shards cover all docs exactly once and are balanced") {
+    val sh = run("exp_shards").collect()
+    assert(sh.map(_.getLong(0)).toSeq == (0L until 16L)) // all 16 shards, ordered
+    val counts = sh.map(_.getLong(1))
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(counts.sum == total) // a partition, not a sample
+    val (mx, mn) = (counts.max.toDouble, counts.min.toDouble)
+    assert(mx / mn < 2.0, s"shard imbalance max/min = ${mx / mn}")
+  }
+
+  test("stratified sampling plan is a pure scan+filter (no shuffle)") {
+    val phys = run("samp_stratified").queryExecution.executedPlan.toString
+    // the only exchange allowed is the final global orderBy's range
+    // partitioning; the FILTER itself must sit on the scan side —
+    // strip the sort's exchange and require no other Exchange
+    val beforeSort = phys.split("Sort ").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in sampling plan:\n$phys")
+  }
+}
