@@ -135,7 +135,49 @@ object StreamOps {
       |FROM g GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_attribution — STREAM-STREAM interval join through the
+  // DuckDB hash gate: purchases attributed to the same user's
+  // signup(s) within [signup, signup + 1 h], via
+  // EventStream.purchaseAttribution (watermarks on both sides + the
+  // time-range predicate let Spark expire join state in a real
+  // deployment; the gate drains one AvailableNow pass). Events are
+  // staged at SECOND precision so the join boundary arithmetic is
+  // exact integer work on both engines; no aggregation happens, so
+  // the row set (incl. raw value doubles) is bit-deterministic.
+  // ---------------------------------------------------------------
+  private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_attr_src")
+    Tables.events(s, dir)
+      .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_attribution_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    def stream(eventType: String): DataFrame =
+      s.readStream.schema(schema).parquet(src).filter(col("event_type") === eventType)
+    val joined = EventStream.purchaseAttribution(stream("signup"), stream("purchase"))
+    EventStream.runAvailableNow(joined, name, OutputMode.Append(), ckpt)
+    s.table(name)
+      .select(col("user_id"), col("purchase_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_es"),
+        unix_timestamp(col("signup_ts")).as("signup_es"),
+        col("value"))
+      .orderBy("user_id", "purchase_id", "signup_es")
+  }
+
+  private val streamAttributionSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, event_type, value FROM events),
+      |s AS (SELECT user_id, es AS signup_es FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, event_id AS purchase_id, es AS purchase_es, value FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id AS user_id, p.purchase_id, p.purchase_es, s.signup_es, p.value
+      |FROM p JOIN s ON p.user_id = s.user_id
+      |  AND p.purchase_es >= s.signup_es AND p.purchase_es <= s.signup_es + 3600
+      |ORDER BY p.user_id, purchase_id, signup_es""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
-    Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)))
+    Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
+    Op("stream_attribution", streamAttribution, Some(streamAttributionSql)))
 }
