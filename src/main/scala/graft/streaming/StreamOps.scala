@@ -114,7 +114,12 @@ object StreamOps {
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
     val sessions = EventStream.closedSessions(
       s.readStream.schema(schema).parquet(src).as[EventStream.Event])
-    EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
+    // scope the state-partition count to the bounded drain (see
+    // stream_attribution: store init/checkpoint overhead dominates)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val w = Window.partitionBy("user_id").orderBy("session_start")
     s.table(name)
       .withColumn("session_no", row_number().over(w).cast("bigint"))
@@ -149,6 +154,9 @@ object StreamOps {
   private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
     val src = graft.sources.SourceOps.tmpDir("graft_stream_attr_src")
     Tables.events(s, dir)
+      // stage only the two event types the join touches — the same
+      // predicate pushdown the production path gets from the source
+      .filter(col("event_type").isin("signup", "purchase"))
       .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(src)
@@ -158,7 +166,15 @@ object StreamOps {
     def stream(eventType: String): DataFrame =
       s.readStream.schema(schema).parquet(src).filter(col("event_type") === eventType)
     val joined = EventStream.purchaseAttribution(stream("signup"), stream("purchase"))
-    EventStream.runAvailableNow(joined, name, OutputMode.Append(), ckpt)
+    // a stream-stream join materializes FOUR state stores per shuffle
+    // partition; at 32 partitions the 128 store inits + checkpoints
+    // dominate a bounded drain. 8 partitions is ample for the gate
+    // corpus; shuffle.partitions is read at stream START, so scope
+    // the override to this query and restore after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(joined, name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
       .select(col("user_id"), col("purchase_id"),
         unix_timestamp(col("purchase_ts")).as("purchase_es"),
