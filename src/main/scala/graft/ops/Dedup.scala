@@ -76,8 +76,8 @@ object Dedup {
   // merely merges two shingles identically on both sides.
   // Integer-only output (intersection/union sizes).
   // ---------------------------------------------------------------
-  private val sid60Spark = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
-  private val sid60Duck = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
+  private[ops] val sid60Spark = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
+  private[ops] val sid60Duck = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
 
   /** Document-frequency cap for the postings join: a shingle present
     * in more than this many documents contributes O(df²) candidate

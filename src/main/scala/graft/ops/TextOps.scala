@@ -280,6 +280,64 @@ object TextOps {
       |FROM seeded
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_decontaminate — eval-set contamination check: the standard
+  // pre-training hygiene step (strip training docs that overlap a
+  // held-out benchmark). The "eval set" here is the deterministic 2%
+  // hash sample of the corpus (the same md5-threshold membership the
+  // sampling family uses — reproducible, growth-stable); every other
+  // doc is scored by the fraction of its 3-gram shingles that appear
+  // ANYWHERE in the eval set. Scale shape: the eval shingle universe
+  // is small by construction (eval sets are curated benchmarks, not
+  // corpora) → broadcast semi-join against the train postings; one
+  // partial-aggregated shuffle on doc_id for the per-doc counts.
+  // Integer outputs only (shingle counts) — no FP hash hazard.
+  // ---------------------------------------------------------------
+  private val EvalBp = 200L // 2.00% hash sample plays the eval set
+  private val ContamPct = 50L // flag at >= 50% shingle overlap
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr("graft_shingles3(toks)"))
+      .withColumn("is_eval",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000") < EvalBp)
+      .select(col("doc_id"), col("is_eval"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("is_eval"), expr(Dedup.sid60Spark).as("sid"))
+    val evalSids = sh.filter(col("is_eval")).select("sid").distinct()
+    sh.filter(!col("is_eval"))
+      .join(broadcast(evalSids.withColumn("hit", lit(1))), Seq("sid"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("contaminated",
+        when(col("n_hit") * 100 >= col("n_sh") * ContamPct, lit(1)).otherwise(lit(0)))
+      .select("doc_id", "n_sh", "n_hit", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 < $EvalBp AS is_eval,
+      |        list_distinct(list_transform(range(1, len(toks)-1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t WHERE len(toks) >= 3),
+      |post AS (SELECT doc_id, is_eval, ${Dedup.sid60Duck} AS sid
+      |         FROM (SELECT doc_id, is_eval, unnest(sh) AS g FROM s) u),
+      |ev AS (SELECT DISTINCT sid FROM post WHERE is_eval),
+      |hits AS (
+      |  SELECT p.doc_id, count(*) AS n_sh,
+      |    CAST(sum(CASE WHEN ev.sid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM post p LEFT JOIN ev ON p.sid = ev.sid
+      |  WHERE NOT p.is_eval
+      |  GROUP BY p.doc_id)
+      |SELECT doc_id, n_sh, n_hit,
+      |  CASE WHEN n_hit * 100 >= n_sh * $ContamPct THEN 1 ELSE 0 END AS contaminated
+      |FROM hits WHERE n_hit > 0
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("txt_pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("txt_stats", stats, Some(statsSql)),
@@ -287,5 +345,6 @@ object TextOps {
     Op("txt_quality", quality, Some(qualitySql)),
     Op("txt_langid", langid, Some(langidSql)),
     Op("txt_fingerprint", fingerprint, Some(fingerprintSql)),
-    Op("txt_tfidf", tfidf, Some(tfidfSql)))
+    Op("txt_tfidf", tfidf, Some(tfidfSql)),
+    Op("txt_decontaminate", decontaminate, Some(decontaminateSql)))
 }
