@@ -211,9 +211,41 @@ object Multimodal {
       |  FROM documents) r
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // mm_dedup — exact media dedup on the RAW binary content hash (the
+  // first dedup stage of any multimodal pipeline: identical files
+  // collapse before any decode work happens). One shuffle on the
+  // md5; unlike the text-side dedup_exact there is NO normalization —
+  // bytes either match or they don't. Works on the payload column
+  // only: at 100 TB the media bytes are hashed where they sit and
+  // never move (the md5 is 16 bytes on the wire per row).
+  // ---------------------------------------------------------------
+  private def binaryDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_md5")
+    withPayload(Tables.load(s, dir, "documents"))
+      .withColumn("content_md5", md5(col("payload")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("media_type"), col("content_md5"),
+        col("canonical_id"), col("group_size"),
+        when(col("doc_id") =!= col("canonical_id"), lit(1)).otherwise(lit(0)).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  private val binaryDedupSql =
+    """SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      | content_md5,
+      | min(doc_id) OVER (PARTITION BY content_md5) AS canonical_id,
+      | count(*) OVER (PARTITION BY content_md5) AS group_size,
+      | CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY content_md5) THEN 1 ELSE 0 END AS is_duplicate
+      |FROM (SELECT doc_id, md5(text) AS content_md5 FROM documents) h
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
     Op("mm_feature_extract", featureExtract, Some(featureExtractSql)),
-    Op("mm_resize", resize, Some(resizeSql)))
+    Op("mm_resize", resize, Some(resizeSql)),
+    Op("mm_dedup", binaryDedup, Some(binaryDedupSql)))
 }
