@@ -653,7 +653,24 @@ object Dedup {
   private val MaxCcRounds = 20 // pointer jumping: covers diameter ~2^20
 
   private def clusters(s: SparkSession, dir: String): DataFrame = {
+    // ngramJaccard FIRST, outside the partition override: it may
+    // trigger the corpus-wide pair-graph STAGING, which must run at
+    // full parallelism — only the CC loop below is small
     val pairs = ngramJaccard(s, dir).select("doc_a", "doc_b")
+    // the CC loop shuffles a TINY vertex set (near-dup docs only)
+    // dozens of times; at the session's 32 shuffle partitions the
+    // per-round task-scheduling + checkpoint overhead dominates the
+    // actual work. Scope the loop to 8 partitions (restored below —
+    // the returned plan's own execution uses the caller's conf);
+    // a cluster deployment sizes this to its near-dup vertex count.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try clustersLoop(pairs)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def clustersLoop(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
