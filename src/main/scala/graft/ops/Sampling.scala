@@ -107,8 +107,97 @@ object Sampling {
       |GROUP BY shard
       |ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  // samp_mixture — per-source mixture weighting: the data-mixture
+  // knob of LLM pre-training (each source gets its own sampling
+  // rate; the corpus-level mix is the product of source sizes and
+  // rates). Rates live in a tiny config relation (source → basis
+  // points) that broadcast-joins onto the corpus — the plan a
+  // config-driven pipeline ships: the 100 TB side is touched once by
+  // a map-side hash filter, never shuffled. Inclusion is the same
+  // doc_id-hash threshold as samp_stratified, so a source's sample
+  // only GROWS as its rate is turned up (nested samples — mixture
+  // re-weighing between experiment runs reuses every doc already
+  // selected at the lower rate).
+  // ---------------------------------------------------------------
+  private val MixtureRates = Seq(10000L, 5000L, 2500L, 1250L) // bp by src index % 4
+
+  private def mixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val rateCase = MixtureRates.zipWithIndex.map { case (bp, i) =>
+      s"WHEN $i THEN CAST($bp AS BIGINT)"
+    }.mkString("CASE CAST(substr(source, 4) AS INT) % 4 ", " ", "END")
+    // config relation: distinct sources + their configured rate
+    val weights = d.select(col("source")).distinct()
+      .withColumn("rate_bp", expr(rateCase))
+    d.join(broadcast(weights), "source")
+      .withColumn("h_bp", expr(bpSpark))
+      .filter(col("h_bp") < col("rate_bp"))
+      .select(col("source"), col("rate_bp"), col("doc_id"), col("h_bp"), col("lang"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val mixtureSql = {
+    val rateCase = MixtureRates.zipWithIndex.map { case (bp, i) =>
+      s"WHEN $i THEN CAST($bp AS BIGINT)"
+    }.mkString("CASE CAST(substr(source, 4) AS INT) % 4 ", " ", "END")
+    s"""WITH w AS (SELECT source, $rateCase AS rate_bp FROM (SELECT DISTINCT source FROM documents) s)
+      |SELECT d.source, w.rate_bp, d.doc_id, $bpDuck AS h_bp, d.lang
+      |FROM documents d JOIN w ON d.source = w.source
+      |WHERE $bpDuck < w.rate_bp
+      |ORDER BY d.source, d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // exp_pack_sequences — sequence packing for training export:
+  // concatenate documents in a deterministic hash-shuffled order and
+  // chop at a fixed token budget (GPT-style pack-and-split; the op
+  // emits the per-doc pack manifest a loader consumes: which
+  // sequence each doc starts in and at what offset). Shape: docs are
+  // first sharded by id hash (shard = export parallelism — each
+  // shard packs independently, so 1000 executors pack 1000 shards
+  // with no coordination), then a per-shard running token sum
+  // assigns seq_id = floor(tokens_before / budget). One shuffle on
+  // the shard key; the window never sees more than a shard.
+  // Token counts are the whitespace tokenization txt_stats already
+  // hash-gates cross-engine.
+  // ---------------------------------------------------------------
+  private val PackBudget = 256L // tokens per packed sequence
+  private val PackShards = 8L
+
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h_bp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .withColumn("h_bp", expr(bpSpark))
+      .withColumn("shard", col("h_bp") % PackShards)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+      .withColumn("tokens_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"tokens_before DIV $PackBudget"))
+      .withColumn("seq_offset", col("tokens_before") % PackBudget)
+      .select("shard", "seq_id", "seq_offset", "doc_id", "n_tokens", "h_bp")
+      .orderBy("shard", "seq_id", "seq_offset", "doc_id")
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, $bpDuck AS h_bp, ($bpDuck) % $PackShards AS shard,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, n_tokens, h_bp,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h_bp, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+      |  FROM t)
+      |SELECT shard, tokens_before // $PackBudget AS seq_id,
+      |  tokens_before % $PackBudget AS seq_offset, doc_id, n_tokens, h_bp
+      |FROM c
+      |ORDER BY shard, seq_id, seq_offset, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("samp_stratified", stratified, Some(stratifiedSql)),
     Op("samp_fixed_per_class", fixedPerClass, Some(fixedPerClassSql)),
+    Op("samp_mixture", mixture, Some(mixtureSql)),
+    Op("exp_pack_sequences", packSequences, Some(packSequencesSql)),
     Op("exp_shards", shards, Some(shardsSql)))
 }

@@ -61,6 +61,51 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(mx / mn < 2.0, s"shard imbalance max/min = ${mx / mn}")
   }
 
+  test("mixture sample respects per-source rates and nests under rate increases") {
+    val m = run("samp_mixture").cache()
+    // every kept doc is under its source's threshold
+    assert(m.filter(col("h_bp") >= col("rate_bp")).count() == 0)
+    // per-source kept fraction tracks the configured rate (wide band:
+    // small strata at test SF)
+    val totals = Tables.load(spark, sfDir, "documents")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = m.groupBy("source", "rate_bp").count().collect()
+    kept.foreach { r =>
+      val (src, bp, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val frac = n.toDouble / totals(src)
+      val nominal = bp / 10000.0
+      assert(math.abs(frac - nominal) < 0.25, s"$src: kept $frac vs nominal $nominal")
+    }
+    // nested-sample contract: the docs kept at rate r are a subset of
+    // those kept at any higher rate (same hash, higher threshold) —
+    // mixture re-weighting reuses every doc already selected
+    val ids1250 = m.filter(col("h_bp") < 1250).select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids5000 = m.filter(col("h_bp") < 5000).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1250.subsetOf(ids5000))
+  }
+
+  test("sequence packing is a permutation manifest with in-budget offsets") {
+    val p = run("exp_pack_sequences").cache()
+    val docs = Tables.load(spark, sfDir, "documents")
+    // every doc packed exactly once
+    assert(p.count() == docs.count())
+    assert(p.select("doc_id").distinct().count() == docs.count())
+    // offsets always inside the budget; seq ids non-negative
+    assert(p.filter(col("seq_offset") < 0 || col("seq_offset") >= 256).count() == 0)
+    assert(p.filter(col("seq_id") < 0).count() == 0)
+    // per-shard reconstruction: tokens_before chain is consistent —
+    // seq_id * budget + seq_offset strictly increases per shard in
+    // manifest order, so a loader can replay the concatenation
+    val rows = p.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (shard, rs) =>
+      val starts = rs.map(r => r.getLong(1) * 256 + r.getLong(2))
+      assert(starts.toSeq == starts.toSeq.sorted, s"shard $shard manifest out of order")
+      assert(starts.distinct.length == starts.length, s"shard $shard overlapping starts")
+    }
+    // deterministic across runs
+    assert(p.collect().toSeq == run("exp_pack_sequences").collect().toSeq)
+  }
+
   test("stratified sampling plan is a pure scan+filter (no shuffle)") {
     val phys = run("samp_stratified").queryExecution.executedPlan.toString
     // the only exchange allowed is the final global orderBy's range
