@@ -300,6 +300,122 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // sim_ivf_twolevel — IVF with a coarse quantizer over the centroid
+  // table (the two-level assignment every billion-scale ANN system
+  // ships): k ≈ √N fine centroids as usual, but vectors no longer
+  // rank ALL k fine centroids. A second stride picks k' ≈ √k ≈ N^¼
+  // COARSE centroids from the fine set; each fine centroid belongs
+  // to its nearest coarse cell, and a vector first finds its coarse
+  // cell (k' dots) then assigns among just that cell's ~k/k' fine
+  // centroids. Assignment cost drops from N·k = N^1.5 dots (sim_ivf
+  // — fine at 10⁶ vectors, dominant at 10⁸+) to N·(k' + c·k/k') ≈
+  // N^1.25: at N = 10⁸, 10⁴ dots/vector becomes ~200. Queries probe
+  // 2 coarse cells × 2 fine cells for recall at the boundary. Both
+  // centroid tables stay broadcastable (k ≤ 10⁵ at N = 10¹⁰). Seeds
+  // are raw strides here — the op isolates the assignment topology;
+  // Lloyd refinement composes exactly as in sim_ivf.
+  // ---------------------------------------------------------------
+  private val CoarseProbe = 2
+
+  private def knnIvfTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val stride = ivfStride(e)
+    val fine = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("fid"), col("v").as("fv"), col("nrm").as("fn"))
+    val cstride = math.ceil(math.sqrt(fine.count().toDouble)).toLong
+    val coarse = e.filter(col("vec_id") % (stride * cstride) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv0"), col("nrm").as("cn0"))
+
+    // fine centroid → its coarse cell (k × k' dots — trivial)
+    val wf = Window.partitionBy("fid").orderBy(col("fcsim").desc, col("cid"))
+    val f2c = fine.join(broadcast(coarse), lit(true))
+      .withColumn("fcsim", cosine(expr("graft_array_dot(fv, cv0)"), col("fn"), col("cn0")))
+      .withColumn("fcr", row_number().over(wf))
+      .filter(col("fcr") === 1)
+      .select(col("fid"), col("fv"), col("fn"), col("cid").as("ccell"))
+
+    // vector → coarse cell(s) → fine cell(s) within them
+    def assign(df: DataFrame, idCol: String, coarseProbes: Int, fineProbes: Int): DataFrame = {
+      val wc = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+      val toCoarse = df.join(broadcast(coarse), lit(true))
+        .withColumn("csim", cosine(expr("graft_array_dot(v, cv0)"), col("nrm"), col("cn0")))
+        .withColumn("cr", row_number().over(wc))
+        .filter(col("cr") <= coarseProbes)
+        .select(col(idCol), col("v"), col("nrm"), col("cid").as("ccell"))
+      val wff = Window.partitionBy(idCol).orderBy(col("fsim").desc, col("fid"))
+      toCoarse.join(broadcast(f2c), "ccell")
+        .withColumn("fsim", cosine(expr("graft_array_dot(v, fv)"), col("nrm"), col("fn")))
+        .withColumn("fr", row_number().over(wff))
+        .filter(col("fr") <= fineProbes)
+        .select(col(idCol), col("v"), col("nrm"), col("fid").as("cell"))
+    }
+
+    val corpus = assign(e, "vec_id", 1, 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    val queries = assign(e.filter(col("vec_id") < NQueries), "vec_id", CoarseProbe, NProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(queries).join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(expr(dotExpr), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "sim", "cell")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnIvfTwoLevelSql =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n),
+      |fine AS (SELECT vec_id AS fid, v AS fv, nrm AS fn FROM n
+      |         WHERE vec_id % (SELECT stride FROM st) = 0),
+      |cst AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cstride FROM fine),
+      |coarse AS (SELECT vec_id AS cid, v AS cv0, nrm AS cn0 FROM n
+      |           WHERE vec_id % ((SELECT stride FROM st) * (SELECT cstride FROM cst)) = 0),
+      |f2c AS (
+      |  SELECT fid, fv, fn, cid AS ccell FROM (
+      |    SELECT f.fid, f.fv, f.fn, c.cid,
+      |      row_number() OVER (PARTITION BY f.fid
+      |        ORDER BY round(list_dot_product(f.fv, c.cv0) / sqrt(f.fn * c.cn0), 4) DESC, c.cid) AS fcr
+      |    FROM fine f CROSS JOIN coarse c) a
+      |  WHERE fcr = 1),
+      |corpus AS (
+      |  SELECT vec_id AS neighbor_id, v, nrm, fid AS cell FROM (
+      |    SELECT tc.vec_id, tc.v, tc.nrm, g.fid,
+      |      row_number() OVER (PARTITION BY tc.vec_id
+      |        ORDER BY round(list_dot_product(tc.v, g.fv) / sqrt(tc.nrm * g.fn), 4) DESC, g.fid) AS fr
+      |    FROM (
+      |      SELECT vec_id, v, nrm, cid AS ccell FROM (
+      |        SELECT x.vec_id, x.v, x.nrm, c.cid,
+      |          row_number() OVER (PARTITION BY x.vec_id
+      |            ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.cid) AS cr
+      |        FROM n x CROSS JOIN coarse c) a
+      |      WHERE cr = 1) tc
+      |    JOIN f2c g ON tc.ccell = g.ccell) b
+      |  WHERE fr = 1),
+      |qs AS (
+      |  SELECT vec_id AS query_id, v, nrm, fid AS cell FROM (
+      |    SELECT tc.vec_id, tc.v, tc.nrm, g.fid,
+      |      row_number() OVER (PARTITION BY tc.vec_id
+      |        ORDER BY round(list_dot_product(tc.v, g.fv) / sqrt(tc.nrm * g.fn), 4) DESC, g.fid) AS fr
+      |    FROM (
+      |      SELECT vec_id, v, nrm, cid AS ccell FROM (
+      |        SELECT x.vec_id, x.v, x.nrm, c.cid,
+      |          row_number() OVER (PARTITION BY x.vec_id
+      |            ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.cid) AS cr
+      |        FROM n x CROSS JOIN coarse c WHERE x.vec_id < $NQueries) a
+      |      WHERE cr <= $CoarseProbe) tc
+      |    JOIN f2c g ON tc.ccell = g.ccell) b
+      |  WHERE fr <= $NProbe),
+      |p AS (SELECT q.query_id, t.neighbor_id, q.cell,
+      |        round(list_dot_product(q.v, t.v) / sqrt(q.nrm * t.nrm), 4) AS sim
+      |      FROM qs q JOIN corpus t ON q.cell = t.cell AND q.query_id <> t.neighbor_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |      FROM p)
+      |SELECT query_id, rank, neighbor_id, sim, cell FROM r WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // sim_range_search — radius query: ALL neighbors with cosine ≥ τ
   // for each query (the other half of the ANN API surface next to
   // top-k). Same broadcast-query shape as sim_knn_brute; at scale the
@@ -485,6 +601,7 @@ object Similarity {
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
+    Op("sim_ivf_twolevel", knnIvfTwoLevel, Some(knnIvfTwoLevelSql)),
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     Op("sim_range_search_lsh", rangeSearchLsh, Some(rangeSearchLshSql)),
     Op("emb_label_centroid", labelCentroid, Some(labelCentroidSql)),

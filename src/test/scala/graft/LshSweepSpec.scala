@@ -130,6 +130,40 @@ class LshSweepSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("two-level IVF keeps the one-level assignment topology and holds recall") {
+    import graft.ops.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val e = Dedup.withNorm(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm")).cache()
+    val n = e.count()
+    val stride = math.ceil(math.sqrt(n.toDouble)).toLong
+    val k = e.filter(col("vec_id") % stride === 0).count()
+    val cstride = math.ceil(math.sqrt(k.toDouble)).toLong
+    val kCoarse = e.filter(col("vec_id") % (stride * cstride) === 0).count()
+    // the point of the second level: coarse table ~ N^1/4 — a vector
+    // ranks kCoarse + ~k/kCoarse centroids instead of all k
+    info(s"N=$n fine=$k coarse=$kCoarse (one-level cost k=$k, " +
+      s"two-level ~${kCoarse + k / math.max(kCoarse, 1)})")
+    assert(kCoarse < k, "coarse quantizer did not shrink the ranked set")
+    val res = Registry.byName("sim_ivf_twolevel").run(spark, dir).cache()
+    // every result cell is a fine-centroid id (assignment topology)
+    val fids = e.filter(col("vec_id") % stride === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(res.select("cell").distinct().collect().map(_.getLong(0)).forall(fids.contains))
+    def topk(name: String): Set[(Long, Long)] =
+      Registry.byName(name).run(spark, dir).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topk("sim_knn_brute")
+    val two = res.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(two.contains).toDouble / brute.size
+    info(s"sim_ivf_twolevel recall vs brute: $recall")
+    // coarse pruning costs recall vs one-level IVF's 0.30 floor;
+    // anything >= the probed-fraction baseline means the hierarchy
+    // routes queries to the right region
+    assert(recall >= 0.2, s"two-level IVF recall collapsed: $recall")
+  }
+
   test("bucketed range search verifies exactly and recalls most of brute truth") {
     def resSet(name: String): Set[(Long, Long, Double)] =
       Registry.byName(name).run(spark, sfDir)
