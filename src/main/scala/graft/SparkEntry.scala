@@ -35,6 +35,7 @@ object Registry {
       graft.ops.Dedup.ops ++
       graft.ops.Sampling.ops ++
       graft.ops.Similarity.ops ++
+      graft.ops.Quantize.ops ++
       graft.ops.Multimodal.ops ++
       graft.sources.SourceOps.ops ++
       graft.streaming.StreamOps.ops
