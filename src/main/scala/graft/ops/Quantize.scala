@@ -45,6 +45,7 @@ object Quantize {
   private val M = 8          // subspaces
   private val SubDim = 8     // dims per subspace (64-dim embeddings)
   private val Ks = 16        // codes per subspace → 4-bit codes
+  private val TrainStride = 2 // Lloyd trains on every 2nd vector
   private val NQueries = 20
   private val Shortlist = 100 // ADC candidate pool per query
   private val TopK = 5
@@ -73,16 +74,22 @@ object Quantize {
     // window: the N·M·Ks distance rows collapse map-side (partial
     // agg) to N·M before the shuffle, and nothing is sorted. Tie →
     // lowest code, identical to the oracle's ORDER BY dmicro, code.
-    def encode(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), Seq("m"))
+    def encodeAgainst(vs: DataFrame, cb: DataFrame): DataFrame =
+      vs.join(broadcast(cb), Seq("m"))
         .withColumn("dmicro", expr(l2Micro("sub", "cw")))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("dmicro"), col("code"))).as("mc"))
         .select(col("vec_id"), col("m"), col("mc.code").as("code"))
+    def encode(cb: DataFrame): DataFrame = encodeAgainst(subs, cb)
 
     // one Lloyd iteration: refined codeword = exact integer-ppm mean
-    // of its assigned subvectors (refinedCentroids pattern, per (m, code))
-    val cb = subs.join(encode(cb0), Seq("vec_id", "m"))
+    // of its assigned subvectors (refinedCentroids pattern, per
+    // (m, code)). Trains on a 1-in-TrainStride sample — the standard
+    // PQ split (train on a subset, encode everything): the seed
+    // assignment never touches the full corpus, so only ONE full
+    // N·M·Ks encode pass remains.
+    val train = subs.filter(col("vec_id") % TrainStride === 0)
+    val cb = train.join(encodeAgainst(train, cb0), Seq("vec_id", "m"))
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
       .select(col("m"), col("code"), col("dim"),
         expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("v_ppm"))
@@ -143,7 +150,8 @@ object Quantize {
       |  SELECT s.vec_id, s.m, c.code,
       |    CAST(floor((list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.cw)
       |      + list_dot_product(c.cw, c.cw)) * 1000000) AS BIGINT) AS dmicro
-      |  FROM sub s JOIN cb0 c ON s.m = c.m),
+      |  FROM sub s JOIN cb0 c ON s.m = c.m
+      |  WHERE s.vec_id % $TrainStride = 0),
       |a0 AS (
       |  SELECT vec_id, m, code FROM (
       |    SELECT vec_id, m, code,
