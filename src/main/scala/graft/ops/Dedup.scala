@@ -359,15 +359,20 @@ object Dedup {
       .withColumn("msig", expr("graft_minhash32(sh)"))
       .select("doc_id", "sh", "msig")
 
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = minhashBase(s, dir)
+  /** (doc_id, band, sig) — one row per LSH band of each document. */
+  private def bandsOf(base: DataFrame): DataFrame = {
     val bandSigs = (0 until NBands).map { j =>
       val parts = (0 until RowsPerBand)
         .map(r => s"CAST(element_at(msig, ${j * RowsPerBand + r + 1}) AS STRING)")
       expr(parts.mkString("concat_ws('_', ", ", ", ")"))
     }
-    val bands = base.select(col("doc_id"),
+    base.select(col("doc_id"),
       posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+  }
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashBase(s, dir)
+    val bands = bandsOf(base)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -413,6 +418,106 @@ object Dedup {
       |FROM cand JOIN m a ON cand.doc_a = a.doc_id JOIN m b ON cand.doc_b = b.doc_id
       |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_incremental — new-batch-vs-corpus dedup, the flow a 100 TB
+  // pipeline actually runs: a fresh ingest batch (here the newest
+  // ~10% of docs by doc_id; threshold = floor(max_id·9/10), one
+  // metadata scalar the oracle replicates as a subquery) is deduped
+  // against the EXISTING corpus without reprocessing the corpus.
+  // Candidates come from two equality joins on (band, sig): the
+  // corpus band table (in production a maintained index, appended
+  // per ingest — never recomputed) streamed against the BROADCAST
+  // batch bands, plus a batch-internal self-join; then exact Jaccard
+  // ≥ 0.5 verify with the skinny candidate set broadcast against the
+  // shingle scans. The corpus is never shuffled, never self-joined —
+  // cost per ingest is O(corpus scan + batch²-in-band), not
+  // O(corpus²). Verdict per batch doc: dup_of_corpus (canonical =
+  // lowest matched corpus id), dup_in_batch (earlier batch doc), or
+  // novel.
+  // ---------------------------------------------------------------
+  private def incremental(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashBase(s, dir)
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val threshold = maxId * 9 / 10
+    val bands = bandsOf(base)
+    val corpusBands = bands.filter(col("doc_id") <= threshold)
+    val batchBands = bands.filter(col("doc_id") > threshold)
+    // batch-vs-corpus: corpus streams, batch broadcasts
+    val fromCorpus = corpusBands.as("c").join(broadcast(batchBands).as("n"),
+        col("c.band") === col("n.band") && col("c.sig") === col("n.sig"))
+      .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("match_id"))
+    // batch-internal: earlier batch doc wins
+    val inBatch = batchBands.as("x").join(broadcast(batchBands).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"))
+    val cand = fromCorpus.union(inBatch).distinct()
+    // exact verify: both shingle lookups stream the scan against the
+    // broadcast (progressively enriched) candidate set
+    val matchSh = base.select(col("doc_id").as("match_id"), col("sh").as("shm"))
+    val batchSh = base.filter(col("doc_id") > threshold)
+      .select(col("doc_id"), col("sh").as("shn"))
+    val withM = matchSh.join(broadcast(cand), Seq("match_id"))
+    val pairs = batchSh.join(broadcast(withM), Seq("doc_id"))
+      .withColumn("inter", expr("size(array_intersect(shn, shm))").cast("bigint"))
+      .withColumn("uni", (expr("size(shn)") + expr("size(shm)")).cast("bigint") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_id", "match_id")
+    val agg = pairs.groupBy("doc_id").agg(
+      min(col("match_id")).as("dup_min"), count(lit(1)).as("n_matches"))
+    base.filter(col("doc_id") > threshold).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_min"), col("doc_id")).as("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(col("dup_min").isNull, "novel")
+          .when(col("dup_min") <= threshold, "dup_of_corpus")
+          .otherwise("dup_in_batch").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalSql = {
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(sids, x -> ($a * x + $b) % $MersennePrime))"
+    }.mkString("[", ",\n      ", "]")
+    val bandRows = (0 until NBands).map { j =>
+      val parts = (1 to RowsPerBand)
+        .map(r => s"CAST(msig[${j * RowsPerBand + r}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $parts AS sig FROM m"
+    }.mkString("\n  UNION ALL ")
+    // candidate condition: batch doc (> T) vs ANY lower-id doc — all
+    // corpus ids sit below T < batch ids, so match_id < doc_id covers
+    // both the corpus and earlier-in-batch cases the Spark plan
+    // builds as two separate joins.
+    s"""$shinglesDuck,
+      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sidDuck)) AS sids FROM s),
+      |m AS (SELECT doc_id, sh,
+      |      $mins AS msig
+      |      FROM sig),
+      |th AS (SELECT (max(doc_id) * 9) // 10 AS t FROM m),
+      |bands AS (
+      |  $bandRows),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS match_id
+      |  FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig AND c.doc_id < n.doc_id
+      |  WHERE n.doc_id > (SELECT t FROM th)),
+      |ver AS (
+      |  SELECT cand.doc_id, cand.match_id
+      |  FROM cand JOIN m a ON cand.doc_id = a.doc_id JOIN m b ON cand.match_id = b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+      |agg AS (SELECT doc_id, min(match_id) AS dup_min, count(*) AS n_matches FROM ver GROUP BY doc_id)
+      |SELECT i.doc_id,
+      |  coalesce(a.dup_min, i.doc_id) AS dup_of,
+      |  coalesce(a.n_matches, 0) AS n_matches,
+      |  CASE WHEN a.dup_min IS NULL THEN 'novel'
+      |       WHEN a.dup_min <= (SELECT t FROM th) THEN 'dup_of_corpus'
+      |       ELSE 'dup_in_batch' END AS verdict
+      |FROM (SELECT doc_id FROM m WHERE doc_id > (SELECT t FROM th)) i
+      |LEFT JOIN agg a ON i.doc_id = a.doc_id
+      |ORDER BY i.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -872,6 +977,7 @@ object Dedup {
     Op("dedup_clusters", clusters, Some(clustersSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Op("dedup_incremental", incremental, Some(incrementalSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
     Op("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)),
     Op("dedup_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)))

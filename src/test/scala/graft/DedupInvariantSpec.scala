@@ -147,4 +147,24 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(k.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
     assert(k.filter(col("sim") > 1.0001 || col("sim") < -1.0001).count() == 0)
   }
+
+  test("incremental dedup agrees exactly with the full minhash-LSH pass") {
+    val inc = pairs("dedup_incremental").cache()
+    assert(inc.count() > 0)
+    // the batch is the id range above every corpus match
+    val t = inc.agg(min(col("doc_id"))).head().getLong(0) - 1
+    assert(inc.filter(col("verdict") === "dup_of_corpus" && col("dup_of") > t).count() == 0)
+    assert(inc.filter(col("verdict") === "dup_in_batch" &&
+      (col("dup_of") <= t || col("dup_of") >= col("doc_id"))).count() == 0)
+    assert(inc.filter(col("verdict") === "novel" && col("dup_of") =!= col("doc_id")).count() == 0)
+    // same bands + same verify ⇒ per batch doc, n_matches equals the
+    // number of full-pass pairs whose higher id is that doc
+    val full = pairs("dedup_minhash_lsh")
+      .filter(col("doc_b") > t)
+      .groupBy(col("doc_b").as("doc_id")).agg(count(lit(1)).as("full_matches"))
+    val joined = inc.join(full, Seq("doc_id"), "left")
+      .withColumn("fm", coalesce(col("full_matches"), lit(0L)))
+    assert(joined.filter(col("n_matches") =!= col("fm")).count() == 0)
+    inc.unpersist()
+  }
 }
