@@ -190,4 +190,26 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** One stateful operator's state-store footprint in one micro-batch
+    * (from StreamingQueryProgress.stateOperators) — the numbers a
+    * production pipeline alerts on: `rowsTotal` is live state keys
+    * (must stay bounded by live entities, or the job eventually
+    * OOMs/fills SSD), `memoryBytes` is the provider's reported
+    * resident state (RocksDB: memtable + pinned blocks).
+    */
+  final case class StateOpMetrics(operator: String, batchId: Long,
+      rowsTotal: Long, rowsUpdated: Long, rowsRemoved: Long, memoryBytes: Long)
+
+  /** State-store metrics for every micro-batch the query has run
+    * (recentProgress is retained after stop — callable on a drained
+    * AvailableNow query). One row per (batch, stateful operator).
+    */
+  def stateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateOpMetrics] =
+    q.recentProgress.toSeq.flatMap { p =>
+      p.stateOperators.toSeq.map { so =>
+        StateOpMetrics(so.operatorName, p.batchId, so.numRowsTotal,
+          so.numRowsUpdated, so.numRowsRemoved, so.memoryUsedBytes)
+      }
+    }
 }

@@ -119,6 +119,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .count() == 0)
   }
 
+  test("state-store instrumentation: sessionizer state stays bounded by live users") {
+    val schema = spark.read.parquet(eventsDir).schema
+    EventStream.enableRocksDbState(spark)
+    try {
+      // multi-file source (time-ordered files) + single-file trigger so
+      // state evolves across several micro-batches
+      val multiDir = Files.createTempDirectory("graft_stream_multi").toString
+      spark.read.parquet(eventsDir).repartition(4)
+        .write.mode("overwrite").parquet(multiDir)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(multiDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val q = EventStream.startMemorySink(
+        EventStream.closedSessions(stream).toDF(), "state_metrics_test", OutputMode.Append())
+      try q.processAllAvailable() finally q.stop()
+      val m = EventStream.stateMetrics(q)
+      assert(m.nonEmpty, "no state metrics captured")
+      // flatMapGroupsWithState keeps at most ONE open session per user:
+      // live state keys must never exceed the user population — the
+      // bounded-state property a production alert watches
+      val users = spark.read.parquet(eventsDir).select("user_id").distinct().count()
+      val peak = m.map(_.rowsTotal).max
+      info(s"state peaks at $peak rows over ${m.map(_.batchId).distinct.size} batches ($users users)")
+      assert(peak > 0 && peak <= users,
+        s"sessionizer state $peak exceeds user population $users")
+      // RocksDB reports resident state bytes — the instrumentation is live
+      assert(m.exists(_.memoryBytes > 0))
+    } finally EventStream.disableRocksDbState(spark)
+  }
+
   test("watermarked stream dedup collapses replayed events exactly") {
     // replay simulation: the same corpus written twice into one source dir
     val dupDir = Files.createTempDirectory("graft_stream_dup").toString
