@@ -36,6 +36,7 @@ object Registry {
       graft.ops.Sampling.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Quantize.ops ++
+      graft.ops.Curation.ops ++
       graft.ops.Multimodal.ops ++
       graft.sources.SourceOps.ops ++
       graft.streaming.StreamOps.ops

@@ -32,7 +32,7 @@ object Dedup {
       .withColumn("sh", expr("graft_shingles3(toks)"))
   }
 
-  private val shinglesDuck =
+  private[ops] val shinglesDuck =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -42,7 +42,7 @@ object Dedup {
   // dedup_exact — hash-groupBy on normalized content: one shuffle on
   // the md5, window assigns the canonical (min doc_id) per group.
   // ---------------------------------------------------------------
-  private def exact(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def exact(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("content_hash")
     Tables.load(s, dir, "documents")
@@ -312,7 +312,7 @@ object Dedup {
     * the cap provably never fires, so values match the uncapped
     * history bit-for-bit).
     */
-  private val cappedPairsDuck =
+  private[ops] val cappedPairsDuck =
     s"""post0 AS (SELECT doc_id, $sid60Duck AS sid
       |          FROM (SELECT doc_id, unnest(sh) AS g FROM s) u),
       |hot AS (SELECT sid FROM (SELECT sid, count(*) AS df FROM post0 GROUP BY sid) d
@@ -757,7 +757,7 @@ object Dedup {
   // ---------------------------------------------------------------
   private val MaxCcRounds = 20 // pointer jumping: covers diameter ~2^20
 
-  private def clusters(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def clusters(s: SparkSession, dir: String): DataFrame = {
     // ngramJaccard FIRST, outside the partition override: it may
     // trigger the corpus-wide pair-graph STAGING, which must run at
     // full parallelism — only the CC loop below is small
@@ -860,7 +860,20 @@ object Dedup {
   // corpus stats. Output = per-stage survivor counts + surviving
   // token mass, so any stage regression is visible in one row.
   // ---------------------------------------------------------------
-  private val QualityGatePpm = 550000L
+  private[ops] val QualityGatePpm = 550000L
+
+  /** Per-doc integer-ppm quality score + token count (the corpus
+    * pipeline's gate input, shared with curation_manifest).
+    */
+  private[ops] def qualityPerDoc(s: SparkSession, dir: String): DataFrame =
+    TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> x IN (${TextOps.stopList})))"))
+      .withColumn("short_cnt", expr("size(filter(toks, x -> length(x) <= 2))"))
+      .withColumn("dup_cnt", col("n") - size(array_distinct(col("toks"))))
+      .withColumn("quality_ppm",
+        expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n"))
+      .select(col("doc_id"), col("quality_ppm"), col("n").cast("bigint").as("n_tokens"))
 
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
     // per-doc stage flags, folded in ONE aggregation pass — separate
@@ -871,14 +884,7 @@ object Dedup {
     val nearDrop = clusters(s, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("nd_drop"))
-    val quality = TextOps.withTokens(Tables.load(s, dir, "documents"))
-      .withColumn("n", size(col("toks")))
-      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> x IN (${TextOps.stopList})))"))
-      .withColumn("short_cnt", expr("size(filter(toks, x -> length(x) <= 2))"))
-      .withColumn("dup_cnt", col("n") - size(array_distinct(col("toks"))))
-      .withColumn("quality_ppm",
-        expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n"))
-      .select(col("doc_id"), col("quality_ppm"), col("n").cast("bigint").as("n_tokens"))
+    val quality = qualityPerDoc(s, dir)
     val nearKept = col("keep_exact") === 1 && col("nd_drop").isNull
     val finalKept = nearKept && col("quality_ppm") >= QualityGatePpm
     exactFlag

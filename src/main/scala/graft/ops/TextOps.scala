@@ -293,10 +293,10 @@ object TextOps {
   // partial-aggregated shuffle on doc_id for the per-doc counts.
   // Integer outputs only (shingle counts) — no FP hash hazard.
   // ---------------------------------------------------------------
-  private val EvalBp = 200L // 2.00% hash sample plays the eval set
-  private val ContamPct = 50L // flag at >= 50% shingle overlap
+  private[ops] val EvalBp = 200L // 2.00% hash sample plays the eval set
+  private[ops] val ContamPct = 50L // flag at >= 50% shingle overlap
 
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def decontaminate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = docs(s, dir)
       .filter(size(col("toks")) >= 3)
