@@ -192,8 +192,48 @@ object StreamOps {
       |  AND p.purchase_es >= s.signup_es AND p.purchase_es <= s.signup_es + 3600
       |ORDER BY p.user_id, purchase_id, signup_es""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_dedup — watermark-bounded streaming deduplication
+  // (dropDuplicatesWithinWatermark, EventStream.dedupedEvents)
+  // through the DuckDB hash gate: the staged source holds every event
+  // TWICE (a replayed landing zone — the at-least-once delivery every
+  // real ingest has), the stream collapses replays inside the
+  // watermark horizon with BOUNDED state, and the drained result must
+  // hash-match the events table read once. Replays land in one staged
+  // file (one AvailableNow micro-batch), so the collapse is exact;
+  // raw value doubles pass through untouched — no aggregation, no FP
+  // hazard.
+  // ---------------------------------------------------------------
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_dedup_src")
+    val once = Tables.events(s, dir)
+      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    once.unionAll(once)
+      .repartition(1) // single staged file = single micro-batch (see header)
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val deduped = EventStream.dedupedEvents(s.readStream.schema(schema).parquet(src))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(deduped, name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val streamDedupSql =
+    """SELECT event_id, epoch_ns(ts)//1000000000 AS es, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
-    Op("stream_attribution", streamAttribution, Some(streamAttributionSql)))
+    Op("stream_attribution", streamAttribution, Some(streamAttributionSql)),
+    Op("stream_dedup", streamDedup, Some(streamDedupSql)))
 }
