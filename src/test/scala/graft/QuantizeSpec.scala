@@ -48,4 +48,21 @@ class QuantizeSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("sim_ivf_pq recalls most of the exact cosine top-k") {
+    // normalized L2 ranks exactly like cosine, so the ground truth is
+    // the brute cosine op's (query, neighbor) set
+    val exact = run("sim_knn_brute").select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run("sim_ivf_pq").cache()
+    val pairs = got.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    info(s"sim_ivf_pq recall vs exact cosine top-5: $recall")
+    // cell pruning (nprobe=2 of ~sqrt(N) cells) + 4-bit ADC shortlist
+    // compound; the composed index must still land most of the truth
+    assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
+    assert(got.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    got.unpersist()
+  }
 }
