@@ -33,7 +33,7 @@ object Curation {
 
   private def manifest(s: SparkSession, dir: String): DataFrame = {
     val exactFlag = Dedup.exact(s, dir).select(col("doc_id"), col("is_duplicate"))
-    val ndDrop = Dedup.clusters(s, dir)
+    val ndDrop = Dedup.clusterLabels(s, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("nd_drop"))
     val contam = TextOps.decontaminate(s, dir)

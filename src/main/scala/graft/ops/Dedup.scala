@@ -166,6 +166,11 @@ object Dedup {
     */
   private val pairStageLatest =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  /** Same pair of maps for the staged CC cluster labels. */
+  private val labelStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  private val labelStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def deleteDirQuietly(path: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -190,6 +195,9 @@ object Dedup {
     pairStageMemo.values.asScala.foreach(deleteDirQuietly)
     pairStageMemo.clear()
     pairStageLatest.clear()
+    labelStageMemo.values.asScala.foreach(deleteDirQuietly)
+    labelStageMemo.clear()
+    labelStageLatest.clear()
   }
 
   /** Plans that execute INSIDE staging and are therefore invisible to
@@ -214,46 +222,72 @@ object Dedup {
     docs.sparkSession.read.parquet(path)
   }
 
-  /** Staged pair graph for the corpus under `dir`, computed at most
-    * once per JVM per corpus snapshot (keyed like [[hotStatsMemo]], so
-    * a rewritten table re-stages instead of serving stale pairs, and
-    * the superseded stage dir is deleted). A staged path reaped from
-    * /tmp behind our back re-stages instead of failing; a non-local
-    * `dir` (no usable snapshot) skips staging entirely and computes
-    * the pair plan inline — correct, never stale.
+  /** Generic once-per-JVM-per-corpus-snapshot staged intermediate
+    * (keyed like [[hotStatsMemo]], so a rewritten table re-stages
+    * instead of serving stale data, and the superseded stage dir is
+    * deleted). A staged path reaped from /tmp behind our back
+    * re-stages instead of failing; a non-local `dir` (no usable
+    * snapshot) skips staging entirely and computes `inlinePlan` —
+    * correct, never stale.
     */
-  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+  private def stagedBySnapshot(s: SparkSession, dir: String,
+      memo: java.util.concurrent.ConcurrentHashMap[(String, Long), String],
+      latest: java.util.concurrent.ConcurrentHashMap[String, (String, Long)],
+      tmpPrefix: String, what: String,
+      inlinePlan: => DataFrame,
+      stage: ((String, Long), String) => Unit): DataFrame =
     corpusSnapshot(dir) match {
       case None =>
-        log.warn(s"near-dup pair staging skipped for $dir (not a readable " +
-          "local path; no snapshot => no safe memo) — computing pair graph inline")
-        ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf)
+        log.warn(s"$what staging skipped for $dir (not a readable " +
+          s"local path; no snapshot => no safe memo) — computing $what inline")
+        inlinePlan
       case Some(snapHash) =>
         val key = (s"$dir@$snapHash", MaxShingleDf)
         // a memoized path whose dir vanished (e.g. /tmp reaped) must
         // re-stage, not poison every dedup op until JVM restart
-        Option(pairStageMemo.get(key))
+        Option(memo.get(key))
           .filterNot(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
           .foreach { gone =>
-            log.warn(s"staged pair graph at $gone no longer exists; re-staging")
-            pairStageMemo.remove(key, gone)
+            log.warn(s"staged $what at $gone no longer exists; re-staging")
+            memo.remove(key, gone)
           }
-        val path = pairStageMemo.computeIfAbsent(key, _ => {
-          val prev = pairStageLatest.put(dir, key)
+        val path = memo.computeIfAbsent(key, _ => {
+          val prev = latest.put(dir, key)
           Option(prev).filter(_ != key).foreach { old =>
-            Option(pairStageMemo.remove(old)).foreach { oldPath =>
-              log.info(s"evicting superseded pair-graph stage $oldPath")
+            Option(memo.remove(old)).foreach { oldPath =>
+              log.info(s"evicting superseded $what stage $oldPath")
               deleteDirQuietly(oldPath)
             }
           }
-          val p = graft.sources.SourceOps.tmpDir("graft_pair_graph")
-          log.info(s"staging near-dup pair graph for $dir -> $p")
-          stagePairGraph(Tables.load(s, dir, "documents"), p, MaxShingleDf,
-            memoKey = Some(key))
+          val p = graft.sources.SourceOps.tmpDir(tmpPrefix)
+          log.info(s"staging $what for $dir -> $p")
+          stage(key, p)
           p
         })
         s.read.parquet(path)
     }
+
+  /** Staged pair graph for the corpus under `dir`. */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    stagedBySnapshot(s, dir, pairStageMemo, pairStageLatest,
+      "graft_pair_graph", "near-dup pair graph",
+      ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf),
+      (key, p) => stagePairGraph(Tables.load(s, dir, "documents"), p,
+        MaxShingleDf, memoKey = Some(key)))
+
+  /** Staged connected-component cluster labels (doc_id, cluster_id,
+    * cluster_size) — the level ABOVE the pair graph: dedup_clusters,
+    * dedup_corpus_pipeline and curation_manifest all consume the CC
+    * fixpoint, and the iterative label propagation is the expensive
+    * part once pairs are staged, so nobody runs it three times per
+    * corpus snapshot either. Derived FROM the staged pairs (one
+    * lineage: pairs stage → labels stage → consumers).
+    */
+  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    stagedBySnapshot(s, dir, labelStageMemo, labelStageLatest,
+      "graft_cluster_labels", "near-dup cluster labels",
+      clustersComputed(s, dir),
+      (_, p) => clustersComputed(s, dir).write.mode("overwrite").parquet(p))
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(s, dir).orderBy("doc_a", "doc_b")
@@ -757,7 +791,14 @@ object Dedup {
   // ---------------------------------------------------------------
   private val MaxCcRounds = 20 // pointer jumping: covers diameter ~2^20
 
-  private[ops] def clusters(s: SparkSession, dir: String): DataFrame = {
+  /** The registered op: staged labels read back in doc order. */
+  private[ops] def clusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir).orderBy("doc_id")
+
+  /** Compute the CC labels from the (staged) pair graph — the plan
+    * the labels stage materializes.
+    */
+  private def clustersComputed(s: SparkSession, dir: String): DataFrame = {
     // ngramJaccard FIRST, outside the partition override: it may
     // trigger the corpus-wide pair-graph STAGING, which must run at
     // full parallelism — only the CC loop below is small
@@ -881,7 +922,7 @@ object Dedup {
     // cluster lineage once per stage
     val exactFlag = exact(s, dir)
       .select(col("doc_id"), (col("is_duplicate") === 0).cast("int").as("keep_exact"))
-    val nearDrop = clusters(s, dir)
+    val nearDrop = clusterLabels(s, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("nd_drop"))
     val quality = qualityPerDoc(s, dir)
