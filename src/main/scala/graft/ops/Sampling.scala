@@ -194,7 +194,39 @@ object Sampling {
       |FROM c
       |ORDER BY shard, seq_id, seq_offset, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // exp_split — deterministic train/val/test assignment (90/5/5 by
+  // doc_id hash basis points): the split every supervised pipeline
+  // ships. Inclusion depends only on doc_id, so membership is stable
+  // under reruns, repartitioning and corpus growth — a doc NEVER
+  // migrates between splits as data arrives (the leakage bug
+  // random-split pipelines hit on every refresh). Pure map over the
+  // scan; the downstream writer partitions by the derived column.
+  // ---------------------------------------------------------------
+  private val TrainBp = 9000L // 90.00%
+  private val ValBp = 500L    // 5.00%; test = remainder
+
+  private def tvtSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("bp", expr(bpSpark))
+      .withColumn("split",
+        when(col("bp") < TrainBp, "train")
+          .when(col("bp") < TrainBp + ValBp, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("split"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val splitSql =
+    s"""SELECT doc_id, lang,
+      |  CASE WHEN ($bpDuck) < $TrainBp THEN 'train'
+      |       WHEN ($bpDuck) < ${TrainBp + ValBp} THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("exp_split", tvtSplit, Some(splitSql)),
     Op("samp_stratified", stratified, Some(stratifiedSql)),
     Op("samp_fixed_per_class", fixedPerClass, Some(fixedPerClassSql)),
     Op("samp_mixture", mixture, Some(mixtureSql)),

@@ -11,6 +11,30 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
 
   private def run(name: String) = Registry.byName(name).run(spark, sfDir)
 
+  test("train/val/test split covers every doc once, near 90/5/5, stable under growth") {
+    val sp = run("exp_split").cache()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(sp.count() == total)
+    val frac = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    // hash thresholds hold in expectation; wide tolerance for small SF
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"train ${frac("train")}")
+    assert(frac("val") < 0.12 && frac("test") < 0.12)
+    // growth stability: recompute the assignment over a half corpus —
+    // a doc's split never migrates as data arrives
+    val half = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("bp",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("half_split",
+        when(col("bp") < 9000, "train").when(col("bp") < 9500, "val").otherwise("test"))
+      .select("doc_id", "half_split")
+    assert(sp.join(half, "doc_id")
+      .filter(col("split") =!= col("half_split")).count() == 0)
+    sp.unpersist()
+  }
+
   test("stratified sample is reproducible and within rate bounds") {
     val s1 = run("samp_stratified").collect().toSeq
     val s2 = run("samp_stratified").collect().toSeq
