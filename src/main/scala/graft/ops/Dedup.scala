@@ -171,6 +171,11 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
   private val labelStageLatest =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  /** Same pair of maps for the staged MinHash band index. */
+  private val bandStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  private val bandStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def deleteDirQuietly(path: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -198,6 +203,9 @@ object Dedup {
     labelStageMemo.values.asScala.foreach(deleteDirQuietly)
     labelStageMemo.clear()
     labelStageLatest.clear()
+    bandStageMemo.values.asScala.foreach(deleteDirQuietly)
+    bandStageMemo.clear()
+    bandStageLatest.clear()
   }
 
   /** Plans that execute INSIDE staging and are therefore invisible to
@@ -207,8 +215,13 @@ object Dedup {
     * keeping its coverage honest after the staging split.
     */
   private[graft] def stagingPlans(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
-    Seq("dedup_pair_stage(unstaged)" ->
-      ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf))
+    Seq(
+      "dedup_pair_stage(unstaged)" ->
+        ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf),
+      "dedup_band_stage(unstaged)" -> bandsOf(minhashBase(s, dir)),
+      // constructing this plan RUNS the CC loop (it is iterative);
+      // the guarded plan is the final labels+sizes join it returns
+      "dedup_label_stage(unstaged)" -> clustersComputed(s, dir))
 
   /** Compute the near-dup pair graph for `docs` and persist it to
     * `path` (parquet); returns a reader over the staged set. The
@@ -288,6 +301,18 @@ object Dedup {
       "graft_cluster_labels", "near-dup cluster labels",
       clustersComputed(s, dir),
       (_, p) => clustersComputed(s, dir).write.mode("overwrite").parquet(p))
+
+  /** Staged MinHash band index (doc_id, band, sig) — the corpus-side
+    * artifact dedup_minhash_lsh (self-join) and dedup_incremental
+    * (batch-vs-corpus join) share. In production this is a MAINTAINED
+    * index: appended per ingest batch, never recomputed corpus-wide —
+    * the staging here gives the single-snapshot equivalent.
+    */
+  private[ops] def bandIndex(s: SparkSession, dir: String): DataFrame =
+    stagedBySnapshot(s, dir, bandStageMemo, bandStageLatest,
+      "graft_band_index", "minhash band index",
+      bandsOf(minhashBase(s, dir)),
+      (_, p) => bandsOf(minhashBase(s, dir)).write.mode("overwrite").parquet(p))
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(s, dir).orderBy("doc_a", "doc_b")
@@ -406,7 +431,7 @@ object Dedup {
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val base = minhashBase(s, dir)
-    val bands = bandsOf(base)
+    val bands = bandIndex(s, dir)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -473,9 +498,9 @@ object Dedup {
   // ---------------------------------------------------------------
   private def incremental(s: SparkSession, dir: String): DataFrame = {
     val base = minhashBase(s, dir)
-    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val bands = bandIndex(s, dir)
+    val maxId = bands.agg(max(col("doc_id"))).head().getLong(0)
     val threshold = maxId * 9 / 10
-    val bands = bandsOf(base)
     val corpusBands = bands.filter(col("doc_id") <= threshold)
     val batchBands = bands.filter(col("doc_id") > threshold)
     // batch-vs-corpus: corpus streams, batch broadcasts
