@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Portable 32-bit token/shingle id: first 8 md5 hex chars. */
-  private val sidSpark = "CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT) % 2147483647"
-  private val sidDuck = "(('0x' || substr(md5(g), 1, 8))::BIGINT) % 2147483647"
+  private[ops] val sid32Spark = "CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT) % 2147483647"
+  private[ops] val sid32Duck = "(('0x' || substr(md5(g), 1, 8))::BIGINT) % 2147483647"
 
   /** Word 3-gram shingles (distinct) per doc; docs with <3 tokens are
     * out of near-dup scope.
@@ -460,7 +460,7 @@ object Dedup {
       s"SELECT doc_id, $j AS band, $parts AS sig FROM m"
     }.mkString("\n  UNION ALL ")
     s"""$shinglesDuck,
-      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sidDuck)) AS sids FROM s),
+      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sid32Duck)) AS sids FROM s),
       |m AS (SELECT doc_id, sh,
       |      $mins AS msig
       |      FROM sig),
@@ -552,7 +552,7 @@ object Dedup {
     // both the corpus and earlier-in-batch cases the Spark plan
     // builds as two separate joins.
     s"""$shinglesDuck,
-      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sidDuck)) AS sids FROM s),
+      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sid32Duck)) AS sids FROM s),
       |m AS (SELECT doc_id, sh,
       |      $mins AS msig
       |      FROM sig),
@@ -1032,7 +1032,7 @@ object Dedup {
       |s2 AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks)-1),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       |       FROM t WHERE len(toks) >= 3),
-      |sig AS (SELECT source, list_distinct(list_transform(sh, g -> $sidDuck)) AS sids FROM s2),
+      |sig AS (SELECT source, list_distinct(list_transform(sh, g -> $sid32Duck)) AS sids FROM s2),
       |m AS (SELECT source,
       |      $mins AS msig
       |      FROM sig),

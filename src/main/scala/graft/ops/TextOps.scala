@@ -338,7 +338,93 @@ object TextOps {
       |FROM hits WHERE n_hit > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_heavy_hitters — Count-Min-sketch heavy hitters: the mergeable
+  // frequency sketch a streaming/distributed pipeline keeps when the
+  // exact vocabulary histogram is too big (Cormode & Muthukrishnan,
+  // J. Algorithms 2005). d = 4 hash rows × w = 1024 buckets of exact
+  // BIGINT counts; a token's estimate = min over rows of its bucket
+  // count — always ≥ the true count (collisions only ADD), within
+  // εN w.h.p. The sketch build is ONE partial-aggregated shuffle of
+  // d·w bounded cells (map-side combine — the mergeability that makes
+  // it a sketch: per-partition sketches SUM cell-wise); estimation
+  // joins the distinct-token table to the broadcast 4096-cell sketch.
+  // The top-k by estimate then joins its EXACT counts back (k rows
+  // only) to surface the overestimate gap the spec bounds. All
+  // integer arithmetic on md5-derived token ids with the MinHash perm
+  // constants — deterministic and engine-portable, so the whole
+  // sketch replicates in DuckDB.
+  // ---------------------------------------------------------------
+  private val CmsRows = 4
+  private val CmsWidth = 1024L
+  private val CmsTopK = 20
+  private val CmsP = 2147483647L
+
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val perms = graft.functions.GraftFunctions.minhashPerms.take(CmsRows)
+    val toks = docs(s, dir)
+      .select(explode(col("toks")).as("g"))
+      .withColumn("sid", expr(Dedup.sid32Spark))
+    def bucket(r: Int): String = {
+      val (a, b) = perms(r)
+      s"(($a * sid + $b) % $CmsP) % $CmsWidth"
+    }
+    // sketch: d×w cell counts, built in one map-side-combined pass
+    val cells = toks
+      .select(posexplode(array((0 until CmsRows).map(r => expr(bucket(r))): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    // estimate every distinct token against the broadcast sketch
+    val est = toks.groupBy("g", "sid").agg(count(lit(1)).as("exact_count"))
+      .withColumn("r", explode(expr(s"sequence(0, ${CmsRows - 1})")))
+      .withColumn("bucket", expr(
+        (0 until CmsRows).map(r => s"WHEN $r THEN ${bucket(r)}")
+          .mkString("CASE r ", " ", " END")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("g", "exact_count").agg(min(col("c")).as("est_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_count").desc, col("g"))
+    est
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CmsTopK)
+      .select(col("rk"), col("g").as("token"), col("est_count"), col("exact_count"))
+      .orderBy("rk")
+  }
+
+  private val heavyHittersSql = {
+    val perms = graft.functions.GraftFunctions.minhashPerms.take(CmsRows)
+    def bucket(r: Int): String = {
+      val (a, b) = perms(r)
+      s"(($a * sid + $b) % $CmsP) % $CmsWidth"
+    }
+    val bucketRows = (0 until CmsRows)
+      .map(r => s"SELECT sid, $r AS r, ${bucket(r)} AS bucket FROM toks")
+      .mkString("\n  UNION ALL ")
+    val bucketCase = (0 until CmsRows).map(r => s"WHEN $r THEN ${bucket(r)}")
+      .mkString("CASE r ", " ", " END")
+    s"""WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      |toks AS (SELECT ${Dedup.sid32Duck} AS sid, g
+      |         FROM (SELECT unnest(tk) AS g FROM t) u),
+      |cells AS (
+      |  SELECT r, bucket, count(*) AS c FROM (
+      |  $bucketRows) b
+      |  GROUP BY r, bucket),
+      |vocab AS (SELECT g, sid, count(*) AS exact_count FROM toks GROUP BY g, sid),
+      |est AS (
+      |  SELECT v.g, v.exact_count, CAST(min(c.c) AS BIGINT) AS est_count
+      |  FROM (SELECT g, sid, exact_count, $bucketCase AS bucket, r
+      |        FROM vocab, (SELECT CAST(unnest(range(0, $CmsRows)) AS INT) AS r) rs) v
+      |  JOIN cells c ON v.r = c.r AND v.bucket = c.bucket
+      |  GROUP BY v.g, v.exact_count)
+      |SELECT CAST(row_number() OVER (ORDER BY est_count DESC, g) AS INT) AS rk,
+      |  g AS token, est_count, CAST(exact_count AS BIGINT) AS exact_count
+      |FROM est
+      |ORDER BY est_count DESC, g
+      |LIMIT $CmsTopK""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("txt_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("txt_pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("txt_stats", stats, Some(statsSql)),
     Op("txt_ngram_freq", ngramFreq, Some(ngramFreqSql)),
