@@ -53,4 +53,21 @@ class StagedPairSpec extends AnyFunSuite with SparkSuite {
     val after = Dedup.nearDupPairs(spark, sfDir)
     assert(after.count() == n)
   }
+
+  test("reset also drops the label and band stages; re-staging reproduces both") {
+    import java.nio.file.{Files, Paths}
+    val labels = Registry.byName("dedup_clusters").run(spark, sfDir)
+    val lsh = Registry.byName("dedup_minhash_lsh").run(spark, sfDir)
+    val labelRows = labels.collect().toSeq
+    val lshRows = lsh.collect().toSeq
+    val labelDir = Paths.get(
+      new java.net.URI(labels.inputFiles.head).getPath).getParent
+    Dedup.resetPairStage()
+    assert(!Files.exists(labelDir), "reset must delete the staged labels dir")
+    // fresh stages (pairs -> labels, bands) must reproduce the rows
+    assert(Registry.byName("dedup_clusters").run(spark, sfDir)
+      .collect().toSeq == labelRows)
+    assert(Registry.byName("dedup_minhash_lsh").run(spark, sfDir)
+      .collect().toSeq == lshRows)
+  }
 }
