@@ -325,7 +325,72 @@ object EventOps {
       |WHERE (n * x - s) * (n * x - s) > 4 * (n * ss - s * s)
       |ORDER BY day_num""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_gap_fill — dense hourly series per event type with
+  // last-observation-carried-forward: the complete hour spine from
+  // the corpus min to max hour LEFT-joins the observed hourly
+  // aggregates; missing hours emit n_events = 0, is_gap = 1, and
+  // carry the most recent observed hour's exact integer-cent sum.
+  // LOCF is the portable two-step — a running max of the OBSERVED
+  // hour (max ignores NULLs identically on both engines; no reliance
+  // on IGNORE-NULLS window syntax) then a join back to that hour's
+  // value — instead of last_value(IGNORE NULLS). Scale shape: the
+  // fact table partial-aggregates to the (type, hour) grain first;
+  // the spine is |types| × |hours| (dimension-sized), and every
+  // window is partitioned by type.
+  // ---------------------------------------------------------------
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+      .withColumn("h", col("es") - (col("es") % 3600))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val agg = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1")).head()
+    val (h0, h1) = (bounds.getLong(0), bounds.getLong(1))
+    val spine = ev.select("event_type").distinct()
+      .withColumn("h", explode(expr(s"sequence(${h0}L, ${h1}L, 3600L)")))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vals = agg.select(col("event_type"), col("h").as("prev_obs_h"),
+      col("sum_cents").as("carried_cents"))
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .withColumn("obs_h", when(col("n_events").isNotNull, col("h")))
+      .withColumn("prev_obs_h", max(col("obs_h")).over(w))
+      .join(vals, Seq("event_type", "prev_obs_h"), "left")
+      .select(col("event_type"), col("h").as("hour_epoch"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_events").isNull, 1).otherwise(0).as("is_gap"),
+        col("carried_cents"))
+      .orderBy("event_type", "hour_epoch")
+  }
+
+  private val gapFillSql =
+    """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS es, event_type,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |b AS (SELECT es - (es % 3600) AS h, event_type, cents FROM e),
+      |agg AS (SELECT event_type, h, count(*) AS n_events,
+      |          CAST(sum(cents) AS BIGINT) AS sum_cents
+      |        FROM b GROUP BY event_type, h),
+      |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+      |hours AS (SELECT CAST(unnest(range((SELECT h0 FROM bounds),
+      |            (SELECT h1 FROM bounds) + 3600, 3600)) AS BIGINT) AS h),
+      |spine AS (SELECT t.event_type, hours.h
+      |          FROM (SELECT DISTINCT event_type FROM b) t, hours),
+      |j AS (
+      |  SELECT s.event_type, s.h, a.n_events,
+      |    max(CASE WHEN a.n_events IS NOT NULL THEN s.h END)
+      |      OVER (PARTITION BY s.event_type ORDER BY s.h
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_obs_h
+      |  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h)
+      |SELECT j.event_type, j.h AS hour_epoch,
+      |  coalesce(j.n_events, 0) AS n_events,
+      |  CASE WHEN j.n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+      |  v.sum_cents AS carried_cents
+      |FROM j LEFT JOIN agg v ON j.event_type = v.event_type AND j.prev_obs_h = v.h
+      |ORDER BY j.event_type, hour_epoch""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_gap_fill", gapFill, Some(gapFillSql)),
     Op("ev_anomaly_days", anomalyDays, Some(anomalyDaysSql)),
     Op("ev_top_paths", topPaths, Some(topPathsSql)),
     Op("ev_tumbling", tumbling, Some(tumblingSql)),
