@@ -30,6 +30,7 @@ object Registry {
     graft.queries.EtlOps.ops ++
       graft.queries.Analytics.ops ++
       graft.queries.Analytics2.ops ++
+      graft.queries.Analytics3.ops ++
       graft.queries.EventOps.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++

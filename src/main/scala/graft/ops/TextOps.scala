@@ -423,7 +423,97 @@ object TextOps {
       |LIMIT $CmsTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // txt_repetition — intra-document repetition signals (the Gopher /
+  // MassiveText quality-filter family): per doc, the share of bigram
+  // POSITIONS occupied by the single most frequent bigram and by any
+  // bigram occurring more than once. Highly repetitive machine-
+  // generated text spikes both; all counts are exact integers and the
+  // ratios one truncating ppm division, so the oracle matches bit-for-
+  // bit. One explode + two map-side-combined aggregations per doc —
+  // no cross-doc shuffle at all, linear in corpus tokens.
+  // ---------------------------------------------------------------
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_pos"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_c"),
+        expr("top_c * CAST(1000000 AS BIGINT) DIV n_bigrams").as("top_ppm"),
+        expr("dup_pos * CAST(1000000 AS BIGINT) DIV n_bigrams").as("dup_ppm"))
+      .orderBy("doc_id")
+
+  private val repetitionSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |      FROM t WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_c,
+      |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_pos
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n_bigrams, top_c,
+      |  top_c * CAST(1000000 AS BIGINT) // n_bigrams AS top_ppm,
+      |  dup_pos * CAST(1000000 AS BIGINT) // n_bigrams AS dup_ppm
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // txt_boilerplate — cross-document boilerplate detection within
+  // each source: a trigram occurring in ≥2 distinct docs of the same
+  // source is boilerplate (headers, footers, navigation chrome — the
+  // CCNet/RefinedWeb line-dedup signal, at token-trigram grain since
+  // the corpus is single-line). Per doc: total trigram positions,
+  // boilerplate positions, truncating-ppm ratio. Plan shape is the
+  // linear inverted-index pattern: explode positions, map-side-
+  // combined df per (source, gram), hash-join the df back (a lookup,
+  // never a self-join — no quadratic pair blowup on hot grams).
+  // ---------------------------------------------------------------
+  private val BoilerplateMinDf = 2
+
+  private def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode(
+        expr("transform(sequence(0, size(toks)-3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")).as("gram"))
+    val gramDf = grams.groupBy("source", "gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(gramDf, Seq("source", "gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= BoilerplateMinDf, 1L).otherwise(0L)).as("bp_pos"))
+      .select(col("doc_id"), col("n_grams"), col("bp_pos"),
+        expr("bp_pos * CAST(1000000 AS BIGINT) DIV n_grams").as("bp_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateSql =
+    s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_transform(range(1, len(toks)-1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |df AS (SELECT source, gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1, 2),
+      |per AS (SELECT g.doc_id, count(*) AS n_grams,
+      |          CAST(sum(CASE WHEN df.df >= $BoilerplateMinDf THEN 1 ELSE 0 END) AS BIGINT) AS bp_pos
+      |        FROM g JOIN df ON g.source = df.source AND g.gram = df.gram
+      |        GROUP BY 1)
+      |SELECT doc_id, n_grams, bp_pos,
+      |  bp_pos * CAST(1000000 AS BIGINT) // n_grams AS bp_ppm
+      |FROM per
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("txt_repetition", repetition, Some(repetitionSql)),
+    Op("txt_boilerplate", boilerplate, Some(boilerplateSql)),
     Op("txt_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("txt_pii_scrub", piiScrub, Some(piiScrubSql)),
     Op("txt_stats", stats, Some(statsSql)),

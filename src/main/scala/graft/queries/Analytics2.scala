@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Second analytics pack — the remaining TPC-H-shaped workload
-  * expressible over the available star schema (no partsupp table in
-  * the testdata, so Q2/Q11/Q16/Q20 shapes are out of scope), plus
+  * expressible directly over the available star schema (the
+  * partsupp-dependent Q2/Q11/Q16/Q20 shapes live in [[Analytics3]],
+  * adapted over the observed supply relation), plus
   * window-function coverage (ntile/cume_dist, RANGE frames, lag-based
   * growth) and CUBE grouping. (ref: /root/reference/source_code/sql/
   * "1. Metadata Creation.sql" DW_Output_* — the warehouse these
