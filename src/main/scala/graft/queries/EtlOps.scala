@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Op, Tables}
 import graft.etl.{Consolidator, ExtractionPlanner, Merger, Pipeline, QualityChecks, Skew}
 import graft.meta.SampleCatalog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ETL / warehouse-core capabilities (SURVEY.md §2 first block) —
@@ -400,7 +400,78 @@ object EtlOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_bloom_prefilter — Bloom-filter semi-join pre-filter, the
+  // standard move before an expensive 100 TB join: build a k-hash
+  // bitmap over the build side's join keys (here: customers with a
+  // recent order), broadcast it (m = 64 Ki bits ≈ 8 KB as a distinct-
+  // positions relation), and probe the other side map-side so only
+  // possible members reach the shuffle. Spark's own runtime bloom
+  // join does this opaquely; this op materializes the sketch as DATA
+  // so the pipeline can persist/reuse/audit it, and reports the
+  // false-positive audit against exact membership alongside (Bloom
+  // filters never false-negative — the spec proves it). Hashing is
+  // the engine-portable md5 double-hash h1 + i·h2 (Kirsch-
+  // Mitzenmacher), all arithmetic 60-bit integer — oracle-exact.
+  // ---------------------------------------------------------------
+  private val BloomM = 65536L
+  private val BloomK = 3
+  private val BloomHorizon = "2000-06-01"
+
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    def h1(k: Column): Column =
+      expr(s"CAST(conv(substr(md5(CAST(${k.toString} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    def h2(k: Column): Column =
+      expr(s"CAST(conv(substr(md5(CAST(${k.toString} AS STRING)), 16, 15), 16, 10) AS BIGINT)")
+    def positions(df: DataFrame, key: String): DataFrame =
+      df.withColumn("h1", h1(col(key))).withColumn("h2", h2(col(key)))
+        .select(col(key), explode(array((0 until BloomK).map(i =>
+          (col("h1") + lit(i.toLong) * col("h2")) % BloomM): _*)).as("bit"))
+    val members = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(BloomHorizon).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val bits = positions(members, "o_custkey").select("bit").distinct()
+    val hits = positions(Tables.load(s, dir, "customer").select("c_custkey"), "c_custkey")
+      .join(broadcast(bits), "bit")
+      .groupBy("c_custkey").agg(count(lit(1)).as("n_hit"))
+    Tables.load(s, dir, "customer").select("c_custkey")
+      .join(hits, Seq("c_custkey"), "left")
+      .join(members.withColumn("tm", lit(1)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        when(coalesce(col("n_hit"), lit(0L)) === BloomK, 1).otherwise(0).as("bloom_member"),
+        coalesce(col("tm"), lit(0)).as("true_member"))
+      .orderBy("c_custkey")
+  }
+
+  private val bloomPrefilterSql =
+    s"""WITH members AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '$BloomHorizon'),
+      |mh AS (SELECT o_custkey,
+      |    (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h1,
+      |    (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 16, 15))::BIGINT) AS h2
+      |  FROM members),
+      |bits AS (SELECT DISTINCT (h1 + i * h2) % $BloomM AS bit
+      |  FROM mh, LATERAL (SELECT unnest(range(0, $BloomK)) AS i) g),
+      |ph AS (SELECT c_custkey,
+      |    (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h1,
+      |    (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 16, 15))::BIGINT) AS h2
+      |  FROM customer),
+      |pb AS (SELECT c_custkey, (h1 + i * h2) % $BloomM AS bit
+      |  FROM ph, LATERAL (SELECT unnest(range(0, $BloomK)) AS i) g),
+      |hits AS (SELECT pb.c_custkey, count(*) AS n_hit
+      |  FROM pb JOIN bits ON pb.bit = bits.bit GROUP BY 1)
+      |SELECT c.c_custkey,
+      |  CASE WHEN coalesce(h.n_hit, 0) = $BloomK THEN 1 ELSE 0 END AS bloom_member,
+      |  CASE WHEN m.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS true_member
+      |FROM customer c
+      |LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+      |LEFT JOIN members m ON c.c_custkey = m.o_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterSql)),
     Op("meta_sqlgen", sqlGen, Some(sqlGenSql)),
     Op("etl_cdc_diff", cdcDiff, Some(cdcDiffSql)),
     Op("etl_salted_agg", saltedAgg, Some(saltedAggSql)),

@@ -389,7 +389,111 @@ object EventOps {
       |FROM j LEFT JOIN agg v ON j.event_type = v.event_type AND j.prev_obs_h = v.h
       |ORDER BY j.event_type, hour_epoch""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_hll_distinct — HyperLogLog distinct-user sketch per event
+  // type, next to the exact count it approximates. THE mergeable
+  // cardinality structure at 100 TB: registers are max-reducible, so
+  // partial aggregation combines map-side and sketches union across
+  // partitions/days by cell-wise max — one narrow pass where exact
+  // COUNT(DISTINCT) must shuffle every key. Everything is integer-
+  // exact and engine-portable: a 60-bit md5 hash (15 hex chars)
+  // splits into a 6-bit register index + 54-bit suffix; rho =
+  // 55 - bitlength(suffix); the harmonic sum uses the common
+  // denominator 2^55 so S = Σ 2^(55-rho_j) is an exact BIGINT
+  // (≤ 2^61); the alpha·m² factor is a ppm-scaled integer embedded
+  // identically in both engines; the small-range (linear-counting)
+  // correction is a 63-entry integer lookup precomputed HERE and
+  // string-interpolated into both plans — no runtime transcendental
+  // ever executes on either engine, so the estimate hashes
+  // identically. Relative error at m=64 is ~13%; the op surfaces
+  // err_ppm against the exact count as its own audit.
+  // ---------------------------------------------------------------
+  private val HllM = 64
+  private val HllTwoPow = 55L // bit budget of the 54-bit suffix + 1
+  private val HllAlphaM2E6: Long = // round(alpha_64 * m^2 * 1e6)
+    math.round(0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * 1e6)
+  private val HllSmallCutoff = (2.5 * HllM).toLong // linear-counting range
+  /** Linear-counting table: V empty registers → round(m·ln(m/V)). */
+  private val HllSmall: Seq[(Int, Long)] =
+    (1 until HllM).map(v => v -> math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** Max-reduced HLL registers (event_type, idx, mj) — exposed so the
+    * spec can prove mergeability: registers over a union equal the
+    * cell-wise max of per-shard registers.
+    */
+  private[graft] def hllRegisters(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"), expr(s"h % $HllM").as("idx"),
+        expr(s"h DIV $HllM").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(HllTwoPow))
+          .otherwise(lit(HllTwoPow) - length(expr("bin(w)"))))
+      .groupBy("event_type", "idx")
+      .agg(max(col("rho")).as("mj"))
+
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val smallCase = HllSmall.map { case (v, e) => s"WHEN $v THEN ${e}L" }
+      .mkString("CASE v ", " ", " ELSE -1L END")
+    val reg = hllRegisters(Tables.events(s, dir))
+    val sketch = reg.groupBy("event_type")
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllTwoPow - mj AS INT))")).as("s_present"),
+        count(lit(1)).as("n_reg"))
+      .withColumn("v", (lit(HllM) - col("n_reg")).cast("int"))
+      .withColumn("s_total",
+        col("s_present") + col("v") * lit(1L << HllTwoPow))
+      .withColumn("est_raw",
+        expr(s"CAST((CAST($HllAlphaM2E6 AS DECIMAL(38,0)) * CAST(${1L << HllTwoPow} AS DECIMAL(38,0)))" +
+          s" div (CAST(s_total AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+      .withColumn("hll_est",
+        when(col("est_raw") <= HllSmallCutoff && col("v") > 0, expr(smallCase))
+          .otherwise(col("est_raw")))
+    val exact = Tables.events(s, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("hll_est"),
+        expr("abs(hll_est - n_exact) * CAST(1000000 AS BIGINT) DIV n_exact").as("err_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val hllDistinctSql = {
+    val smallCase = HllSmall.map { case (v, e) => s"WHEN $v THEN $e" }
+      .mkString("CASE v ", " ", " ELSE -1 END")
+    s"""WITH h AS (
+      |  SELECT event_type,
+      |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+      |  FROM events),
+      |reg AS (
+      |  SELECT event_type, h % $HllM AS idx,
+      |    max(CASE WHEN h // $HllM = 0 THEN $HllTwoPow
+      |             ELSE $HllTwoPow - length(bin(h // $HllM)) END) AS mj
+      |  FROM h GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT event_type,
+      |    CAST(sum(1::BIGINT << CAST($HllTwoPow - mj AS INT)) AS BIGINT) AS s_present,
+      |    CAST($HllM - count(*) AS INT) AS v
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT event_type, v,
+      |    CAST(($HllAlphaM2E6::HUGEINT * ${1L << HllTwoPow}::HUGEINT)
+      |      // ((s_present + v * ${1L << HllTwoPow}::HUGEINT) * 1000000) AS BIGINT) AS est_raw
+      |  FROM sk),
+      |fin AS (
+      |  SELECT event_type,
+      |    CASE WHEN est_raw <= $HllSmallCutoff AND v > 0 THEN $smallCase
+      |         ELSE est_raw END AS hll_est
+      |  FROM est),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+      |SELECT fin.event_type, n_exact, hll_est,
+      |  abs(hll_est - n_exact) * CAST(1000000 AS BIGINT) // n_exact AS err_ppm
+      |FROM fin JOIN ex ON fin.event_type = ex.event_type
+      |ORDER BY fin.event_type""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("ev_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Op("ev_gap_fill", gapFill, Some(gapFillSql)),
     Op("ev_anomaly_days", anomalyDays, Some(anomalyDaysSql)),
     Op("ev_top_paths", topPaths, Some(topPathsSql)),
