@@ -242,7 +242,77 @@ object Multimodal {
       |FROM (SELECT doc_id, md5(text) AS content_md5 FROM documents) h
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // mm_phash — perceptual-hash near-dup media within media_type:
+  // exact mm_dedup only collapses byte-identical files; re-encodes
+  // and small edits need a content-derived locality hash. The stub
+  // "perceptual" feature is the byte 4-gram multiset of the payload
+  // (a real pipeline plugs pHash/aHash of decoded pixels into the
+  // SAME 60-bit SimHash + banding machinery proven by dedup_simhash):
+  // weighted bit votes over md5-derived 60-bit gram hashes, 5×12-bit
+  // band buckets as candidates (pigeonhole-exact for Hamming ≤ 4),
+  // bit_count(xor) verify. Candidates never leave their media_type,
+  // and the plan is the linear postings shape — band buckets join,
+  // not an all-pairs self-join.
+  // ---------------------------------------------------------------
+  private val PhBits = 60
+  private val PhBands = 5
+  private val PhBandBits = PhBits / PhBands
+  private val PhHamMax = PhBands - 1
+
+  private def phash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = withPayload(Tables.load(s, dir, "documents"))
+      .filter(octet_length(col("payload")) >= 4)
+      // byte 4-grams of the payload; the ASCII guard in withPayload
+      // makes substring-on-text identical to byte windows
+      .withColumn("ph", expr(
+        "graft_simhash60(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
+      .select("doc_id", "media_type", "ph")
+    val bandVals = (0 until PhBands)
+      .map(k => expr(s"shiftright(ph, ${k * PhBandBits}) & ${(1 << PhBandBits) - 1}"))
+    val bands = base.select(col("doc_id"), col("media_type"), col("ph"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_type") === col("y.media_type") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.media_type").as("media_type"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ph").as("sa"), col("y.ph").as("sb"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= PhHamMax)
+      .select("media_type", "doc_a", "doc_b", "hamming")
+      .distinct()
+      .orderBy("media_type", "doc_a", "doc_b")
+  }
+
+  private val phashSql =
+    s"""WITH d AS (SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type, text
+      |           FROM documents WHERE octet_length(encode(text)) >= 4),
+      |h AS (SELECT doc_id, media_type,
+      |        list_transform(range(1, length(text)-2),
+      |          i -> (('0x' || substr(md5(substr(text, i, 4)), 1, 15))::BIGINT)) AS hs
+      |      FROM d),
+      |sh AS (SELECT doc_id, media_type,
+      |  CAST(list_sum(list_transform(range(0, $PhBits), j ->
+      |    CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS ph
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, media_type, ph, band, (ph >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS bv
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, $PhBands)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.media_type, x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS sa, y.ph AS sb
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+      |    AND x.media_type = y.media_type AND x.doc_id < y.doc_id)
+      |SELECT media_type, doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sa, sb)) <= $PhHamMax
+      |ORDER BY media_type, doc_a, doc_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("mm_phash", phash, Some(phashSql)),
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
     Op("mm_feature_extract", featureExtract, Some(featureExtractSql)),
