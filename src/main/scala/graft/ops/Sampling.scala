@@ -225,8 +225,87 @@ object Sampling {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // samp_importance — importance-weighted deterministic sampling:
+  // acceptance probability proportional to the doc's quality score
+  // (p = quality_ppm / 2·10⁶, max 50%), decided by comparing a
+  // per-doc md5 hash uniform in [0, 10⁶) against quality_ppm/2 —
+  // all integer (2·h < quality_ppm), so membership is exact,
+  // reproducible, and stable under corpus growth like every other
+  // hash-threshold sampler here. The pre-training "upsample good
+  // data" knob with the same zero-shuffle map-side shape as
+  // samp_stratified; weights come from the already-proven integer
+  // quality score.
+  // ---------------------------------------------------------------
+  private val ppmSpark =
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+  private val ppmDuck =
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000000"
+
+  private def importance(s: SparkSession, dir: String): DataFrame =
+    Dedup.qualityPerDoc(s, dir)
+      .withColumn("h_ppm", expr(ppmSpark))
+      .filter(lit(2) * col("h_ppm") < col("quality_ppm"))
+      .select("doc_id", "quality_ppm", "h_ppm")
+      .orderBy("doc_id")
+
+  private val importanceSql =
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |    (10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) // n AS quality_ppm
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n,
+      |      len(list_filter(toks, x -> x IN (${graft.ops.TextOps.stopList}))) AS stop_cnt,
+      |      len(list_filter(toks, x -> length(x) <= 2)) AS short_cnt,
+      |      len(toks) - len(list_distinct(toks)) AS dup_cnt
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents) t) x)
+      |SELECT doc_id, quality_ppm, $ppmDuck AS h_ppm
+      |FROM q
+      |WHERE 2 * ($ppmDuck) < quality_ppm
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // exp_curriculum — curriculum phase assignment for training export:
+  // within each source, docs rank into 4 phases by quality (phase 1 =
+  // cleanest quartile first, the easy-to-hard curriculum), with a
+  // hash order key for deterministic within-phase shuffling at read
+  // time. The window partitions by source — never a global sort —
+  // and the strict (quality DESC, doc_id) order makes ntile
+  // deterministic and engine-portable.
+  // ---------------------------------------------------------------
+  private val CurriculumPhases = 4
+
+  private def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality_ppm").desc, col("doc_id"))
+    Dedup.qualityPerDoc(s, dir)
+      .join(Tables.load(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      .withColumn("phase", org.apache.spark.sql.functions.ntile(CurriculumPhases).over(w))
+      .withColumn("order_bp", expr(bpSpark))
+      .select("doc_id", "source", "quality_ppm", "phase", "order_bp")
+      .orderBy("source", "phase", "order_bp", "doc_id")
+  }
+
+  private val curriculumSql =
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |    (10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) // n AS quality_ppm
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n,
+      |      len(list_filter(toks, x -> x IN (${graft.ops.TextOps.stopList}))) AS stop_cnt,
+      |      len(list_filter(toks, x -> length(x) <= 2)) AS short_cnt,
+      |      len(toks) - len(list_distinct(toks)) AS dup_cnt
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents) t) x)
+      |SELECT q.doc_id, d.source, q.quality_ppm,
+      |  CAST(ntile($CurriculumPhases) OVER (PARTITION BY d.source ORDER BY q.quality_ppm DESC, q.doc_id) AS INT) AS phase,
+      |  (('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS order_bp
+      |FROM q JOIN documents d ON q.doc_id = d.doc_id
+      |ORDER BY d.source, phase, order_bp, q.doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("exp_split", tvtSplit, Some(splitSql)),
+    Op("samp_importance", importance, Some(importanceSql)),
+    Op("exp_curriculum", curriculum, Some(curriculumSql)),
     Op("samp_stratified", stratified, Some(stratifiedSql)),
     Op("samp_fixed_per_class", fixedPerClass, Some(fixedPerClassSql)),
     Op("samp_mixture", mixture, Some(mixtureSql)),
