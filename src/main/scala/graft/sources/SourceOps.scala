@@ -217,6 +217,10 @@ object SourceOps {
         Tables.load(s, d, "orders").coalesce(4), // bound seed connections
         spec,
         stringColumnTypes = Map("o_orderstatus" -> 8, "o_orderpriority" -> 32))
+      // the key index every real source table has — without it each
+      // partitioned range scan is a full table scan (N scans of the
+      // whole table for an N-partition read)
+      Jdbc.indexColumn(spec, "o_orderkey")
       spec
     })
 
