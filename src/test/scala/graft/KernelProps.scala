@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based regression net for the native hash kernels: each
+  * expression's tight-loop eval must match a NAIVE independent
+  * re-derivation built the way the DuckDB oracles are written —
+  * md5 → hex string → parse a hex prefix — over arbitrary inputs,
+  * not just the corpus. Catches endianness/shift/window bugs in
+  * future kernel edits that the fixed testdata might not reach.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** The oracle-side semantics, literally: ('0x' || substr(md5(x),1,15))::BIGINT */
+  private def naiveHigh60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 15), 16)
+
+  private def naiveHigh32(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 8), 16)
+
+  private val asciiString: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("md5High60 == parse(hex(md5)[0:15]) — the DuckDB contract") =
+    Prop.forAll(asciiString) { s =>
+      graft.functions.GraftFunctionsTestHook.high60(s.getBytes("UTF-8")) == naiveHigh60(s)
+    }
+
+  property("md5High32 == parse(hex(md5)[0:8]) — the DuckDB contract") =
+    Prop.forAll(asciiString) { s =>
+      graft.functions.GraftFunctionsTestHook.high32(s.getBytes("UTF-8")) == naiveHigh32(s)
+    }
+
+  property("Phash60 eval == naive per-window SimHash over byte 4-grams") =
+    Prop.forAll(asciiString) { s =>
+      val expr = graft.functions.Phash60(null)
+      val got = expr.nullSafeEval(UTF8String.fromString(s)).asInstanceOf[Long]
+      val bytes = s.getBytes("UTF-8")
+      val counts = new Array[Int](60)
+      (0 until bytes.length - 3).foreach { i =>
+        val h = naiveHigh60(new String(bytes.slice(i, i + 4), "UTF-8"))
+        (0 until 60).foreach { j =>
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        }
+      }
+      val want = (0 until 60).foldLeft(0L) { (acc, j) =>
+        if (counts(j) > 0) acc | (1L << j) else acc
+      }
+      got == want
+    }
+
+  property("SimHash60 eval == naive weighted bit votes over token hashes") =
+    Prop.forAll(Gen.listOf(token)) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = graft.functions.SimHash60(null).nullSafeEval(arr).asInstanceOf[Long]
+      val counts = new Array[Int](60)
+      toks.foreach { t =>
+        val h = naiveHigh60(t)
+        (0 until 60).foreach { j =>
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        }
+      }
+      val want = (0 until 60).foldLeft(0L) { (acc, j) =>
+        if (counts(j) > 0) acc | (1L << j) else acc
+      }
+      got == want
+    }
+
+  property("hamming distance of phashes is bounded by 60 and symmetric") =
+    Prop.forAll(asciiString, asciiString) { (a, b) =>
+      val e = graft.functions.Phash60(null)
+      val ha = e.nullSafeEval(UTF8String.fromString(a)).asInstanceOf[Long]
+      val hb = e.nullSafeEval(UTF8String.fromString(b)).asInstanceOf[Long]
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      d >= 0 && d <= 60 && d == java.lang.Long.bitCount(hb ^ ha)
+    }
+}
