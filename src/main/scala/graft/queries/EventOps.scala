@@ -492,7 +492,72 @@ object EventOps {
       |ORDER BY fin.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // ev_cep_pattern — complex-event-processing sequence detection
+  // (the MATCH_RECOGNIZE class): per user, signup → FIRST view
+  // within 24 h → FIRST purchase within 24 h of that view, emitting
+  // one row per completed 3-step sequence. The scale shape avoids
+  // per-user backtracking: one partitioned window precomputes every
+  // view's next-purchase time (running min over the following
+  // frame), so matching is two bounded joins — signups to their
+  // first in-window view, then that view's precomputed next
+  // purchase — never an events³ self-join. Ties are deterministic:
+  // the window sorts by (es, event_type, event_id) and same-second
+  // views collapse by min next-purchase on BOTH engines.
+  // ---------------------------------------------------------------
+  private val CepWindowS = 86400L
+
+  private def cepPattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir).select(col("user_id"), col("event_type"), col("es"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es"), col("event_type"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val vw = ev
+      .withColumn("nxt_purch_es",
+        min(when(col("event_type") === "purchase", col("es"))).over(w))
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("es").as("view_es"))
+      .agg(min(col("nxt_purch_es")).as("nxt_purch_es"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("es").as("signup_es"))
+    val firstView = sg.join(vw, Seq("user_id"))
+      .filter(col("view_es") > col("signup_es") &&
+        col("view_es") <= col("signup_es") + CepWindowS)
+      .groupBy("user_id", "signup_es")
+      .agg(min(col("view_es")).as("view_es"))
+    firstView.join(vw, Seq("user_id", "view_es"))
+      .filter(col("nxt_purch_es").isNotNull &&
+        col("nxt_purch_es") <= col("view_es") + CepWindowS)
+      .select(col("user_id"), col("signup_es"), col("view_es"),
+        col("nxt_purch_es").as("purchase_es"))
+      .orderBy("user_id", "signup_es")
+  }
+
+  private val cepPatternSql =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS es, event_id FROM events),
+      |vw0 AS (
+      |  SELECT user_id, es, event_type,
+      |    min(CASE WHEN event_type = 'purchase' THEN es END)
+      |      OVER (PARTITION BY user_id ORDER BY es, event_type, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_purch_es
+      |  FROM ev),
+      |vw AS (
+      |  SELECT user_id, es AS view_es, min(nxt_purch_es) AS nxt_purch_es
+      |  FROM vw0 WHERE event_type = 'view' GROUP BY 1, 2),
+      |sg AS (SELECT user_id, es AS signup_es FROM ev WHERE event_type = 'signup'),
+      |first_view AS (
+      |  SELECT sg.user_id, sg.signup_es, min(vw.view_es) AS view_es
+      |  FROM sg JOIN vw ON sg.user_id = vw.user_id
+      |    AND vw.view_es > sg.signup_es AND vw.view_es <= sg.signup_es + $CepWindowS
+      |  GROUP BY 1, 2)
+      |SELECT f.user_id, f.signup_es, f.view_es, vw.nxt_purch_es AS purchase_es
+      |FROM first_view f
+      |JOIN vw ON f.user_id = vw.user_id AND f.view_es = vw.view_es
+      |WHERE vw.nxt_purch_es IS NOT NULL AND vw.nxt_purch_es <= f.view_es + $CepWindowS
+      |ORDER BY f.user_id, f.signup_es""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_cep_pattern", cepPattern, Some(cepPatternSql)),
     Op("ev_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Op("ev_gap_fill", gapFill, Some(gapFillSql)),
     Op("ev_anomaly_days", anomalyDays, Some(anomalyDaysSql)),
