@@ -16,7 +16,7 @@ object EventOps {
   private def finSql(inner: String): String =
     s"CAST(CAST(round($inner, 4) AS DECIMAL(28,4)) AS DOUBLE)"
 
-  private def withEs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def withEs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("es", expr("ts DIV 1000000000"))
 
   // ---------------------------------------------------------------

@@ -36,6 +36,33 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(windowed == totalEvents * 4)
   }
 
+  test("ev_cep_pattern: sequences are ordered, in-window, and use the first eligible step") {
+    val seqs = run("ev_cep_pattern").cache()
+    assert(seqs.count() > 0)
+    // step ordering + 24 h windows hold for every emitted sequence
+    assert(seqs.filter(
+      col("view_es") <= col("signup_es") ||
+        col("view_es") > col("signup_es") + 86400L ||
+        col("purchase_es") <= col("view_es") ||
+        col("purchase_es") > col("view_es") + 86400L).count() == 0)
+    // one completed sequence per (user, signup)
+    val dups = seqs.groupBy("user_id", "signup_es").count().filter(col("count") > 1)
+    assert(dups.count() == 0)
+    // first-ness: no earlier eligible view exists strictly between
+    // signup and the chosen view, and every step maps to a real event
+    val ev = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("es"))
+    val earlierView = seqs.join(ev.filter(col("event_type") === "view"), Seq("user_id"))
+      .filter(col("es") > col("signup_es") && col("es") < col("view_es"))
+    assert(earlierView.count() == 0)
+    for ((tpe, c) <- Seq("signup" -> "signup_es", "view" -> "view_es", "purchase" -> "purchase_es")) {
+      val unmatched = seqs.join(
+        ev.filter(col("event_type") === tpe).withColumnRenamed("es", c),
+        Seq("user_id", c), "left_anti")
+      assert(unmatched.count() == 0, s"phantom $tpe step")
+    }
+  }
+
   test("ev_retention: offset-0 retention is exactly 100% for every cohort") {
     val df = run("ev_retention").cache()
     val zero = df.filter(col("month_offset") === 0)
