@@ -317,7 +317,12 @@ object Dedup {
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(s, dir).orderBy("doc_a", "doc_b")
 
-  private[graft] def ngramJaccardPairs(docs: DataFrame, maxDf: Long,
+  /** Raw per-pair overlap statistics (doc_a < doc_b, na, nb, inter)
+    * from the df-capped postings self-join — the shared core of
+    * dedup_ngram_jaccard (symmetric J ≥ 0.5 filter) and
+    * dedup_containment (asymmetric inter/n_contained filter).
+    */
+  private[graft] def pairStats(docs: DataFrame, maxDf: Long,
       memoKey: Option[(String, Long)] = None): DataFrame = {
     val base = withShingles(docs)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("bigint").as("n_sh"))
@@ -359,11 +364,15 @@ object Dedup {
     a.join(b, Seq("sid")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  private[graft] def ngramJaccardPairs(docs: DataFrame, maxDf: Long,
+      memoKey: Option[(String, Long)] = None): DataFrame =
+    pairStats(docs, maxDf, memoKey)
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select("doc_a", "doc_b", "inter", "uni")
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Oracle replica of the df-capped postings join — shared by the
     * jaccard / clusters / corpus-pipeline oracles so all three gate
@@ -392,6 +401,72 @@ object Dedup {
       |FROM pairs
       |WHERE inter * 2 >= na + nb - inter
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_containment — ASYMMETRIC near-dup detection: ordered pairs
+  // where ≥ 80% of the contained doc's shingles appear in the
+  // container. This is the snippet/quote-inclusion case symmetric
+  // Jaccard structurally misses (a 20-shingle snippet inside a
+  // 500-shingle page has J = 0.04 but containment 1.0) — the dedup
+  // every web-scale corpus runs to drop embedded boilerplate copies.
+  // Same df-capped inverted-index postings join as the Jaccard op
+  // (shared pairStats core + the memoized per-corpus hot-shingle
+  // statistics), so the candidate generator stays an equality join on
+  // the 8-byte shingle id — recall is exact: containment ≥ 0.8 > 0
+  // implies a shared shingle. A contained doc must carry at least
+  // MinContainShingles informative shingles — below that, containment
+  // is too quantized to mean anything (a 2-shingle doc is "80%
+  // contained" the moment both shingles are common phrases).
+  // ---------------------------------------------------------------
+  /** Per-doc sets of df-capped shingle ids — spec-only ground truth
+    * for brute-force recomputes of pair statistics (same pruned
+    * shingle universe as [[pairStats]]).
+    */
+  private[graft] def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+    val base = withShingles(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), expr(sid60Spark).as("sid"))
+    val hot = base.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sid")
+    base.join(broadcast(hot), Seq("sid"), "left_anti")
+      .groupBy("doc_id").agg(collect_set(col("sid")).as("sids"))
+  }
+
+  private[graft] val MinContainShingles = 10L
+  private val ContainNum = 4L // containment threshold = ContainNum/ContainDen
+  private val ContainDen = 5L
+
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val key = corpusSnapshot(dir).map(h => (s"$dir@$h", MaxShingleDf))
+    val st = pairStats(Tables.load(s, dir, "documents"), MaxShingleDf, key)
+    val ab = st.filter(col("inter") * ContainDen >= col("na") * ContainNum &&
+        col("na") >= MinContainShingles)
+      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+        col("na").as("n_contained"), col("nb").as("n_container"), col("inter"))
+    val ba = st.filter(col("inter") * ContainDen >= col("nb") * ContainNum &&
+        col("nb") >= MinContainShingles)
+      .select(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+        col("nb").as("n_contained"), col("na").as("n_container"), col("inter"))
+    ab.unionAll(ba)
+      .withColumn("containment_ppm",
+        expr("inter * CAST(1000000 AS BIGINT) DIV n_contained"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  private val containmentSql =
+    s"""$shinglesDuck,
+      |$cappedPairsDuck,
+      |dir AS (
+      |  SELECT doc_a AS contained_id, doc_b AS container_id,
+      |    na AS n_contained, nb AS n_container, inter
+      |  FROM pairs WHERE inter * $ContainDen >= na * $ContainNum AND na >= $MinContainShingles
+      |  UNION ALL
+      |  SELECT doc_b, doc_a, nb, na, inter
+      |  FROM pairs WHERE inter * $ContainDen >= nb * $ContainNum AND nb >= $MinContainShingles)
+      |SELECT contained_id, container_id, n_contained, n_container, inter,
+      |  inter * CAST(1000000 AS BIGINT) // n_contained AS containment_ppm
+      |FROM dir
+      |ORDER BY contained_id, container_id""".stripMargin
 
   // ---------------------------------------------------------------
   // dedup_minhash_lsh — MinHash signatures (32 universal-hash perms
@@ -730,11 +805,16 @@ object Dedup {
     * first-level quantizer (standard two-level IVF) — the per-cell
     * pair work is already bounded.
     */
-  private val IvfStrideMult = 2.0
-  private val IvfProbe = 4
-  private val IvfMaxStride = 96L
+  private[ops] val IvfStrideMult = 2.0
+  private[ops] val IvfProbe = 4
+  private[ops] val IvfMaxStride = 96L
 
-  private[graft] def embeddingPairsIvf(emb: DataFrame, tau: Double): DataFrame = {
+  /** nprobe=4 cell assignments over the shared √N Lloyd-refined grid
+    * (Spark side of [[ivfCellsDuck]]'s `a2`) — reused by
+    * sim_knn_graph so graph edges come from the same cells as the
+    * dedup pairs.
+    */
+  private[ops] def ivfCellAssignments(emb: DataFrame): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
     // √N is corpus METADATA (like the hot-shingle stats): one count
     // action sizes the cell grid; both engines compute
@@ -742,8 +822,13 @@ object Dedup {
     val stride = math.min(
       math.ceil(IvfStrideMult * math.sqrt(e.count().toDouble)).toLong, IvfMaxStride)
     val cent = Similarity.refinedCentroids(e, stride)
-    val assigned = Similarity.assignTo(e, cent, "vec_id", IvfProbe)
+    Similarity.assignTo(e, cent, "vec_id", IvfProbe)
       .select(col("vec_id"), col("cell"))
+  }
+
+  private[graft] def embeddingPairsIvf(emb: DataFrame, tau: Double): DataFrame = {
+    val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val assigned = ivfCellAssignments(emb)
     val cand = assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -761,7 +846,12 @@ object Dedup {
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau)
 
-  private val embeddingDedupSql =
+  /** Shared oracle fragment: the √N-cell Lloyd-refined IVF grid with
+    * nprobe=4 assignments (CTE `a2`: vec_id → probed cell) — used by
+    * both dedup_embedding and sim_knn_graph so the two ops provably
+    * search the same grid.
+    */
+  private[ops] val ivfCellsDuck =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
       |st AS (SELECT CAST(least(ceil(2 * sqrt(count(*))), 96) AS BIGINT) AS stride FROM n),
@@ -791,7 +881,10 @@ object Dedup {
       |      row_number() OVER (PARTITION BY x.vec_id
       |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
       |    FROM n x CROSS JOIN centf c) a
-      |  WHERE cr <= 4),
+      |  WHERE cr <= 4)""".stripMargin
+
+  private val embeddingDedupSql =
+    s"""$ivfCellsDuck,
       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
       |p AS (SELECT vec_a, vec_b,
@@ -1048,6 +1141,7 @@ object Dedup {
     Op("dedup_source_sketch", sourceSketch, Some(sourceSketchSql)),
     Op("dedup_clusters", clusters, Some(clustersSql)),
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Op("dedup_containment", containment, Some(containmentSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Op("dedup_incremental", incremental, Some(incrementalSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),

@@ -596,7 +596,58 @@ object Similarity {
       |FROM r WHERE rank <= $OutliersPerLabel
       |ORDER BY label, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // sim_knn_graph — the corpus-wide k-nearest-neighbor GRAPH (every
+  // vector's top-3 neighbors), the building block of semantic dedup
+  // (SemDeDup-style: cluster the graph, keep one doc per clique) and
+  // of graph-based ANN indexes. Candidate edges come ONLY from the
+  // shared √N Lloyd-refined IVF grid (nprobe=4) that dedup_embedding
+  // searches — cells are capped at ~96 vectors, so each vector ranks
+  // a BOUNDED candidate set (~4·cell) and total work stays linear in
+  // N, never the N² all-pairs graph. Exact cosine on candidates,
+  // rounded-sim ranking with neighbor-id tiebreak; vectors whose
+  // probed cells hold fewer than k candidates emit fewer edges (an
+  // approximation the oracle replicates cell-for-cell).
+  // ---------------------------------------------------------------
+  private val KnnGraphK = 3
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val assigned = Dedup.ivfCellAssignments(Tables.load(s, dir, "embeddings"))
+    val cand = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val mirrored = cand.unionAll(
+      cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val av = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val bv = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))
+    mirrored.join(av, "vec_a").join(bv, "vec_b")
+      .withColumn("sim", cosine(expr("graft_array_dot(va, vb)"), col("na"), col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnGraphK)
+      .select(col("vec_a").as("vec_id"), col("rank"),
+        col("vec_b").as("neighbor_id"), col("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val knnGraphSql =
+    s"""${Dedup.ivfCellsDuck},
+      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      |m AS (SELECT vec_a, vec_b FROM cand UNION ALL SELECT vec_b, vec_a FROM cand),
+      |p AS (SELECT vec_a, vec_b,
+      |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim
+      |      FROM m JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),
+      |r AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, sim,
+      |        CAST(row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS INT) AS rank
+      |      FROM p)
+      |SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= $KnnGraphK
+      |ORDER BY vec_id, rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),

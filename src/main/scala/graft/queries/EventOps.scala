@@ -493,6 +493,109 @@ object EventOps {
   }
 
   // ---------------------------------------------------------------
+  // ev_quantile_sketch — mergeable quantile sketch per event type:
+  // a log2-bucket histogram over integer cents (bucket = bit length
+  // of the value in cents), whose cells (event_type, bucket, cnt)
+  // are summable — partial aggregation combines map-side, and
+  // per-day/per-partition sketches merge by cell-wise addition, the
+  // same mergeability contract as the CMS / HLL / Bloom / MinHash
+  // family. Quantile estimates read off the cumulative cell counts
+  // (bucket upper bound 2^b − 1, so est ∈ [exact, 2·exact) by
+  // construction — the spec locks that envelope). The exact-cents
+  // audit column uses the shuffle-bounded value-grid histogram
+  // (groupBy distinct cents + cumulative window), NOT a per-type
+  // sort of raw events — at 100 TB the sketch is what ships; the
+  // exact histogram is the (still bounded) audit beside it.
+  // Everything is integer arithmetic off floor(value·100): both
+  // engines run the identical IEEE multiply-then-floor, so cells
+  // and estimates hash-match exactly.
+  // ---------------------------------------------------------------
+  private val QsQuantiles = Seq(50, 95, 99)
+
+  /** Mergeable sketch cells (event_type, bucket, cnt) — exposed so
+    * the spec can prove cells over a union equal the cell-wise sum
+    * of per-shard cells.
+    */
+  private[graft] def qsketchCells(events: DataFrame): DataFrame =
+    events
+      .withColumn("c", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .withColumn("bucket",
+        expr("CASE WHEN c <= 0 THEN 0 ELSE length(bin(c)) END"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+    val cells = qsketchCells(Tables.events(s, dir))
+    val totals = cells.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    val ranks = totals
+      .join(broadcast(QsQuantiles.toDF("q")))
+      .withColumn("r", expr("CAST((q * n + 99) DIV 100 AS BIGINT)"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = cells.withColumn("cum", sum(col("cnt")).over(wb))
+    val est = ranks.join(cum, "event_type")
+      .filter(col("cum") >= col("r"))
+      .groupBy("event_type", "q", "n", "r")
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_cents",
+        expr("CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1 END"))
+    // exact audit via the bounded value-grid histogram
+    val wh = Window.partitionBy("event_type").orderBy("c")
+    val hist = ev.groupBy("event_type", "c").agg(count(lit(1)).as("hcnt"))
+      .withColumn("hcum", sum(col("hcnt")).over(wh))
+    val exact = est.select("event_type", "q", "r")
+      .join(hist, "event_type")
+      .filter(col("hcum") >= col("r"))
+      .groupBy("event_type", "q")
+      .agg(min(col("c")).as("exact_cents"))
+    est.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"),
+        col("exact_cents"), col("est_cents"),
+        expr("(est_cents - exact_cents) * CAST(1000000 AS BIGINT) DIV exact_cents")
+          .as("slack_ppm"))
+      .orderBy("event_type", "q")
+  }
+
+  private val quantileSketchSql =
+    s"""WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+      |cells AS (
+      |  SELECT event_type,
+      |    CASE WHEN c <= 0 THEN 0 ELSE length(bin(c)) END AS bucket,
+      |    count(*) AS cnt
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+      |ranks AS (
+      |  SELECT event_type, q, n, (q * n + 99) // 100 AS r
+      |  FROM tot, (SELECT unnest([${QsQuantiles.mkString(", ")}]) AS q)),
+      |cum AS (
+      |  SELECT event_type, bucket,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+      |  FROM cells),
+      |est AS (
+      |  SELECT r.event_type, r.q, r.n, r.r, min(c.bucket) AS bucket
+      |  FROM ranks r JOIN cum c ON r.event_type = c.event_type AND c.cum >= r.r
+      |  GROUP BY 1, 2, 3, 4),
+      |hist AS (
+      |  SELECT event_type, c,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS hcum
+      |  FROM (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2) h),
+      |ex AS (
+      |  SELECT e2.event_type, e2.q, min(h.c) AS exact_cents
+      |  FROM est e2 JOIN hist h ON e2.event_type = h.event_type AND h.hcum >= e2.r
+      |  GROUP BY 1, 2)
+      |SELECT est.event_type, est.q, est.n, ex.exact_cents,
+      |  CASE WHEN est.bucket = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE (CAST(1 AS BIGINT) << CAST(est.bucket AS INT)) - 1 END AS est_cents,
+      |  (CASE WHEN est.bucket = 0 THEN CAST(0 AS BIGINT)
+      |        ELSE (CAST(1 AS BIGINT) << CAST(est.bucket AS INT)) - 1 END
+      |   - ex.exact_cents) * CAST(1000000 AS BIGINT) // ex.exact_cents AS slack_ppm
+      |FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
+      |ORDER BY est.event_type, est.q""".stripMargin
+
+  // ---------------------------------------------------------------
   // ev_cep_pattern — complex-event-processing sequence detection
   // (the MATCH_RECOGNIZE class): per user, signup → FIRST view
   // within 24 h → FIRST purchase within 24 h of that view, emitting
@@ -557,6 +660,7 @@ object EventOps {
       |ORDER BY f.user_id, f.signup_es""".stripMargin
 
   val ops: Seq[Op] = Seq(
+    Op("ev_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Op("ev_cep_pattern", cepPattern, Some(cepPatternSql)),
     Op("ev_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Op("ev_gap_fill", gapFill, Some(gapFillSql)),

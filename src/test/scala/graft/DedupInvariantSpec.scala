@@ -23,6 +23,31 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(j.filter(col("inter") > col("uni") || col("inter") < 1).count() == 0)
   }
 
+  test("containment pairs match a brute-force shingle-set recompute") {
+    import scala.jdk.CollectionConverters._
+    // ground truth: collect per-doc shingle-id sets (fine at spec SF)
+    // and recompute directional containment directly
+    val sets = graft.ops.Dedup.docShingleSets(spark, sfDir)
+      .collectAsList().asScala
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expected = (for {
+      (a, sa) <- sets.iterator; (b, sb) <- sets.iterator
+      if a != b && sa.size >= 10
+      inter = (sa & sb).size
+      if inter * 5L >= sa.size * 4L
+    } yield (a, b, sa.size.toLong, sb.size.toLong, inter.toLong)).toSet
+    val got = pairs("dedup_containment")
+      .select("contained_id", "container_id", "n_contained", "n_container", "inter")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // containment_ppm stays within the threshold band
+    val c = pairs("dedup_containment")
+    assert(c.filter(col("containment_ppm") < 800000L ||
+      col("containment_ppm") > 1000000L).count() == 0)
+  }
+
   test("simhash pairs respect the hamming threshold and canonicalization") {
     val sh = pairs("dedup_simhash")
     assert(sh.filter(col("hamming") > 4 || col("hamming") < 0).count() == 0)
