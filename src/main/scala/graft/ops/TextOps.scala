@@ -511,7 +511,80 @@ object TextOps {
       |FROM per
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_surprisal — unigram-LM quality proxy (the CCNet move: score
+  // every doc by a language model trained on the corpus itself and
+  // band on the score), made engine-exact by measuring surprisal in
+  // WHOLE BITS: token surprisal ≈ log2(N/cnt) computed as
+  // bitlen(N) − bitlen(cnt) via length(bin(x)) — pure integer/string
+  // ops, no runtime transcendental, identical on both engines (±1
+  // bit of true log2, irrelevant for banding). Low mean surprisal =
+  // boilerplate/common-token text, high = rare-token gibberish; the
+  // mid band is what a pre-training corpus keeps. Banding is
+  // RELATIVE to the corpus-mean surprisal (doc mean beyond ±2% of
+  // corpus mean, exact cross-multiplied integer compare against a
+  // 1-row broadcast scalar — the q11 pattern): absolute bit
+  // thresholds would need per-corpus tuning, while the deviation
+  // band splits any corpus deterministically. Plan shape: one
+  // token-counts aggregation (the "LM training" pass), one keyed
+  // join of postings to counts, one per-doc aggregation — all
+  // equality-keyed, linear in corpus tokens; total tokens and
+  // corpus-mean are 1-row broadcast metadata.
+  // ---------------------------------------------------------------
+  private val SurprisalBandMille = 20L // low/high beyond ±2% of corpus mean
+
+  private def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok0"))
+      .select(col("doc_id"), lower(col("tok0")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val perDoc = toks.join(counts, "tok")
+      .join(broadcast(total))
+      .withColumn("bits", expr("length(bin(n_total)) - length(bin(cnt))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).cast("bigint").as("total_bits"))
+      .withColumn("mean_bits_ppm",
+        expr("total_bits * CAST(1000000 AS BIGINT) DIV n_tokens"))
+    val corpus = perDoc.agg(
+      expr("CAST((CAST(sum(total_bits) AS DECIMAL(38,0)) * 1000000)" +
+        " DIV CAST(sum(n_tokens) AS DECIMAL(38,0)) AS BIGINT)").as("corpus_ppm"))
+    perDoc.join(broadcast(corpus))
+      .withColumn("band",
+        when(col("mean_bits_ppm") * 1000 < col("corpus_ppm") * (1000 - SurprisalBandMille), "low")
+          .when(col("mean_bits_ppm") * 1000 > col("corpus_ppm") * (1000 + SurprisalBandMille), "high")
+          .otherwise("mid"))
+      .select("doc_id", "n_tokens", "total_bits", "mean_bits_ppm", "band")
+      .orderBy("doc_id")
+  }
+
+  private val surprisalSql =
+    s"""WITH tk AS (
+      |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+      |b AS (
+      |  SELECT tk.doc_id,
+      |    length(bin((SELECT n_total FROM n))) - length(bin(cnt)) AS bits
+      |  FROM tk JOIN c ON tk.tok = c.tok),
+      |d AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(bits) AS BIGINT) AS total_bits
+      |  FROM b GROUP BY doc_id),
+      |dd AS (SELECT *, total_bits * CAST(1000000 AS BIGINT) // n_tokens AS mean_bits_ppm FROM d),
+      |corp AS (SELECT CAST(sum(total_bits)::HUGEINT * 1000000
+      |           // sum(n_tokens)::HUGEINT AS BIGINT) AS corpus_ppm FROM dd)
+      |SELECT doc_id, n_tokens, total_bits, mean_bits_ppm,
+      |  CASE WHEN mean_bits_ppm * 1000 < (SELECT corpus_ppm FROM corp) * ${1000 - SurprisalBandMille} THEN 'low'
+      |       WHEN mean_bits_ppm * 1000 > (SELECT corpus_ppm FROM corp) * ${1000 + SurprisalBandMille} THEN 'high'
+      |       ELSE 'mid' END AS band
+      |FROM dd
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("txt_surprisal", surprisal, Some(surprisalSql)),
     Op("txt_repetition", repetition, Some(repetitionSql)),
     Op("txt_boilerplate", boilerplate, Some(boilerplateSql)),
     Op("txt_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

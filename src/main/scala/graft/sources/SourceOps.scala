@@ -276,7 +276,59 @@ object SourceOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_partition_refresh — DYNAMIC partition overwrite, the load
+  // strategy next to keyed MERGE (etl_merge_upsert) for warehouse
+  // refreshes: a corrected batch for ONE partition replaces exactly
+  // that partition in place — sibling partitions' files are never
+  // touched (no read-modify-write of the whole table, no global
+  // shuffle; at 100 TB a daily refresh rewrites one day's directory,
+  // not the lake). The op writes orders hive-partitioned by
+  // priority, overwrites the 1-URGENT partition with a corrected
+  // HALF-SIZED batch (+10.00 price adjustment, even orderkeys only),
+  // and re-aggregates the whole table: the refreshed partition must
+  // show exactly the batch (replace, never append/merge) and every
+  // other partition its original content.
+  // ---------------------------------------------------------------
+  private val RefreshPriority = "1-URGENT"
+
+  private def partitionRefresh(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_dynpart")
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderpriority"))
+    Sources.writeParquet(base, out, partitionBy = Seq("o_orderpriority"))
+    val refresh = base
+      .filter(col("o_orderpriority") === RefreshPriority && col("o_orderkey") % 2 === 0)
+      .withColumn("price", (col("price") + lit(10.00).cast("decimal(18,2)"))
+        .cast("decimal(18,2)"))
+    refresh.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority")
+      .parquet(out)
+    Sources.parquet(s, out)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("decimal(28,4)").cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val partitionRefreshSql =
+    s"""WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority
+      |  FROM orders),
+      |fin AS (
+      |  SELECT price, o_orderpriority FROM base WHERE o_orderpriority <> '$RefreshPriority'
+      |  UNION ALL
+      |  SELECT CAST(price + 10.00 AS DECIMAL(18,2)), o_orderpriority FROM base
+      |  WHERE o_orderpriority = '$RefreshPriority' AND o_orderkey % 2 = 0)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(CAST(round(sum(price), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
     Op("src_binaryfile", binaryFileRoundtrip, Some(binaryFileRoundtripSql)),
     Op("src_jdbc", jdbcExtract, Some(jdbcExtractSql)),
     Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
