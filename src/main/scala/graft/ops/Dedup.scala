@@ -141,15 +141,21 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
-  // Staged pair graph — the J ≥ 0.5 near-dup pair set is the shared
-  // upstream of dedup_ngram_jaccard, dedup_clusters AND
-  // dedup_corpus_pipeline. Nobody recomputes a corpus-wide pair graph
-  // three times at 100 TB: it is staged ONCE per corpus snapshot
-  // (shingling → df-capped postings self-join → J filter → parquet)
-  // and every consumer reads the staged result back — the same
-  // pattern as the reference's staging zone (extract once, consume
-  // many). Registered ops stage into managed temp space; production
-  // points [[stagePairGraph]] at a ZoneConfig staging path.
+  // Staged pair graph — the near-dup candidate pair set is the
+  // shared upstream of dedup_ngram_jaccard, dedup_containment,
+  // dedup_clusters AND dedup_corpus_pipeline. Nobody recomputes a
+  // corpus-wide pair graph four times at 100 TB: it is staged ONCE
+  // per corpus snapshot (shingling → df-capped postings self-join →
+  // threshold-union filter → parquet) and every consumer reads the
+  // staged result back — the same pattern as the reference's staging
+  // zone (extract once, consume many). The staged set carries RAW
+  // stats (doc_a, doc_b, na, nb, inter) for every pair passing ANY
+  // consumer threshold (symmetric J ≥ 0.5 OR directional containment
+  // ≥ 0.8 with ≥ MinContainShingles) — the superset stays
+  // near-dup-sized (never the full co-shingle pair multiset), and
+  // each consumer filters its own predicate from it. Registered ops
+  // stage into managed temp space; production points
+  // [[stagePairGraph]] at a ZoneConfig staging path.
   //
   // Staging happens at FIRST ACTION over the corpus (plan
   // construction is lazy about it only to the extent the memo hit
@@ -217,20 +223,31 @@ object Dedup {
   private[graft] def stagingPlans(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
     Seq(
       "dedup_pair_stage(unstaged)" ->
-        ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf),
+        candidatePairStats(Tables.load(s, dir, "documents"), MaxShingleDf),
       "dedup_band_stage(unstaged)" -> bandsOf(minhashBase(s, dir)),
       // constructing this plan RUNS the CC loop (it is iterative);
       // the guarded plan is the final labels+sizes join it returns
       "dedup_label_stage(unstaged)" -> clustersComputed(s, dir))
 
-  /** Compute the near-dup pair graph for `docs` and persist it to
-    * `path` (parquet); returns a reader over the staged set. The
-    * staged schema is exactly the dedup_ngram_jaccard output
-    * (doc_a, doc_b, inter, uni).
+  /** Candidate pair stats passing ANY consumer threshold — what the
+    * stage persists (see header above).
+    */
+  private[graft] def candidatePairStats(docs: DataFrame, maxDf: Long,
+      memoKey: Option[(String, Long)] = None): DataFrame =
+    pairStats(docs, maxDf, memoKey).filter(
+      col("inter") * 2 >= col("na") + col("nb") - col("inter") ||
+        (col("inter") * ContainDen >= col("na") * ContainNum &&
+          col("na") >= MinContainShingles) ||
+        (col("inter") * ContainDen >= col("nb") * ContainNum &&
+          col("nb") >= MinContainShingles))
+
+  /** Compute the near-dup candidate pair graph for `docs` and
+    * persist it to `path` (parquet); returns a reader over the
+    * staged set. Staged schema: (doc_a, doc_b, na, nb, inter).
     */
   def stagePairGraph(docs: DataFrame, path: String, maxDf: Long = MaxShingleDf,
       memoKey: Option[(String, Long)] = None): DataFrame = {
-    ngramJaccardPairs(docs, maxDf, memoKey)
+    candidatePairStats(docs, maxDf, memoKey)
       .write.mode("overwrite").parquet(path)
     docs.sparkSession.read.parquet(path)
   }
@@ -280,13 +297,24 @@ object Dedup {
         s.read.parquet(path)
     }
 
-  /** Staged pair graph for the corpus under `dir`. */
-  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+  /** Staged candidate pair stats for the corpus under `dir`
+    * (doc_a, doc_b, na, nb, inter — threshold-union superset).
+    */
+  private[graft] def stagedCandidateStats(s: SparkSession, dir: String): DataFrame =
     stagedBySnapshot(s, dir, pairStageMemo, pairStageLatest,
       "graft_pair_graph", "near-dup pair graph",
-      ngramJaccardPairs(Tables.load(s, dir, "documents"), MaxShingleDf),
+      candidatePairStats(Tables.load(s, dir, "documents"), MaxShingleDf),
       (key, p) => stagePairGraph(Tables.load(s, dir, "documents"), p,
         MaxShingleDf, memoKey = Some(key)))
+
+  /** Staged J ≥ 0.5 pair graph (the dedup_ngram_jaccard contract:
+    * doc_a, doc_b, inter, uni) — a filter over the staged stats.
+    */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    stagedCandidateStats(s, dir)
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni")
 
   /** Staged connected-component cluster labels (doc_id, cluster_id,
     * cluster_size) — the level ABOVE the pair graph: dedup_clusters,
@@ -437,8 +465,7 @@ object Dedup {
   private val ContainDen = 5L
 
   private def containment(s: SparkSession, dir: String): DataFrame = {
-    val key = corpusSnapshot(dir).map(h => (s"$dir@$h", MaxShingleDf))
-    val st = pairStats(Tables.load(s, dir, "documents"), MaxShingleDf, key)
+    val st = stagedCandidateStats(s, dir)
     val ab = st.filter(col("inter") * ContainDen >= col("na") * ContainNum &&
         col("na") >= MinContainShingles)
       .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),

@@ -618,13 +618,18 @@ object Similarity {
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val mirrored = cand.unionAll(
-      cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
     val av = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val bv = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))
-    mirrored.join(av, "vec_a").join(bv, "vec_b")
+    // cosine is symmetric: score each UNORDERED pair once, then
+    // mirror the skinny (a, b, sim) rows — half the dot products of
+    // mirroring the candidate set before the vector join
+    val pairSim = cand.join(av, "vec_a").join(bv, "vec_b")
       .withColumn("sim", cosine(expr("graft_array_dot(va, vb)"), col("na"), col("nb")))
+      .select("vec_a", "vec_b", "sim")
+    val mirrored = pairSim.unionAll(
+      pairSim.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))
+    val w = Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))
+    mirrored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnGraphK)
       .select(col("vec_a").as("vec_id"), col("rank"),

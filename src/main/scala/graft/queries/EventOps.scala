@@ -433,10 +433,14 @@ object EventOps {
       .groupBy("event_type", "idx")
       .agg(max(col("rho")).as("mj"))
 
-  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** Finalize max-reduced registers (event_type, idx, mj) into the
+    * op's output beside the exact count — shared by the batch op and
+    * the stream_hll gate (whose registers arrive from a drained
+    * streaming state store instead of a batch aggregate).
+    */
+  private[graft] def hllFinalize(reg: DataFrame, exactEvents: DataFrame): DataFrame = {
     val smallCase = HllSmall.map { case (v, e) => s"WHEN $v THEN ${e}L" }
       .mkString("CASE v ", " ", " ELSE -1L END")
-    val reg = hllRegisters(Tables.events(s, dir))
     val sketch = reg.groupBy("event_type")
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllTwoPow - mj AS INT))")).as("s_present"),
@@ -450,7 +454,7 @@ object EventOps {
       .withColumn("hll_est",
         when(col("est_raw") <= HllSmallCutoff && col("v") > 0, expr(smallCase))
           .otherwise(col("est_raw")))
-    val exact = Tables.events(s, dir)
+    val exact = exactEvents
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
     sketch.join(exact, "event_type")
       .select(col("event_type"), col("n_exact"), col("hll_est"),
@@ -458,7 +462,10 @@ object EventOps {
       .orderBy("event_type")
   }
 
-  private val hllDistinctSql = {
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    hllFinalize(hllRegisters(Tables.events(s, dir)), Tables.events(s, dir))
+
+  private[graft] val hllDistinctSql = {
     val smallCase = HllSmall.map { case (v, e) => s"WHEN $v THEN $e" }
       .mkString("CASE v ", " ", " ELSE -1 END")
     s"""WITH h AS (

@@ -231,7 +231,38 @@ object StreamOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_hll — SKETCH MAINTENANCE AS STREAMING STATE through the
+  // DuckDB hash gate: the HLL registers ev_hll_distinct builds in
+  // one batch pass are here maintained incrementally by a streaming
+  // aggregation (groupBy(event_type, idx).max(rho) — max is
+  // order-insensitive and monotone, so Complete-mode state IS the
+  // sketch, bounded at types × 64 rows regardless of stream length:
+  // the real-time distinct-count dashboard pattern). The drained
+  // registers finalize through the SAME integer-exact estimator as
+  // the batch op (EventOps.hllFinalize), so the streamed sketch must
+  // hash-match the batch oracle bit-for-bit.
+  // ---------------------------------------------------------------
+  private def streamHll(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_hll_src")
+    Tables.events(s, dir)
+      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_type"), col("user_id"))
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_hll_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val reg = graft.queries.EventOps.hllRegisters(
+      s.readStream.schema(schema).parquet(src))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(reg, name, OutputMode.Complete(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.queries.EventOps.hllFinalize(s.table(name), Tables.events(s, dir))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("stream_hll", streamHll, Some(graft.queries.EventOps.hllDistinctSql)),
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Op("stream_attribution", streamAttribution, Some(streamAttributionSql)),
