@@ -64,7 +64,7 @@ object EventOps {
       .orderBy("user_id", "session_no")
   }
 
-  private val sessionizeSql =
+  private[graft] val sessionizeSql =
     s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, value FROM events),
       |f AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),

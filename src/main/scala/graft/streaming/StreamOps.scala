@@ -261,7 +261,72 @@ object StreamOps {
     graft.queries.EventOps.hllFinalize(s.table(name), Tables.events(s, dir))
   }
 
+  // ---------------------------------------------------------------
+  // stream_session_window — the DECLARATIVE streaming sessionizer:
+  // Spark's built-in session_window() operator (gap-merged event-time
+  // windows, watermark-expired state) through the DuckDB hash gate,
+  // against the SAME batch-sessionize oracle the imperative
+  // flatMapGroupsWithState gate (stream_sessionize) matches — the two
+  // ends of the streaming-sessionization API proven equivalent on the
+  // same corpus. Gate mechanics:
+  //  - session_window merges INCLUSIVELY (next session joins when its
+  //    start <= previous start + gap — verified against the corpus's
+  //    one exactly-1800/1801 s boundary pair), so gap = 1800 s
+  //    reproduces the batch rule "new session iff diff > 1800"
+  //    exactly.
+  //  - Append mode only emits a session once the GLOBAL watermark
+  //    passes its close; one sentinel row (user_id = −1) far past the
+  //    corpus advances the watermark over every real session's end,
+  //    and the sentinel's own never-closed window stays in state —
+  //    the same trailing-flush move as stream_sessionize's per-user
+  //    sentinels, but one row instead of one per user because
+  //    session_window emission is watermark-driven (global), not
+  //    keyed-arrival-driven.
+  //  - session_end is max(ts) INSIDE the window (the batch
+  //    semantics), not window.end (which is last event + gap).
+  // ---------------------------------------------------------------
+  private def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_sw_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), expr("ts DIV 1000000000").as("es"),
+        col("user_id"), col("value"))
+    val maxEs = ev.agg(max(col("es"))).head().getLong(0)
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"), lit(maxEs + 7200L).as("es"),
+      lit(-1L).as("user_id"), lit(0.0).as("value"))
+    ev.unionByName(sentinel)
+      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"),
+        col("user_id"), col("value"))
+      .repartition(1) // single staged file = single data micro-batch
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_sw_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val agg = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("max_ts"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(agg, name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .withColumn("session_start", unix_timestamp(col("session_window.start")))
+      .withColumn("session_no", row_number().over(w).cast("bigint"))
+      .select(col("user_id"), col("session_no"), col("session_start"),
+        unix_timestamp(col("max_ts")).as("session_end"), col("n_events"),
+        col("sum_dec").cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("stream_session_window", streamSessionWindow,
+      Some(graft.queries.EventOps.sessionizeSql)),
     Op("stream_hll", streamHll, Some(graft.queries.EventOps.hllDistinctSql)),
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),

@@ -83,4 +83,26 @@ object KernelProps extends Properties("graft.kernels") {
       val d = java.lang.Long.bitCount(ha ^ hb)
       d >= 0 && d <= 60 && d == java.lang.Long.bitCount(hb ^ ha)
     }
+
+  // --- bit-length (length(bin(x))) primitives: the engine-portable
+  // log2 both ev_quantile_sketch and txt_surprisal are built on.
+  // bitlen(c) = 64 - numberOfLeadingZeros(c) is exactly what BOTH
+  // engines' length(bin(c)) computes for c > 0.
+  private def bitlen(c: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(c)
+
+  private val posLong: Gen[Long] = Gen.choose(1L, Long.MaxValue / 4)
+
+  property("quantile-sketch bucket upper bound: 2^bitlen(c) - 1 ∈ [c, 2c)") =
+    Prop.forAll(posLong) { c =>
+      val ub = (1L << bitlen(c)) - 1
+      ub >= c && ub < 2 * c || (bitlen(c) >= 62) // no overflow regime in ops (cents << 2^62)
+    }
+
+  property("surprisal bits = bitlen(n) - bitlen(cnt) is within 1 bit of log2(n/cnt)") =
+    Prop.forAll(posLong, posLong) { (a, b) =>
+      val (n, cnt) = (a max b, a min b)
+      val bits = bitlen(n) - bitlen(cnt)
+      val trueLog = math.log(n.toDouble / cnt) / math.log(2.0)
+      math.abs(bits - trueLog) < 1.0
+    }
 }
