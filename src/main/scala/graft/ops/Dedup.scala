@@ -1019,6 +1019,56 @@ object Dedup {
     out
   }
 
+  // ---------------------------------------------------------------
+  // dedup_semantic — SemDeDup-style semantic deduplication END TO
+  // END: connected components over the embedding near-dup pair graph
+  // (the same cell-bounded IVF candidates + exact cosine ≥ τ verify
+  // dedup_embedding gates), one canonical vector kept per semantic
+  // cluster (min vec_id — deterministic on both engines), everyone
+  // else marked dropped. Reuses the pointer-jumping CC loop the text
+  // pipeline proved (log-diameter rounds over the tiny near-dup
+  // vertex set), so the embedding and text dedup stacks share one
+  // clustering engine. Output is the per-vector verdict the corpus
+  // pipeline filters on (`WHERE is_kept = 1`).
+  // ---------------------------------------------------------------
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    // pair generation runs at full parallelism; only the CC loop is
+    // scoped down (same move as clustersComputed)
+    val pairs = embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val labels =
+      try clustersLoop(pairs)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    labels.select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupSql =
+    s"""$ivfCellsDuck,
+      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      |p AS (SELECT vec_a, vec_b,
+      |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim
+      |      FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),
+      |nd AS (SELECT vec_a, vec_b FROM p WHERE sim >= $EmbTau),
+      |edges AS (SELECT vec_a AS u, vec_b AS v FROM nd UNION SELECT vec_b, vec_a FROM nd
+      |          UNION SELECT vec_a, vec_a FROM nd UNION SELECT vec_b, vec_b FROM nd),
+      |reach AS (
+      |  WITH RECURSIVE r(u, v) AS (
+      |    SELECT u, v FROM edges
+      |    UNION
+      |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+      |  SELECT u, v FROM r),
+      |lab AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      |SELECT vec_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS is_kept
+      |FROM lab
+      |ORDER BY vec_id""".stripMargin
+
   private val clustersSql =
     s"""$shinglesDuck,
       |$cappedPairsDuck,
@@ -1173,5 +1223,6 @@ object Dedup {
     Op("dedup_incremental", incremental, Some(incrementalSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
     Op("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)),
+    Op("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     Op("dedup_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)))
 }

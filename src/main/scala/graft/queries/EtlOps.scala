@@ -167,6 +167,64 @@ object EtlOps {
       |ORDER BY order_key, version""".stripMargin
 
   // ---------------------------------------------------------------
+  // etl_scd2_pointintime — the query SCD2 historization EXISTS for:
+  // facts joined to the dimension version that was valid AT FACT
+  // TIME (late-arriving/retro-dated facts land on historical
+  // versions, not the current row — the classic type-2 point-in-time
+  // join). A deterministic two-version customer dim (every third
+  // customer's segment changes on 1998-01-01) is historized through
+  // the same Merger.scd2 the etl_scd2 op gates, then orders join on
+  // (custkey equality + orderdate ∈ [valid_from, valid_to)) — at
+  // scale an equality-key shuffle join with a residual range filter,
+  // never a range-only join. Every order matches EXACTLY one version
+  // interval by construction (intervals partition the timeline), so
+  // the aggregate's order count conserves — the spec locks that.
+  // ---------------------------------------------------------------
+  private def scd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val v1 = c.select(col("c_custkey").as("cust_key"), lit(1).as("version"),
+      col("c_mktsegment").as("segment"), to_date(lit("1992-01-01")).as("eff"))
+    val v2 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("cust_key"), lit(2).as("version"),
+        concat(col("c_mktsegment"), lit("-V2")).as("segment"),
+        to_date(lit("1998-01-01")).as("eff"))
+    val dim = Merger.scd2(v1.unionByName(v2), Seq("cust_key"),
+        Seq(col("version")), col("eff"))
+      .select("cust_key", "version", "segment", "valid_from", "valid_to")
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("cust_key"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+    o.join(dim, Seq("cust_key"))
+      .filter(col("od") >= col("valid_from") && col("od") < col("valid_to"))
+      .groupBy("segment", "version")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,4)")
+          .cast("double").as("sum_price"))
+      .orderBy("segment", "version")
+  }
+
+  private val scd2PointInTimeSql =
+    """WITH v AS (
+      |  SELECT c_custkey AS cust_key, 1 AS version, c_mktsegment AS segment,
+      |    DATE '1992-01-01' AS eff FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, c_mktsegment || '-V2', DATE '1998-01-01'
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |d AS (
+      |  SELECT cust_key, version, segment, eff AS valid_from,
+      |    coalesce(lead(eff) OVER (PARTITION BY cust_key ORDER BY version),
+      |             DATE '9999-12-31') AS valid_to
+      |  FROM v),
+      |o AS (SELECT o_custkey AS cust_key, CAST(o_orderdate AS DATE) AS od, o_totalprice
+      |      FROM orders)
+      |SELECT segment, version, count(*) AS n_orders,
+      |  CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
+      |FROM o JOIN d ON o.cust_key = d.cust_key
+      |  AND o.od >= d.valid_from AND o.od < d.valid_to
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_dedup_latest — staging-replay collapse: latest event per
   // (user, type) by integer epoch seconds (portable ns handling).
   // ---------------------------------------------------------------
@@ -537,6 +595,7 @@ object EtlOps {
     Op("etl_output_mapping", outputMapping, Some(outputMappingSql)),
     Op("etl_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Op("etl_scd2", scd2, Some(scd2Sql)),
+    Op("etl_scd2_pointintime", scd2PointInTime, Some(scd2PointInTimeSql)),
     Op("etl_dedup_latest", dedupLatest, Some(dedupLatestSql)),
     Op("etl_dq_checks", dqChecks, Some(dqChecksSql)),
     Op("etl_consolidate", consolidate, Some(consolidateSql)),

@@ -666,9 +666,57 @@ object EventOps {
       |WHERE vw.nxt_purch_es IS NOT NULL AND vw.nxt_purch_es <= f.view_es + $CepWindowS
       |ORDER BY f.user_id, f.signup_es""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_cep_negation — the ABSENCE half of CEP pattern matching
+  // (MATCH_RECOGNIZE's NOT / Flink CEP's notFollowedBy): signups
+  // with NO purchase inside the following 24 h — churn-risk
+  // detection, the alert stream every activation funnel runs. Same
+  // scale shape as ev_cep_pattern: ONE partitioned window precomputes
+  // each event's next-purchase time, so "absence" is a filter on the
+  // precomputed column (NULL or beyond the window) — never a
+  // signups × purchases anti-join whose hot-user key explodes, and
+  // the never-purchased case costs nothing extra. The nullable
+  // next-purchase epoch is surfaced as −1 (both engines) so the
+  // output stays NULL-free for the hash gate.
+  // ---------------------------------------------------------------
+  private def cepNegation(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir).select(col("user_id"), col("event_type"), col("es"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es"), col("event_type"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("nxt_purch_es",
+        min(when(col("event_type") === "purchase", col("es"))).over(w))
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("es").as("signup_es"))
+      .agg(min(col("nxt_purch_es")).as("nxt_purch_es"))
+      .filter(col("nxt_purch_es").isNull ||
+        col("nxt_purch_es") > col("signup_es") + CepWindowS)
+      .select(col("user_id"), col("signup_es"),
+        coalesce(col("nxt_purch_es"), lit(-1L)).as("next_purchase_es"))
+      .orderBy("user_id", "signup_es")
+  }
+
+  private val cepNegationSql =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS es, event_id FROM events),
+      |n0 AS (
+      |  SELECT user_id, es, event_type,
+      |    min(CASE WHEN event_type = 'purchase' THEN es END)
+      |      OVER (PARTITION BY user_id ORDER BY es, event_type, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_purch_es
+      |  FROM ev),
+      |sg AS (
+      |  SELECT user_id, es AS signup_es, min(nxt_purch_es) AS nxt_purch_es
+      |  FROM n0 WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT user_id, signup_es,
+      |  coalesce(nxt_purch_es, -1) AS next_purchase_es
+      |FROM sg
+      |WHERE nxt_purch_es IS NULL OR nxt_purch_es > signup_es + $CepWindowS
+      |ORDER BY user_id, signup_es""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Op("ev_cep_pattern", cepPattern, Some(cepPatternSql)),
+    Op("ev_cep_negation", cepNegation, Some(cepNegationSql)),
     Op("ev_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Op("ev_gap_fill", gapFill, Some(gapFillSql)),
     Op("ev_anomaly_days", anomalyDays, Some(anomalyDaysSql)),

@@ -23,6 +23,26 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(j.filter(col("inter") > col("uni") || col("inter") < 1).count() == 0)
   }
 
+  test("semantic dedup: one kept vector per cluster, clusters closed over embedding pairs") {
+    val sd = pairs("dedup_semantic").cache()
+    assert(sd.count() > 0)
+    // exactly one kept (the min id) per cluster; kept iff canonical
+    val perCluster = sd.groupBy("cluster_id")
+      .agg(sum(col("is_kept")).as("n_kept"), count(lit(1)).as("n"),
+        min(col("vec_id")).as("min_id"))
+    assert(perCluster.filter(col("n_kept") =!= 1).count() == 0)
+    assert(perCluster.filter(col("min_id") =!= col("cluster_id")).count() == 0)
+    assert(sd.filter((col("vec_id") === col("cluster_id")) =!= (col("is_kept") === 1)).count() == 0)
+    // closure: both ends of every embedding near-dup pair are clustered together
+    val p = pairs("dedup_embedding").select(col("vec_a"), col("vec_b"))
+    val lab = sd.select(col("vec_id"), col("cluster_id"))
+    val joined = p
+      .join(lab.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("cluster_id", "ca"), "vec_a")
+      .join(lab.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("cluster_id", "cb"), "vec_b")
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+    assert(joined.count() == p.count())
+  }
+
   test("containment pairs match a brute-force shingle-set recompute") {
     import scala.jdk.CollectionConverters._
     // ground truth: collect per-doc shingle-id sets (fine at spec SF)

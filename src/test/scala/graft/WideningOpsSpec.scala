@@ -36,6 +36,27 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(windowed == totalEvents * 4)
   }
 
+  test("etl_scd2_pointintime: every order lands on exactly one dim version") {
+    val agg = run("etl_scd2_pointintime")
+    val matched = agg.agg(sum(col("n_orders"))).head().getLong(0)
+    assert(matched == Tables.load(spark, sfDir, "orders").count())
+    // retro-dated facts really do land on historical versions: both
+    // versions of the changed customers carry orders
+    assert(agg.filter(col("version") === 2).count() > 0)
+    assert(agg.filter(col("segment").endsWith("-V2")).count() ==
+      agg.filter(col("version") === 2).count())
+  }
+
+  test("ev_cep_negation: complement of ev_cep_pattern's matched signups on the first step") {
+    val neg = run("ev_cep_negation").cache()
+    assert(neg.count() > 0)
+    // a signup is either churn-risk (no purchase in 24h) or has a
+    // next purchase within the window — never both
+    val bad = neg.filter(col("next_purchase_es") =!= -1L &&
+      col("next_purchase_es") <= col("signup_es") + 86400L)
+    assert(bad.count() == 0)
+  }
+
   test("ev_cep_pattern: sequences are ordered, in-window, and use the first eligible step") {
     val seqs = run("ev_cep_pattern").cache()
     assert(seqs.count() > 0)
