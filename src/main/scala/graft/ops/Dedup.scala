@@ -182,6 +182,11 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
   private val bandStageLatest =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  /** Same pair of maps for the staged embedding near-dup pairs. */
+  private val embStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  private val embStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def deleteDirQuietly(path: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -212,6 +217,9 @@ object Dedup {
     bandStageMemo.values.asScala.foreach(deleteDirQuietly)
     bandStageMemo.clear()
     bandStageLatest.clear()
+    embStageMemo.values.asScala.foreach(deleteDirQuietly)
+    embStageMemo.clear()
+    embStageLatest.clear()
   }
 
   /** Plans that execute INSIDE staging and are therefore invisible to
@@ -225,6 +233,8 @@ object Dedup {
       "dedup_pair_stage(unstaged)" ->
         candidatePairStats(Tables.load(s, dir, "documents"), MaxShingleDf),
       "dedup_band_stage(unstaged)" -> bandsOf(minhashBase(s, dir)),
+      "dedup_emb_pair_stage(unstaged)" ->
+        embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau),
       // constructing this plan RUNS the CC loop (it is iterative);
       // the guarded plan is the final labels+sizes join it returns
       "dedup_label_stage(unstaged)" -> clustersComputed(s, dir))
@@ -265,8 +275,9 @@ object Dedup {
       latest: java.util.concurrent.ConcurrentHashMap[String, (String, Long)],
       tmpPrefix: String, what: String,
       inlinePlan: => DataFrame,
-      stage: ((String, Long), String) => Unit): DataFrame =
-    corpusSnapshot(dir) match {
+      stage: ((String, Long), String) => Unit,
+      table: String = "documents"): DataFrame =
+    corpusSnapshot(dir, table) match {
       case None =>
         log.warn(s"$what staging skipped for $dir (not a readable " +
           s"local path; no snapshot => no safe memo) — computing $what inline")
@@ -836,12 +847,13 @@ object Dedup {
   private[ops] val IvfProbe = 4
   private[ops] val IvfMaxStride = 96L
 
-  /** nprobe=4 cell assignments over the shared √N Lloyd-refined grid
-    * (Spark side of [[ivfCellsDuck]]'s `a2`) — reused by
+  /** Cell assignments over the shared √N Lloyd-refined grid (Spark
+    * side of [[ivfCellsDuck]]'s ranked `ar`) — reused by
     * sim_knn_graph so graph edges come from the same cells as the
-    * dedup pairs.
+    * dedup pairs. `probes` = 4 gives the dedup candidate side;
+    * `probes` = 1 the primary (index-side) assignment.
     */
-  private[ops] def ivfCellAssignments(emb: DataFrame): DataFrame = {
+  private[ops] def ivfCellAssignments(emb: DataFrame, probes: Int = IvfProbe): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
     // √N is corpus METADATA (like the hot-shingle stats): one count
     // action sizes the cell grid; both engines compute
@@ -849,11 +861,18 @@ object Dedup {
     val stride = math.min(
       math.ceil(IvfStrideMult * math.sqrt(e.count().toDouble)).toLong, IvfMaxStride)
     val cent = Similarity.refinedCentroids(e, stride)
-    Similarity.assignTo(e, cent, "vec_id", IvfProbe)
+    Similarity.assignTo(e, cent, "vec_id", probes)
       .select(col("vec_id"), col("cell"))
   }
 
-  private[graft] def embeddingPairsIvf(emb: DataFrame, tau: Double): DataFrame = {
+  /** Unsorted pair generation — what the stage WRITES. The sort
+    * lives only on the consumer side (over the tiny verified pair
+    * set): a sort directly above this plan would range-partition,
+    * and RangePartitioning SAMPLES its child — executing the whole
+    * candidate-generation + verify subplan twice per materialization
+    * (measured 25.9 s → 70.7 s at the 10× corpus before this split).
+    */
+  private def embeddingPairsIvfUnsorted(emb: DataFrame, tau: Double): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
     val assigned = ivfCellAssignments(emb)
     val cand = assigned.as("x").join(assigned.as("y"),
@@ -867,11 +886,27 @@ object Dedup {
         expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
       .filter(col("sim") >= tau)
       .select("vec_a", "vec_b", "sim")
-      .orderBy("vec_a", "vec_b")
   }
 
+  private[graft] def embeddingPairsIvf(emb: DataFrame, tau: Double): DataFrame =
+    embeddingPairsIvfUnsorted(emb, tau).orderBy("vec_a", "vec_b")
+
+  /** Staged embedding near-dup pair set (vec_a, vec_b, sim) — the
+    * fourth snapshot-staged corpus artifact: dedup_embedding and
+    * dedup_semantic both consume the same IVF-candidates + exact-
+    * verify pair generation, which nobody runs twice per corpus
+    * snapshot at 100 TB. Keyed on the EMBEDDINGS table snapshot.
+    */
+  private[graft] def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    stagedBySnapshot(s, dir, embStageMemo, embStageLatest,
+      "graft_emb_pairs", "embedding near-dup pairs",
+      embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau),
+      (_, p) => embeddingPairsIvfUnsorted(Tables.load(s, dir, "embeddings"), EmbTau)
+        .write.mode("overwrite").parquet(p),
+      table = "embeddings")
+
   private def embeddingDedup(s: SparkSession, dir: String): DataFrame =
-    embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau)
+    embeddingNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
 
   /** Shared oracle fragment: the √N-cell Lloyd-refined IVF grid with
     * nprobe=4 assignments (CTE `a2`: vec_id → probed cell) — used by
@@ -902,13 +937,12 @@ object Dedup {
       |    list(CAST(s_ppm AS DOUBLE) / 1000000 / nn ORDER BY dim) AS centv
       |  FROM cs GROUP BY cell),
       |centf AS (SELECT cid, centv, list_dot_product(centv, centv) AS centn FROM cent),
-      |a2 AS (
-      |  SELECT vec_id, cid AS cell FROM (
-      |    SELECT x.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN centf c) a
-      |  WHERE cr <= 4)""".stripMargin
+      |ar AS (
+      |  SELECT x.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY x.vec_id
+      |      ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
+      |  FROM n x CROSS JOIN centf c),
+      |a2 AS (SELECT vec_id, cid AS cell FROM ar WHERE cr <= 4)""".stripMargin
 
   private val embeddingDedupSql =
     s"""$ivfCellsDuck,
@@ -1032,9 +1066,9 @@ object Dedup {
   // pipeline filters on (`WHERE is_kept = 1`).
   // ---------------------------------------------------------------
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    // pair generation runs at full parallelism; only the CC loop is
-    // scoped down (same move as clustersComputed)
-    val pairs = embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau)
+    // staged pair generation runs at full parallelism; only the CC
+    // loop is scoped down (same move as clustersComputed)
+    val pairs = embeddingNearDupPairs(s, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")

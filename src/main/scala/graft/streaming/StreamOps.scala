@@ -324,7 +324,52 @@ object StreamOps {
       .orderBy("user_id", "session_no")
   }
 
+  // ---------------------------------------------------------------
+  // stream_file_sink — the PRODUCTION sink path through the hash
+  // gate: every other streaming op drains to a memory sink (fine for
+  // a bounded gate, useless in production); this one writes a real
+  // parquet FileStreamSink with its `_spark_metadata` transaction
+  // log — the exactly-once mechanism a deployment relies on — and
+  // proves RESTART IDEMPOTENCE by running a SECOND AvailableNow
+  // drain against the same checkpoint (no new data → no new files →
+  // the batch read-back, which honors the sink's commit log and
+  // ignores uncommitted stray files, still hash-matches the source
+  // exactly once). No aggregation, no watermark games: the
+  // transactional sink is the capability under test.
+  // ---------------------------------------------------------------
+  private def streamFileSink(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_fsink_src")
+    Tables.events(s, dir)
+      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val out = graft.sources.SourceOps.tmpDir("graft_stream_fsink_out")
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    def drain(): Unit = {
+      val q = s.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    drain() // restart against the same checkpoint: must be a no-op
+    s.read.parquet(out)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val streamFileSinkSql =
+    """SELECT event_id, epoch_ns(ts)//1000000000 AS es, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
     Op("stream_session_window", streamSessionWindow,
       Some(graft.queries.EventOps.sessionizeSql)),
     Op("stream_hll", streamHll, Some(graft.queries.EventOps.hllDistinctSql)),

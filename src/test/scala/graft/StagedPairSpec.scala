@@ -19,6 +19,16 @@ class StagedPairSpec extends AnyFunSuite with SparkSuite {
     assert(staged == inline)
   }
 
+  test("staged embedding pair set equals the inline IVF pair plan") {
+    val staged = Dedup.embeddingNearDupPairs(spark, sfDir)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    val inline = Dedup.embeddingPairsIvf(
+        Tables.load(spark, sfDir, "embeddings"), 0.4)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    assert(staged.nonEmpty, "embedding pair set unexpectedly empty")
+    assert(staged == inline)
+  }
+
   test("a reaped stage dir re-stages instead of serving a dangling path") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
