@@ -713,7 +713,56 @@ object EventOps {
       |WHERE nxt_purch_es IS NULL OR nxt_purch_es > signup_es + $CepWindowS
       |ORDER BY user_id, signup_es""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_multitouch — linear multi-touch attribution: every purchase's
+  // value splits EQUALLY across the same user's views in the
+  // trailing 24 h (the marketing-analytics workload between
+  // first-touch funnel and last-touch attribution). The touch count
+  // comes from ONE event-time RANGE frame (RANGE BETWEEN 86400
+  // PRECEDING AND 1 PRECEDING over integer epoch seconds, partition
+  // by user) — never a purchases × views interval join whose hot
+  // users explode. Credit is exact integer cents: value DIV n per
+  // touch with the remainder carried explicitly, so
+  // n_touches·credit + remainder ≡ cents reconstructs bit-for-bit
+  // on both engines (the spec locks the identity).
+  // ---------------------------------------------------------------
+  private def multitouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("es"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-86400L, -1L)
+    ev.withColumn("n_touches",
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("es").as("purchase_es"), col("n_touches"), col("cents"),
+        when(col("n_touches") > 0, expr("cents DIV n_touches")).otherwise(lit(0L))
+          .as("credit_cents"),
+        when(col("n_touches") > 0, col("cents") % col("n_touches")).otherwise(col("cents"))
+          .as("remainder_cents"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  private val multitouchSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS es,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |t AS (
+      |  SELECT *,
+      |    coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY es
+      |            RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING), 0) AS n_touches
+      |  FROM ev)
+      |SELECT user_id, event_id AS purchase_id, es AS purchase_es,
+      |  CAST(n_touches AS BIGINT) AS n_touches, cents,
+      |  CAST(CASE WHEN n_touches > 0 THEN cents // n_touches ELSE 0 END AS BIGINT) AS credit_cents,
+      |  CAST(CASE WHEN n_touches > 0 THEN cents % n_touches ELSE cents END AS BIGINT) AS remainder_cents
+      |FROM t WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_multitouch", multitouch, Some(multitouchSql)),
     Op("ev_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Op("ev_cep_pattern", cepPattern, Some(cepPatternSql)),
     Op("ev_cep_negation", cepNegation, Some(cepNegationSql)),

@@ -47,6 +47,22 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
       agg.filter(col("version") === 2).count())
   }
 
+  test("ev_multitouch: credit reconstruction identity and touch-count consistency") {
+    val mt = run("ev_multitouch").cache()
+    assert(mt.count() > 0)
+    // n·credit + remainder ≡ cents, exactly, on every purchase
+    val broken = mt.filter(
+      col("n_touches") * col("credit_cents") + col("remainder_cents") =!= col("cents"))
+    assert(broken.count() == 0)
+    // zero-touch purchases carry their full value as remainder
+    assert(mt.filter(col("n_touches") === 0 &&
+      (col("credit_cents") =!= 0 || col("remainder_cents") =!= col("cents"))).count() == 0)
+    // every purchase event appears exactly once
+    assert(mt.count() ==
+      graft.queries.EventOps.withEs(spark, sfDir)
+        .filter(col("event_type") === "purchase").count())
+  }
+
   test("ev_cep_negation: complement of ev_cep_pattern's matched signups on the first step") {
     val neg = run("ev_cep_negation").cache()
     assert(neg.count() > 0)
