@@ -34,6 +34,7 @@ object Registry {
       graft.queries.EventOps.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
+      graft.ops.Spans.ops ++
       graft.ops.Sampling.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Quantize.ops ++

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** dedup_spans — duplicated-substring detection, the span-level
+  * complement of the document-level near-dup family: find every
+  * maximal token range that occurs (anywhere in the corpus, incl.
+  * within the same document) at least twice, at fixed K-token-window
+  * grain. This is the scalable approximation of suffix-array exact
+  * substring dedup ("Deduplicating Training Data Makes Language
+  * Models Better", Lee et al. 2022): a duplicated substring of length
+  * ≥ K contains a duplicated K-window at every offset, so the merged
+  * K-window islands ARE the duplicated spans (over-approximated by at
+  * most K−1 tokens at each end, under-approximating never).
+  *
+  * Plan shape (all equality-keyed, linear in corpus tokens — the
+  * inverted-index pattern, NEVER a self-join):
+  *   1. posexplode K-token windows (one row per token position);
+  *   2. 60-bit md5 window id, map-side-combined occurrence count
+  *      per id — the only corpus-wide shuffle, on an 8-byte key;
+  *   3. hash-join ids with occ ≥ 2 back to positions (a lookup whose
+  *      build side is the duplicated-window subset);
+  *   4. per-doc island merge: windows at positions p, p' overlap iff
+  *      |p − p'| < K, and all intervals share length K, so one
+  *      lag/running-sum window PARTITIONed by doc_id (state bounded
+  *      by doc length) merges them into maximal spans.
+  * At 100 TB: step 2 is a classic partial-agg token count; step 3's
+  * build side is only the duplicated windows (small under any
+  * realistic dup rate, and skew-safe — hot window ids fan out to
+  * their own positions, never pair with each other).
+  */
+object Spans {
+
+  /** Window length in tokens: spans shorter than K are invisible,
+    * spans ≥ K are found exactly (modulo the ≤ K−1 boundary slack
+    * inherent to window-grain detection).
+    */
+  private val SpanK = 8
+
+  private def spans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .filter(size(col("toks")) >= SpanK)
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, size(toks)-$SpanK), " +
+          s"i -> concat_ws(' ', slice(toks, i+1, $SpanK)))) AS (pos, g)")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(Dedup.sid60Spark).as("wid"))
+    val dupIds = wins.groupBy("wid").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wins.join(dupIds, "wid")
+      .withColumn("new_island",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(byDoc) >= SpanK, 1L).otherwise(0L))
+      .withColumn("span_no", sum(col("new_island")).over(run))
+      .groupBy("doc_id", "span_no")
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + SpanK - 1).as("end_tok"),
+        count(lit(1)).as("n_windows"),
+        max(col("occ")).as("max_occ"))
+      .select(col("doc_id"), col("span_no"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
+        col("n_windows"), col("max_occ"))
+      .orderBy("doc_id", "span_no")
+  }
+
+  private val spansSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |w AS (SELECT doc_id,
+      |        unnest(range(0, len(toks)-$SpanK+1)) AS pos,
+      |        unnest(list_transform(range(0, len(toks)-$SpanK+1),
+      |          i -> array_to_string(toks[i+1:i+$SpanK], ' '))) AS g
+      |      FROM t WHERE len(toks) >= $SpanK),
+      |i AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${Dedup.sid60Duck} AS wid FROM w),
+      |c AS (SELECT wid, CAST(count(*) AS BIGINT) AS occ FROM i GROUP BY 1 HAVING count(*) >= 2),
+      |d AS (SELECT i.doc_id, i.pos, c.occ FROM i JOIN c USING (wid)),
+      |f AS (SELECT doc_id, pos, occ,
+      |        CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win >= $SpanK
+      |             THEN 1 ELSE 0 END AS new_island
+      |      FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |g2 AS (SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no FROM f)
+      |SELECT doc_id, CAST(span_no AS BIGINT) AS span_no,
+      |  min(pos) AS start_tok, max(pos)+$SpanK-1 AS end_tok,
+      |  max(pos)+$SpanK-1 - min(pos) + 1 AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_windows, max(occ) AS max_occ
+      |FROM g2 GROUP BY doc_id, span_no
+      |ORDER BY doc_id, span_no""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("dedup_spans", spans, Some(spansSql)))
+}

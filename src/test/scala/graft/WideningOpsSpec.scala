@@ -63,6 +63,32 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("dedup_spans: spans are maximal, disjoint, and cover exact-dup docs end to end") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = run("dedup_spans").cache()
+    assert(sp.count() > 0)
+    // span geometry: at least K tokens, window count consistent with extent
+    assert(sp.filter(col("n_tokens") =!= col("end_tok") - col("start_tok") + 1).count() == 0)
+    assert(sp.filter(col("n_tokens") < 8 || col("max_occ") < 2 || col("n_windows") < 1).count() == 0)
+    assert(sp.filter(col("n_windows") > col("n_tokens") - 8 + 1).count() == 0)
+    // maximality: spans of the same doc never touch or overlap
+    val byDoc = Window.partitionBy("doc_id").orderBy("start_tok")
+    assert(sp.withColumn("prev_end", lag(col("end_tok"), 1).over(byDoc))
+      .filter(col("prev_end").isNotNull && col("start_tok") <= col("prev_end")).count() == 0)
+    // an exact-duplicate doc is one wall-to-wall span: every window of
+    // it occurs >= 2 times corpus-wide, so the island merge must yield
+    // exactly [0, n_toks-1]
+    val dupDocs = run("dedup_exact")
+      .filter(col("group_size") > 1).select("doc_id")
+    val nToks = graft.ops.TextOps.withTokens(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .filter(col("n_toks") >= 8)
+    val wallToWall = sp.join(dupDocs, "doc_id").join(nToks, "doc_id")
+      .filter(col("start_tok") === 0 && col("end_tok") === col("n_toks") - 1)
+    assert(wallToWall.select("doc_id").distinct().count() ==
+      dupDocs.join(nToks, "doc_id").count())
+  }
+
   test("ev_cep_negation: complement of ev_cep_pattern's matched signups on the first step") {
     val neg = run("ev_cep_negation").cache()
     assert(neg.count() > 0)
