@@ -31,6 +31,7 @@ object Registry {
       graft.queries.Analytics.ops ++
       graft.queries.Analytics2.ops ++
       graft.queries.Analytics3.ops ++
+      graft.queries.Analytics4.ops ++
       graft.queries.EventOps.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++

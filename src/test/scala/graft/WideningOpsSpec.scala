@@ -63,6 +63,20 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("q_skyline equals the brute-force dominance frontier") {
+    val parts = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        col("p_retailprice").cast("decimal(12,2)").cast("double").as("price"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val brute = parts.filter { case (k, sz, pr) =>
+      !parts.exists { case (k2, sz2, pr2) =>
+        k2 != k && sz2 <= sz && pr2 <= pr && (sz2 < sz || pr2 < pr)
+      }
+    }.map(_._1).toSet
+    val got = run("q_skyline").select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got == brute)
+  }
+
   test("dedup_spans: spans are maximal, disjoint, and cover exact-dup docs end to end") {
     import org.apache.spark.sql.expressions.Window
     val sp = run("dedup_spans").cache()
