@@ -547,6 +547,61 @@ object Similarity {
       |ORDER BY label, dim""".stripMargin
 
   // ---------------------------------------------------------------
+  // emb_dim_stats — per-DIMENSION corpus health audit (the embedding
+  // monitoring pass a training pipeline runs per snapshot: collapsed
+  // or dead dimensions mean an upstream encoder regression, drifting
+  // per-dim means mean a distribution shift). Everything derives from
+  // the same floor(x·10⁶) ppm quantization the other emb ops gate:
+  // exact BIGINT sums, exact DECIMAL(38,0) sums of squares, and the
+  // population variance in exact integer ppm² via
+  // (n·Σx² − (Σx)²) DIV n² — no FP accumulation anywhere, so the
+  // hash gate is order-stable. n_zero counts exact ppm-zero cells
+  // (dead-dimension detector). Plan shape: posexplode → groupBy(dim)
+  // — map-side partial agg collapses every task to |dims| rows
+  // before the one tiny shuffle; nothing downstream touches the
+  // corpus again.
+  // ---------------------------------------------------------------
+  private def dimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), expr(PpmExpr).as("v_ppm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v_ppm")).as("sum_ppm"),
+        sum((col("v_ppm").cast("decimal(19,0)") * col("v_ppm").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sumsq"),
+        min(col("v_ppm")).as("min_ppm"),
+        max(col("v_ppm")).as("max_ppm"),
+        sum(when(col("v_ppm") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n_vecs"), col("sum_ppm"),
+        (col("sum_ppm").cast("double") / 1000000.0 / col("n_vecs")).as("mean"),
+        expr("CAST((CAST(n_vecs AS DECIMAL(19,0)) * sumsq - " +
+          "CAST(sum_ppm AS DECIMAL(19,0)) * CAST(sum_ppm AS DECIMAL(19,0))) DIV " +
+          "(CAST(n_vecs AS DECIMAL(19,0)) * CAST(n_vecs AS DECIMAL(19,0))) AS BIGINT)")
+          .as("var_ppm2"),
+        col("min_ppm"), col("max_ppm"), col("n_zero"))
+      .orderBy("dim")
+
+  private val dimStatsSql =
+    """WITH x AS (
+      |  SELECT CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT embedding, unnest(range(0, len(embedding))) AS i FROM embeddings) u),
+      |a AS (
+      |  SELECT dim, count(*) AS n_vecs, sum(v_ppm) AS sum_ppm,
+      |    sum(CAST(v_ppm AS HUGEINT) * v_ppm) AS sumsq,
+      |    min(v_ppm) AS min_ppm, max(v_ppm) AS max_ppm,
+      |    CAST(sum(CASE WHEN v_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM x GROUP BY dim)
+      |SELECT dim, n_vecs, CAST(sum_ppm AS BIGINT) AS sum_ppm,
+      |  CAST(sum_ppm AS DOUBLE) / 1000000 / n_vecs AS mean,
+      |  CAST((CAST(n_vecs AS HUGEINT) * sumsq - CAST(sum_ppm AS HUGEINT) * sum_ppm)
+      |    // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT) AS var_ppm2,
+      |  min_ppm, max_ppm, n_zero
+      |FROM a
+      |ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------
   // emb_outliers — farthest-from-centroid vectors per label (the
   // mislabeled/noisy-sample gate of a training pipeline). Distance is
   // compared entirely in scaled integers: for each dim,
@@ -661,5 +716,6 @@ object Similarity {
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),
     Op("sim_range_search_lsh", rangeSearchLsh, Some(rangeSearchLshSql)),
     Op("emb_label_centroid", labelCentroid, Some(labelCentroidSql)),
+    Op("emb_dim_stats", dimStats, Some(dimStatsSql)),
     Op("emb_outliers", outliers, Some(outliersSql)))
 }

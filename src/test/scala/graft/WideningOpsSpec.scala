@@ -63,6 +63,26 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("emb_dim_stats: exact moments match a driver-side recomputation") {
+    val st = run("emb_dim_stats").cache()
+    val nEmb = Tables.load(spark, sfDir, "embeddings").count()
+    assert(st.count() > 0)
+    assert(st.filter(col("n_vecs") =!= nEmb).count() == 0)
+    assert(st.filter(col("var_ppm2") < 0).count() == 0)
+    assert(st.filter(col("mean") * 1000000 < col("min_ppm") ||
+      col("mean") * 1000000 > col("max_ppm") + 1).count() == 0)
+    // dim 0 brute check of mean/variance from raw vectors
+    val xs = Tables.load(spark, sfDir, "embeddings")
+      .select(element_at(col("embedding"), 1).cast("double")).collect()
+      .map(r => math.floor(r.getDouble(0) * 1e6).toLong)
+    val n = xs.length.toLong
+    val sm = xs.sum
+    val sq = xs.map(v => BigInt(v) * BigInt(v)).sum
+    val expVar = ((BigInt(n) * sq - BigInt(sm) * BigInt(sm)) / (BigInt(n) * BigInt(n))).toLong
+    val row = st.filter(col("dim") === 0).head()
+    assert(row.getAs[Long]("sum_ppm") == sm && row.getAs[Long]("var_ppm2") == expVar)
+  }
+
   test("q_skyline equals the brute-force dominance frontier") {
     val parts = Tables.load(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_size"),
