@@ -368,7 +368,78 @@ object StreamOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_upsert — the foreachBatch KEYED-UPSERT sink (the CDC MERGE
+  // pattern: every micro-batch merges into a keyed target table —
+  // what a deployment does with Delta/Iceberg MERGE; here the target
+  // is a versioned parquet dir swapped per batch, the same
+  // read-merge-rewrite a warehouse without a transactional format
+  // ships). The stream is throttled to one staged file per trigger
+  // (maxFilesPerTrigger=1 over 4 staged files), so AvailableNow
+  // really drives FOUR sequential merges — cross-batch incremental
+  // state lives in the target files, not in stream state. The merge
+  // is ASSOCIATIVE by construction (per-key counts ADD; latest-row
+  // wins by max(struct(es, event_id)), a total order independent of
+  // arrival batch), so how the source slices into micro-batches
+  // cannot move the result — which is exactly why it can face the
+  // batch DuckDB oracle. At 100 TB the rewrite step becomes dynamic
+  // partition overwrite on key buckets (only touched buckets
+  // rewrite); the merge algebra is unchanged.
+  // ---------------------------------------------------------------
+  private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_upsert_src")
+    Tables.events(s, dir)
+      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real merge batches
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val target = graft.sources.SourceOps.tmpDir("graft_stream_upsert_tgt")
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchAgg = batch.select(col("user_id"), lit(1L).as("n_events"),
+          struct(expr("unix_timestamp(ts)").as("es"), col("event_id"),
+            col("event_type"), col("value")).as("last"))
+        val cur = ver.get()
+        val merged =
+          if (cur == 0) agg(batchAgg)
+          else agg(batchAgg.unionByName(
+            s.read.parquet(s"$target/v$cur").select("user_id", "n_events", "last")))
+        merged.write.mode("overwrite").parquet(s"$target/v${cur + 1}")
+        ver.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(ver.get() >= 4, s"expected >=4 merge batches, saw ${ver.get()}")
+    s.read.parquet(s"$target/v${ver.get()}")
+      .select(col("user_id"), col("n_events"),
+        col("last.es").as("last_es"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"), col("last.value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  private val streamUpsertSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, event_type, value FROM events),
+      |r AS (SELECT user_id, es, event_id, event_type, value,
+      |        count(*) OVER (PARTITION BY user_id) AS n_events,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rn
+      |      FROM e)
+      |SELECT user_id, n_events, es AS last_es, event_id AS last_event_id,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stream_upsert", streamUpsert, Some(streamUpsertSql)),
     Op("stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
     Op("stream_session_window", streamSessionWindow,
       Some(graft.queries.EventOps.sessionizeSql)),
