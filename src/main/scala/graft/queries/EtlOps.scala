@@ -581,7 +581,72 @@ object EtlOps {
       |GROUP BY z_bucket
       |ORDER BY z_bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_late_arriving — late-arriving dimension handling (the
+  // Kimball "inferred member" pattern every warehouse load needs:
+  // facts land referencing dimension keys the dim feed hasn't
+  // delivered yet; the load must neither drop nor stall them).
+  // Deterministic replay: customers with c_custkey % 20 = 0 are the
+  // LATE dim rows (held out of the initial dim load). Stage 1 —
+  // facts (orders) resolve against the early dim; unresolved keys
+  // insert INFERRED members (segment 'UNKNOWN'). Stage 2 — the late
+  // rows arrive and SCD1-correct their inferred placeholders.
+  // Output: one audit row per fact-bearing customer key with the
+  // before/after segment, the inferred flag, and whether arrival
+  // corrected it. Plan shape: the fact side is touched once (one
+  // map-side-combined groupBy on the fact key); everything after
+  // runs on dim-sized frames — the unresolved-keys anti-join and the
+  // arrival merge are broadcastable key-equality joins, exactly the
+  // shape that survives a 1000-executor fact table.
+  // ---------------------------------------------------------------
+  private def lateArriving(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val late = cust.filter(col("c_custkey") % 20 === 0)
+    val early = cust.filter(col("c_custkey") % 20 =!= 0)
+    val factKeys = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_facts"))
+    val inferred = factKeys.join(early, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("UNKNOWN").as("segment_initial"),
+        lit(1L).as("was_inferred"))
+    val dim1 = early
+      .select(col("c_custkey"), col("c_mktsegment").as("segment_initial"),
+        lit(0L).as("was_inferred"))
+      .unionByName(inferred)
+    dim1
+      .join(late.select(col("c_custkey"), col("c_mktsegment").as("late_segment")),
+        Seq("c_custkey"), "left")
+      .join(factKeys, Seq("c_custkey"))
+      .select(col("c_custkey"), col("n_facts"), col("was_inferred"),
+        col("segment_initial"),
+        coalesce(col("late_segment"), col("segment_initial")).as("segment_final"),
+        when(col("was_inferred") === 1 && col("late_segment").isNotNull, 1L)
+          .otherwise(0L).as("corrected"))
+      .orderBy("c_custkey")
+  }
+
+  private val lateArrivingSql =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+      |late AS (SELECT * FROM cust WHERE c_custkey % 20 = 0),
+      |early AS (SELECT * FROM cust WHERE c_custkey % 20 <> 0),
+      |fk AS (SELECT o_custkey AS c_custkey, count(*) AS n_facts FROM orders GROUP BY 1),
+      |inf AS (
+      |  SELECT fk.c_custkey, 'UNKNOWN' AS segment_initial, CAST(1 AS BIGINT) AS was_inferred
+      |  FROM fk LEFT JOIN early e ON fk.c_custkey = e.c_custkey WHERE e.c_custkey IS NULL),
+      |dim1 AS (
+      |  SELECT c_custkey, c_mktsegment AS segment_initial, CAST(0 AS BIGINT) AS was_inferred FROM early
+      |  UNION ALL SELECT * FROM inf)
+      |SELECT d.c_custkey, fk.n_facts, d.was_inferred, d.segment_initial,
+      |  coalesce(l.c_mktsegment, d.segment_initial) AS segment_final,
+      |  CAST(CASE WHEN d.was_inferred = 1 AND l.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS corrected
+      |FROM dim1 d
+      |LEFT JOIN late l ON d.c_custkey = l.c_custkey
+      |JOIN fk ON d.c_custkey = fk.c_custkey
+      |ORDER BY d.c_custkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_late_arriving", lateArriving, Some(lateArrivingSql)),
     Op("etl_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Op("etl_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterSql)),
     Op("meta_sqlgen", sqlGen, Some(sqlGenSql)),
