@@ -36,6 +36,7 @@ object Registry {
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
       graft.ops.Spans.ops ++
+      graft.ops.GraphOps.ops ++
       graft.ops.Sampling.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Quantize.ops ++

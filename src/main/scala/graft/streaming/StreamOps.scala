@@ -438,7 +438,48 @@ object StreamOps {
       |FROM r WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_enrich — the STREAM-STATIC broadcast join through the hash
+  // gate (the one streaming join class the other gates don't cover:
+  // attribution is stream-stream, upsert is foreachBatch). Every
+  // micro-batch hash-joins against a static dimension snapshot —
+  // stateless (no watermark, no join state), which is exactly why a
+  // deployment prefers it for slowly-changing enrichment: the dim
+  // broadcast re-resolves per batch, state stores never grow. Nulls
+  // from the left join coalesce to 'UNKNOWN' (the inferred-member
+  // move, etl_late_arriving) so the drained row set is deterministic.
+  // ---------------------------------------------------------------
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_enrich_src")
+    Tables.events(s, dir)
+      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"), col("c_nationkey"))
+    val name = s"graft_stream_enrich_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val joined = s.readStream.schema(schema).parquet(src)
+      .join(broadcast(dim), Seq("user_id"), "left")
+    EventStream.runAvailableNow(joined, name, OutputMode.Append(), ckpt)
+    s.table(name)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        coalesce(col("segment"), lit("UNKNOWN")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1L)).as("nation_key"))
+      .orderBy("event_id")
+  }
+
+  private val streamEnrichSql =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+      |  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |  CAST(coalesce(c.c_nationkey, -1) AS BIGINT) AS nation_key
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stream_enrich", streamEnrich, Some(streamEnrichSql)),
     Op("stream_upsert", streamUpsert, Some(streamUpsertSql)),
     Op("stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
     Op("stream_session_window", streamSessionWindow,

@@ -63,6 +63,41 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("graph_pagerank matches a driver-side exact integer reference") {
+    val got = run("graph_pagerank").collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("mass_ppm"))).toMap
+    // reference: same integer recurrence over the collected edge list
+    val co = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+      .join(Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = co.flatMap { case (c, sp) =>
+      Seq((c * 2, sp * 2 + 1), (sp * 2 + 1, c * 2))
+    }
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    var mass = outdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => mass(s) / outdeg(s) }.sum
+      }
+      mass = inflow.map { case (v, in) => v -> (150000L + 85L * in / 100L) }
+    }
+    assert(got.size == mass.size && got == mass)
+  }
+
+  test("stream_enrich: every event enriched exactly once") {
+    val out = run("stream_enrich").cache()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(out.count() == nEvents)
+    assert(out.select("event_id").distinct().count() == nEvents)
+    // every user present in the dim resolves to a real segment
+    val unresolved = out.filter(col("segment") === "UNKNOWN")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("user_id") === col("c_custkey"), "inner")
+    assert(unresolved.count() == 0)
+  }
+
   test("emb_dim_stats: exact moments match a driver-side recomputation") {
     val st = run("emb_dim_stats").cache()
     val nEmb = Tables.load(spark, sfDir, "embeddings").count()
