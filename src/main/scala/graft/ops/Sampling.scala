@@ -302,7 +302,53 @@ object Sampling {
       |FROM q JOIN documents d ON q.doc_id = d.doc_id
       |ORDER BY d.source, phase, order_bp, q.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // samp_temperature — temperature-scaled source mixing (the
+  // multilingual-LM corpus move: sample sources ∝ n^α, α = 0.5, so
+  // big sources stop drowning small ones without discarding them —
+  // where samp_mixture applies CONFIGURED per-source rates, this
+  // DERIVES the rates from corpus statistics). Budget = ¼ of the
+  // corpus; source s gets expected share budget·√n_s / Σ√n, i.e.
+  // per-doc keep rate min(1, budget·w_s / (Σw · n_s)) with
+  // w = floor(√n) — floor of a correctly-rounded double sqrt of an
+  // exact integer is deterministic on both engines, and everything
+  // after is integer basis-point arithmetic on the same
+  // hash-threshold inclusion rule every sampler here uses
+  // (reproducible under reruns, repartitioning, corpus growth).
+  // Plan shape: per-source counts (map-side-combined, |sources|
+  // rows) → 1-row totals broadcast → rates broadcast-joined back to
+  // the corpus scan — one fact-sized pass, zero fact-sized shuffles.
+  // ---------------------------------------------------------------
+  private def temperature(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val totals = counts.agg(sum(col("n_docs")).as("total_docs"), sum(col("w")).as("sum_w"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("((total_docs DIV 4) * w * 10000) DIV (sum_w * n_docs)")))
+      .select("source", "n_docs", "rate_bp")
+    d.join(broadcast(rates), "source")
+      .withColumn("h_bp", expr(bpSpark))
+      .filter(col("h_bp") < col("rate_bp"))
+      .select("source", "n_docs", "rate_bp", "doc_id", "lang")
+      .orderBy("source", "doc_id")
+  }
+
+  private val temperatureSql =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |cw AS (SELECT *, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM c),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs, CAST(sum(w) AS BIGINT) AS sum_w FROM cw),
+      |r AS (SELECT source, n_docs,
+      |        CAST(least(10000, ((t.total_docs // 4) * w * 10000) // (t.sum_w * n_docs)) AS BIGINT) AS rate_bp
+      |      FROM cw, t)
+      |SELECT d.source, r.n_docs, r.rate_bp, d.doc_id, d.lang
+      |FROM documents d JOIN r USING (source)
+      |WHERE $bpDuck < r.rate_bp
+      |ORDER BY d.source, d.doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("samp_temperature", temperature, Some(temperatureSql)),
     Op("exp_split", tvtSplit, Some(splitSql)),
     Op("samp_importance", importance, Some(importanceSql)),
     Op("exp_curriculum", curriculum, Some(curriculumSql)),

@@ -761,7 +761,55 @@ object EventOps {
       |FROM t WHERE event_type = 'purchase'
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_rfm — RFM quintile segmentation (recency / frequency /
+  // monetary), the standard behavioral-scoring workload: per-user
+  // aggregates in one map-side-combined pass, then THREE ntile(5)
+  // bands over the per-user relation. The ntile windows are
+  // unpartitioned but sit above the per-user Aggregate (PlanGuard's
+  // rule — |users| rows, never the event corpus), and every ORDER BY
+  // carries user_id as the tiebreak so bucket assignment is a total
+  // order both engines reproduce exactly. Monetary is exact integer
+  // cents over purchases only; rfm_code = 100r + 10f + m is the
+  // segment key downstream campaign tooling filters on.
+  // ---------------------------------------------------------------
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = withEs(s, dir)
+      .groupBy("user_id")
+      .agg(max(col("es")).as("last_es"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(0L)).as("monetary_cents"))
+    per
+      .withColumn("r", ntile(5).over(Window.orderBy(col("last_es"), col("user_id")))
+        .cast("bigint"))
+      .withColumn("f", ntile(5).over(Window.orderBy(col("n_events"), col("user_id")))
+        .cast("bigint"))
+      .withColumn("m", ntile(5).over(Window.orderBy(col("monetary_cents"), col("user_id")))
+        .cast("bigint"))
+      .withColumn("rfm_code", col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy("user_id")
+  }
+
+  private val rfmSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS es,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |per AS (SELECT user_id, max(es) AS last_es, count(*) AS n_events,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS monetary_cents
+      |  FROM e GROUP BY 1),
+      |sc AS (SELECT *,
+      |    CAST(ntile(5) OVER (ORDER BY last_es, user_id) AS BIGINT) AS r,
+      |    CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS BIGINT) AS f,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m
+      |  FROM per)
+      |SELECT user_id, last_es, n_events, monetary_cents, r, f, m,
+      |  r*100 + f*10 + m AS rfm_code
+      |FROM sc
+      |ORDER BY user_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_rfm", rfm, Some(rfmSql)),
     Op("ev_multitouch", multitouch, Some(multitouchSql)),
     Op("ev_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Op("ev_cep_pattern", cepPattern, Some(cepPatternSql)),

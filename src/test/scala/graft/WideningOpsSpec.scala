@@ -63,6 +63,30 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("ev_rfm: quintile bands are balanced and codes well-formed") {
+    val out = run("ev_rfm").cache()
+    val n = out.count()
+    for (band <- Seq("r", "f", "m")) {
+      val sizes = out.groupBy(band).count().collect().map(_.getLong(1))
+      assert(sizes.length == 5 && sizes.min >= n / 5 && sizes.max <= n / 5 + 1)
+    }
+    assert(out.filter(col("rfm_code") < 111 || col("rfm_code") > 555).count() == 0)
+    assert(out.filter(
+      col("rfm_code") =!= col("r") * 100 + col("f") * 10 + col("m")).count() == 0)
+  }
+
+  test("samp_temperature: derived rates fall with source size (n^-1/2)") {
+    val rates = run("samp_temperature")
+      .select("source", "n_docs", "rate_bp").distinct().collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rates.nonEmpty)
+    assert(rates.forall { case (_, bp) => bp > 0 && bp <= 10000 })
+    for (pair <- rates.sortBy(_._1).sliding(2); if pair.length == 2) {
+      val Array((na, ra), (nb, rb)) = pair.toArray
+      if (na < nb) assert(ra >= rb, s"rate not monotone: n=$na bp=$ra vs n=$nb bp=$rb")
+    }
+  }
+
   test("graph_pagerank matches a driver-side exact integer reference") {
     val got = run("graph_pagerank").collect()
       .map(r => (r.getAs[Long]("v"), r.getAs[Long]("mass_ppm"))).toMap
