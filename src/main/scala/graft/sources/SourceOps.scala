@@ -327,7 +327,60 @@ object SourceOps {
       |  CAST(CAST(round(sum(price), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_csv_corrupt — fault-tolerant ingest: a landing file where a
+  // deterministic subset of lines is MALFORMED (unparseable key
+  // column), read through Spark's PERMISSIVE CSV path with
+  // `columnNameOfCorruptRecord` — corrupt lines survive as their raw
+  // text instead of failing the load or silently vanishing
+  // (FAILFAST/DROPMALFORMED), which is the audit trail an ingest
+  // pipeline needs to route rejects to a quarantine zone. Staged as
+  // raw text lines (no header) so the construction is exactly
+  // reproducible in the oracle; every row of the output is either
+  // the parsed key or the verbatim rejected line.
+  // ---------------------------------------------------------------
+  private def csvCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = tmpDir("graft_csv_bad")
+    val cust = Tables.load(s, dir, "customer")
+    val good = cust.select(concat_ws(",",
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")).as("value"))
+    val bad = cust.filter(col("c_custkey") % 50 === 0)
+      .select(concat(lit("BAD_"), col("c_custkey"), lit(",junk,notint,xx")).as("value"))
+    good.unionByName(bad).write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_mktsegment", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .select(
+        when(col("_corrupt_record").isNull, "ok").otherwise("corrupt").as("status"),
+        coalesce(col("c_custkey").cast("string"), col("_corrupt_record")).as("rec"),
+        // PERMISSIVE still fills the fields it COULD parse on a
+        // corrupt line — blank them so the audit row is key-or-reject
+        when(col("_corrupt_record").isNull, coalesce(col("c_mktsegment"), lit("")))
+          .otherwise(lit("")).as("segment"))
+      .orderBy("status", "rec")
+  }
+
+  private val csvCorruptSql =
+    """WITH ok AS (SELECT 'ok' AS status, CAST(c_custkey AS VARCHAR) AS rec,
+      |             c_mktsegment AS segment FROM customer),
+      |bad AS (SELECT 'corrupt' AS status,
+      |          'BAD_' || CAST(c_custkey AS VARCHAR) || ',junk,notint,xx' AS rec,
+      |          '' AS segment
+      |        FROM customer WHERE c_custkey % 50 = 0)
+      |SELECT * FROM (SELECT * FROM ok UNION ALL SELECT * FROM bad) u
+      |ORDER BY status, rec""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("src_csv_corrupt", csvCorrupt, Some(csvCorruptSql)),
     Op("etl_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
     Op("src_binaryfile", binaryFileRoundtrip, Some(binaryFileRoundtripSql)),
     Op("src_jdbc", jdbcExtract, Some(jdbcExtractSql)),

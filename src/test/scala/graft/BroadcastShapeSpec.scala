@@ -44,4 +44,23 @@ class BroadcastShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("Exchange"))
   }
+
+  test("q_skyline: frontier stats broadcast back; no cartesian") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastExchange"), "per-size frontier stats should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("samp_temperature: 1-row totals and derived rates both broadcast") {
+    val p = plan("samp_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row totals should BNL-join")
+    assert(p.contains("BroadcastExchange"), "per-source rates should broadcast onto the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("etl_late_arriving: every post-count join is dim-sized and broadcasts") {
+    val p = plan("etl_late_arriving")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
