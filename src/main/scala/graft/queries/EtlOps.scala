@@ -645,7 +645,56 @@ object EtlOps {
       |JOIN fk ON d.c_custkey = fk.c_custkey
       |ORDER BY d.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_incremental_agg — incremental view maintenance for a summary
+  // table: the standing (ship-month × returnflag) revenue aggregate
+  // is refreshed by merging the EXISTING aggregate with the DELTA
+  // batch's aggregate — never re-scanning the historical fact table
+  // (the self-maintainable-aggregate property: count/sum/min/max all
+  // merge; avg derives from the merged sums). Deterministic replay:
+  // rows with l_orderkey % 11 = 0 are the newly-landed delta, the
+  // rest is the already-loaded history. The ORACLE is the FULL
+  // direct aggregate over all rows — the hash match IS the
+  // correctness statement (merged incrementals ≡ recompute). At
+  // 100 TB this is the difference between touching a delta partition
+  // and re-scanning years of facts; both inputs partial-aggregate
+  // map-side and the merge shuffles |groups| rows, not the corpus.
+  // ---------------------------------------------------------------
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("date_format(l_shipdate, 'yyyy-MM')").as("ship_month"),
+        col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("ship_month", "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val history = aggOf(li.filter(col("l_orderkey") % 11 =!= 0))
+    val delta = aggOf(li.filter(col("l_orderkey") % 11 === 0))
+    history.unionByName(delta)
+      .groupBy("ship_month", "l_returnflag")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents DIV n_rows"))
+      .orderBy("ship_month", "l_returnflag")
+  }
+
+  private val incrementalAggSql =
+    """WITH li AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT ship_month, l_returnflag,
+      |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents,
+      |  CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+      |FROM li
+      |GROUP BY ship_month, l_returnflag
+      |ORDER BY ship_month, l_returnflag""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Op("etl_late_arriving", lateArriving, Some(lateArrivingSql)),
     Op("etl_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Op("etl_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterSql)),
