@@ -347,7 +347,48 @@ object Sampling {
       |WHERE $bpDuck < r.rate_bp
       |ORDER BY d.source, d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // exp_epoch_shuffle — the data-loader's SHUFFLE CONTRACT: a
+  // reproducible, epoch-keyed permutation of every shard (epoch 0
+  // and epoch 1 orders differ, but each is a pure function of
+  // (epoch, doc_id) — rerun the job, get byte-identical batches; no
+  // rand(), no partition-order dependence). Order key =
+  // md5("e<epoch>:<doc_id>"), position = row_number within
+  // (epoch, shard) ordered by (order key, doc_id) — exactly how a
+  // loader shuffles at scale: WITHIN shards (a bounded window per
+  // (epoch, shard) partition), never a corpus-wide global sort.
+  // ---------------------------------------------------------------
+  private val ShuffleEpochs = 2
+
+  private def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = (0 until ShuffleEpochs).map(e => lit(e)).toSeq
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (expr(bpSpark) % 8).as("shard"))
+      .withColumn("epoch", explode(array(epochs: _*)))
+      .withColumn("ok",
+        expr("CAST(conv(substr(md5(concat('e', epoch, ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(col("ok"), col("doc_id")))
+        .cast("bigint"))
+      .select(col("epoch").cast("bigint").as("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  private val epochShuffleSql =
+    s"""WITH d AS (SELECT doc_id, ($bpDuck) % 8 AS shard FROM documents),
+      |e AS (SELECT d.doc_id, d.shard, CAST(t.ep AS BIGINT) AS epoch
+      |      FROM d, range(0, $ShuffleEpochs) t(ep)),
+      |k AS (SELECT *,
+      |        (('0x' || substr(md5('e' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS ok
+      |      FROM e)
+      |SELECT epoch, shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ok, doc_id) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM k
+      |ORDER BY epoch, shard, pos""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("exp_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Op("samp_temperature", temperature, Some(temperatureSql)),
     Op("exp_split", tvtSplit, Some(splitSql)),
     Op("samp_importance", importance, Some(importanceSql)),
