@@ -602,6 +602,62 @@ object Similarity {
       |ORDER BY dim""".stripMargin
 
   // ---------------------------------------------------------------
+  // emb_power_iter — dominant eigenvector of the corpus Gram matrix
+  // (Σ v·vᵀ) by POWER ITERATION: the principal drift direction an
+  // embedding monitor tracks across snapshots (first PC of the
+  // uncentered second moment). Two unrolled supersteps of
+  // x ← normalize(Σ_v (v·x)·v), entirely in scaled integers:
+  // per-vector dot in BIGINT (64 dims × ppm² ≤ 6.4e13), per-dim
+  // accumulation in DECIMAL(38,0) (the dot·component product
+  // overflows BIGINT by design — the decimal is the point), and
+  // max-|component| normalization back to ±10⁶ by truncating DIV
+  // (DuckDB `//` and Spark DIV both truncate toward zero, so signed
+  // components stay engine-exact). A float power iteration would
+  // hash-drift on summation order; this one cannot.
+  // Plan shape per superstep: postings ⋈ broadcast(64-row x) → per-
+  // vector agg (map-side combined) → skinny dot rejoin → per-dim agg
+  // → 1-row max broadcast. Two corpus passes per superstep, zero
+  // corpus-sized shuffles beyond the keyed aggs.
+  // ---------------------------------------------------------------
+  private def powerStep(post: DataFrame, x: DataFrame): DataFrame = {
+    val dots = post.join(broadcast(x), "dim")
+      .groupBy("vec_id").agg(sum(col("v_ppm") * col("x_ppm")).as("dot"))
+    val raw = post.join(dots, "vec_id")
+      .groupBy("dim")
+      .agg(sum(col("dot").cast("decimal(38,0)") * col("v_ppm").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("raw"))
+    val m = raw.agg(max(abs(col("raw"))).cast("decimal(38,0)").as("m"))
+    raw.crossJoin(broadcast(m))
+      .select(col("dim"), expr("CAST((raw * 1000000) DIV m AS BIGINT)").as("x_ppm"))
+  }
+
+  private def powerIter(s: SparkSession, dir: String): DataFrame = {
+    val post = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), expr(PpmExpr).as("v_ppm"))
+    val x0 = post.select("dim").distinct().withColumn("x_ppm", lit(1000000L))
+    powerStep(post, powerStep(post, x0)).orderBy("dim")
+  }
+
+  private val powerIterSql = {
+    def step(i: Int): String =
+      s"""d$i AS (SELECT p.vec_id, CAST(sum(p.v_ppm * x.x_ppm) AS BIGINT) AS dot
+        |  FROM p JOIN x${i - 1} x USING (dim) GROUP BY 1),
+        |r$i AS (SELECT p.dim, CAST(sum(CAST(d.dot AS HUGEINT) * p.v_ppm) AS HUGEINT) AS raw
+        |  FROM p JOIN d$i d USING (vec_id) GROUP BY 1),
+        |x$i AS (SELECT dim, CAST((raw * 1000000) // t.m AS BIGINT) AS x_ppm
+        |  FROM r$i, (SELECT max(abs(raw)) AS m FROM r$i) t)""".stripMargin
+    s"""WITH p AS (
+      |  SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i FROM embeddings) u),
+      |x0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS x_ppm FROM p),
+      |${Seq(1, 2).map(step).mkString(",\n")}
+      |SELECT dim, x_ppm FROM x2
+      |ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // emb_outliers — farthest-from-centroid vectors per label (the
   // mislabeled/noisy-sample gate of a training pipeline). Distance is
   // compared entirely in scaled integers: for each dim,
@@ -717,5 +773,6 @@ object Similarity {
     Op("sim_range_search_lsh", rangeSearchLsh, Some(rangeSearchLshSql)),
     Op("emb_label_centroid", labelCentroid, Some(labelCentroidSql)),
     Op("emb_dim_stats", dimStats, Some(dimStatsSql)),
+    Op("emb_power_iter", powerIter, Some(powerIterSql)),
     Op("emb_outliers", outliers, Some(outliersSql)))
 }

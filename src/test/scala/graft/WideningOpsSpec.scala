@@ -63,6 +63,28 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("emb_power_iter aligns with a float power-iteration reference") {
+    val got = run("emb_power_iter").collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("x_ppm").toDouble)
+    assert(got.length > 0 && got.map(math.abs).max == 1000000.0)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => math.floor(f * 1e6) / 1e6).toArray)
+    var x = Array.fill(vecs.head.length)(1.0)
+    for (_ <- 1 to 2) {
+      val next = Array.fill(x.length)(0.0)
+      for (v <- vecs) {
+        val d = v.zip(x).map { case (a, b) => a * b }.sum
+        for (i <- v.indices) next(i) += d * v(i)
+      }
+      val m = next.map(math.abs).max
+      x = next.map(_ / m)
+    }
+    val dot = got.zip(x).map { case (a, b) => a * b }.sum
+    val cos = dot / math.sqrt(got.map(a => a * a).sum * x.map(a => a * a).sum)
+    assert(cos > 0.999, s"integer power iteration diverged from float reference: cos=$cos")
+  }
+
   test("ev_rfm: quintile bands are balanced and codes well-formed") {
     val out = run("ev_rfm").cache()
     val n = out.count()
