@@ -583,7 +583,50 @@ object TextOps {
       |FROM dd
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_readability — Flesch-class readability gate in EXACT integer
+  // milli-points (quality filters band on readability; floats would
+  // hash-drift, so the classic 206.835 − 1.015·W/S − 84.6·Y/W
+  // becomes 206835 − (1015·W) DIV S − (84600·Y) DIV W with truncating
+  // division on both engines). Syllables ≈ vowel runs ([aeiouy]+ per
+  // token — the standard proxy), sentences = terminal-punctuation
+  // runs with a floor of 1. Pure per-row regexp arithmetic: map-only,
+  // codegen'd, zero shuffles before the output sort.
+  // ---------------------------------------------------------------
+  private def readability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("bigint"))
+          .as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("bigint").as("n_syllables"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * n_words) DIV n_sentences - (84600 * n_syllables) DIV n_words"))
+      .withColumn("band",
+        when(col("flesch_milli") >= 60000, "easy")
+          .when(col("flesch_milli") >= 30000, "medium").otherwise("hard"))
+      .orderBy("doc_id")
+
+  private val readabilitySql =
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_words,
+      |        greatest(CAST(1 AS BIGINT),
+      |          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+      |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |      FROM t)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words AS flesch_milli,
+      |  CASE WHEN 206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words >= 60000 THEN 'easy'
+      |       WHEN 206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words >= 30000 THEN 'medium'
+      |       ELSE 'hard' END AS band
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("txt_readability", readability, Some(readabilitySql)),
     Op("txt_surprisal", surprisal, Some(surprisalSql)),
     Op("txt_repetition", repetition, Some(repetitionSql)),
     Op("txt_boilerplate", boilerplate, Some(boilerplateSql)),

@@ -808,7 +808,46 @@ object EventOps {
       |FROM sc
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_dau_wau — DAU / trailing-7-day WAU / stickiness (the product-
+  // analytics daily health metric). Exact windowed DISTINCT counts
+  // without a distinct-over-window (which Spark refuses) and without
+  // a days×users self-join: dedup to (user, active-day) pairs once,
+  // then EXPLODE each pair onto the 7 trailing cover days it makes
+  // the user "weekly active" for — a bounded ×7 fan-out of the
+  // already-deduped pair set, followed by one distinct + count per
+  // cover day. Stickiness = DAU·10⁶ DIV WAU in exact ppm. Scale
+  // shape: every step is keyed dedup/agg on (user, day) — map-side
+  // combined, linear, skew-free (day cardinality is bounded, user
+  // spread is the corpus's own).
+  // ---------------------------------------------------------------
+  private def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = withEs(s, dir)
+      .select(col("user_id"), expr("es DIV 86400").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * CAST(1000000 AS BIGINT) DIV wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  private val dauWauSql =
+    """WITH ud AS (SELECT DISTINCT user_id, (epoch_ns(ts)//1000000000) // 86400 AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |cov AS (SELECT DISTINCT user_id, day FROM (
+      |          SELECT user_id, CAST(unnest(range(day, day + 7)) AS BIGINT) AS day FROM ud) z),
+      |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  dau.dau * CAST(1000000 AS BIGINT) // wau.wau AS stickiness_ppm
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_dau_wau", dauWau, Some(dauWauSql)),
     Op("ev_rfm", rfm, Some(rfmSql)),
     Op("ev_multitouch", multitouch, Some(multitouchSql)),
     Op("ev_quantile_sketch", quantileSketch, Some(quantileSketchSql)),

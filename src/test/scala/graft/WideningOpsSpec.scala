@@ -63,6 +63,19 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("ev_dau_wau: WAU bounds DAU and matches a brute weekly distinct") {
+    val out = run("ev_dau_wau").cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("dau") > col("wau")).count() == 0)
+    assert(out.filter(col("stickiness_ppm") > 1000000L).count() == 0)
+    val ud = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(col("user_id"), expr("es DIV 86400").as("day")).distinct()
+    val d = out.agg(max("day")).head().getLong(0)
+    val brute = ud.filter(col("day").between(d - 6, d))
+      .select("user_id").distinct().count()
+    assert(out.filter(col("day") === d).head().getAs[Long]("wau") == brute)
+  }
+
   test("emb_power_iter aligns with a float power-iteration reference") {
     val got = run("emb_power_iter").collect()
       .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("x_ppm").toDouble)
