@@ -693,7 +693,53 @@ object EtlOps {
       |GROUP BY ship_month, l_returnflag
       |ORDER BY ship_month, l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_row_hash_audit — ORDER-INSENSITIVE table fingerprints for
+  // cross-environment reconciliation (the "is the replica identical"
+  // check run after every migration/backfill — comparing checksums,
+  // never shipping rows): per table, n_rows + the DECIMAL(38,0) SUM
+  // of a canonical 60-bit per-row md5. Addition commutes, so the
+  // fingerprint is independent of partitioning, file order and
+  // parallelism — two environments agree iff their row multisets
+  // agree (modulo hash collisions; 60 bits over these cardinalities
+  // is vanishing). Map-only hash + one 1-row-per-table aggregate.
+  // ---------------------------------------------------------------
+  private def rowHashAudit(s: SparkSession, dir: String): DataFrame = {
+    def fp(table: String, df: DataFrame, keyExpr: String): DataFrame =
+      df.select(expr(keyExpr).as("canon"))
+        .select(expr("CAST(conv(substr(md5(canon), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+            .as("checksum"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("checksum"))
+    val c = fp("customer", Tables.load(s, dir, "customer"),
+      "concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)")
+    val o = fp("orders", Tables.load(s, dir, "orders"),
+      "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))")
+    val n = fp("nation", Tables.load(s, dir, "nation"),
+      "concat_ws('|', n_nationkey, n_name, n_regionkey)")
+    c.unionByName(o).unionByName(n).orderBy("table_name")
+  }
+
+  private val rowHashAuditSql =
+    """WITH c AS (
+      |  SELECT 'customer' AS table_name, count(*) AS n_rows,
+      |    CAST(sum(('0x' || substr(md5(c_custkey || '|' || c_name || '|' || c_nationkey || '|' || c_mktsegment), 1, 15))::BIGINT) AS VARCHAR) AS checksum
+      |  FROM customer),
+      |o AS (
+      |  SELECT 'orders', count(*),
+      |    CAST(sum(('0x' || substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+      |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT) AS VARCHAR)
+      |  FROM orders),
+      |n AS (
+      |  SELECT 'nation', count(*),
+      |    CAST(sum(('0x' || substr(md5(n_nationkey || '|' || n_name || '|' || n_regionkey), 1, 15))::BIGINT) AS VARCHAR)
+      |  FROM nation)
+      |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM n
+      |ORDER BY table_name""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_row_hash_audit", rowHashAudit, Some(rowHashAuditSql)),
     Op("etl_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Op("etl_late_arriving", lateArriving, Some(lateArrivingSql)),
     Op("etl_zorder_layout", zorderLayout, Some(zorderLayoutSql)),

@@ -846,7 +846,49 @@ object EventOps {
       |FROM dau JOIN wau ON dau.day = wau.day
       |ORDER BY dau.day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_power_users — activity-concentration (Pareto) profile: users
+  // ranked into activity deciles (ntile(10) over the per-user
+  // aggregate, count-desc with user_id tiebreak), each decile's
+  // exact event share in ppm against the 1-row corpus total
+  // (broadcast scalar, the q11 pattern). Answers "do 10% of users
+  // generate 80% of events" engine-exactly; the cumulative column
+  // makes the crossing point readable. Unpartitioned windows sit
+  // above the |users|-row Aggregate per PlanGuard's rule.
+  // ---------------------------------------------------------------
+  private def powerUsers(s: SparkSession, dir: String): DataFrame = {
+    val per = withEs(s, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val dec = per.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("n").desc, col("user_id"))).cast("bigint"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val total = dec.agg(sum(col("n_events")).as("total_events"))
+    dec.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_events * CAST(1000000 AS BIGINT) DIV total_events"))
+      .withColumn("cum_events", sum(col("n_events")).over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users"), col("n_events"), col("share_ppm"),
+        expr("cum_events * CAST(1000000 AS BIGINT) DIV total_events").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  private val powerUsersSql =
+    """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |d AS (SELECT CAST(ntile(10) OVER (ORDER BY n DESC, user_id) AS BIGINT) AS decile, n FROM per),
+      |g AS (SELECT decile, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total_events FROM g),
+      |cu AS (SELECT g.*, t.total_events,
+      |         CAST(sum(g.n_events) OVER (ORDER BY g.decile
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+      |       FROM g, t)
+      |SELECT decile, n_users, n_events,
+      |  n_events * CAST(1000000 AS BIGINT) // total_events AS share_ppm,
+      |  cum_events * CAST(1000000 AS BIGINT) // total_events AS cum_share_ppm
+      |FROM cu
+      |ORDER BY decile""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_power_users", powerUsers, Some(powerUsersSql)),
     Op("ev_dau_wau", dauWau, Some(dauWauSql)),
     Op("ev_rfm", rfm, Some(rfmSql)),
     Op("ev_multitouch", multitouch, Some(multitouchSql)),
