@@ -50,23 +50,35 @@ object Spans {
         expr(Dedup.sid60Spark).as("wid"))
     val dupIds = wins.groupBy("wid").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
+    islandSpans(wins.join(dupIds, "wid"), SpanK)
+      .orderBy("doc_id", "span_no")
+  }
+
+  /** Merge duplicated window positions (doc_id, pos, occ) into maximal
+    * spans: fixed-length-K intervals overlap iff their starts differ
+    * by < K, so one lag/running-sum window per doc does the interval
+    * merge. Exposed for the property spec (random position sets vs a
+    * brute driver-side interval merge).
+    */
+  private[graft] def islandSpans(dup: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wins.join(dupIds, "wid")
+    dup
       .withColumn("new_island",
         when(lag(col("pos"), 1).over(byDoc).isNull ||
-          col("pos") - lag(col("pos"), 1).over(byDoc) >= SpanK, 1L).otherwise(0L))
+          col("pos") - lag(col("pos"), 1).over(byDoc) >= k, 1L).otherwise(0L))
       .withColumn("span_no", sum(col("new_island")).over(run))
       .groupBy("doc_id", "span_no")
       .agg(min(col("pos")).as("start_tok"),
-        (max(col("pos")) + SpanK - 1).as("end_tok"),
+        (max(col("pos")) + k - 1).as("end_tok"),
         count(lit(1)).as("n_windows"),
         max(col("occ")).as("max_occ"))
       .select(col("doc_id"), col("span_no"),
         col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_tokens"),
         col("n_windows"), col("max_occ"))
-      .orderBy("doc_id", "span_no")
   }
 
   private val spansSql =
