@@ -738,7 +738,44 @@ object EtlOps {
       |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM n
       |ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_salted_join — the JOIN-side skew mitigation (etl_salted_agg
+  // is the aggregation side): a deliberately hot join key (l_suppkey
+  // % 10 funnels the fact table onto 10 values — plain shuffle join
+  // puts a tenth of 100 TB in one task) joins through
+  // Skew.saltedJoin: the fact side salts per row, the dim side
+  // replicates ×16, the join runs on (key, salt) — 16× the reduce
+  // parallelism on the hot key, row-identical to the plain join (the
+  // salt never reaches the output; the oracle is the unsalted join +
+  // GROUP BY). Honest scope note: a 10-row dim would BROADCAST in
+  // production — salting earns its keep when the build side is too
+  // big to broadcast AND the key is skewed; the op demonstrates the
+  // mechanics on a corpus-sized probe side.
+  // ---------------------------------------------------------------
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(s, dir, "lineitem")
+      .select((col("l_suppkey") % 10).as("hot_key"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val dim = big.select("hot_key").distinct()
+      .select(col("hot_key"), concat(lit("grp_"), col("hot_key")).as("label"))
+    graft.etl.Skew.saltedJoin(big, dim, "hot_key")
+      .groupBy("hot_key", "label")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("hot_key")
+  }
+
+  private val saltedJoinSql =
+    """WITH b AS (SELECT l_suppkey % 10 AS hot_key,
+      |            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |          FROM lineitem),
+      |d AS (SELECT DISTINCT hot_key, 'grp_' || CAST(hot_key AS VARCHAR) AS label FROM b)
+      |SELECT b.hot_key, d.label, count(*) AS n_rows, CAST(sum(b.cents) AS BIGINT) AS sum_cents
+      |FROM b JOIN d ON b.hot_key = d.hot_key
+      |GROUP BY b.hot_key, d.label
+      |ORDER BY b.hot_key""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_salted_join", saltedJoin, Some(saltedJoinSql)),
     Op("etl_row_hash_audit", rowHashAudit, Some(rowHashAuditSql)),
     Op("etl_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Op("etl_late_arriving", lateArriving, Some(lateArrivingSql)),

@@ -887,7 +887,63 @@ object EventOps {
       |FROM cu
       |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_anomaly_mad — robust anomaly days via MEDIAN absolute
+  // deviation (the robust companion to ev_anomaly_days' 2σ z-score:
+  // a mean/σ gate is itself dragged by the outliers it hunts; the
+  // MAD breakdown point is 50%). Entirely in scaled integers so the
+  // hash gate holds: med2 = c_lo + c_hi over the count-ranked days
+  // (= 2·median, no halving), dev2 = |2c − med2| (= 2·|c − median|),
+  // mad4 = dev2_lo + dev2_hi over the dev2-ranked days (= 4·MAD),
+  // anomaly iff 2·dev2 > 3·mad4 ⇔ |c − med| > 3·MAD — cross-
+  // multiplied, division-free. Ranking windows are unpartitioned but
+  // run over the |days|-row aggregate (PlanGuard's rule); both
+  // medians broadcast as 1-row scalars.
+  // ---------------------------------------------------------------
+  private def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = withEs(s, dir)
+      .groupBy(expr("es DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    def med2Of(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.orderBy(col(valueCol), col("day"))
+      df.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg((sum(when(col("rn") === expr("(n + 1) DIV 2"), col(valueCol)).otherwise(0L))
+          + sum(when(col("rn") === expr("n DIV 2 + 1"), col(valueCol)).otherwise(0L)))
+          .as(s"m_$valueCol"))
+    }
+    val med2 = med2Of(daily, "n_events")
+    val dev = daily.crossJoin(broadcast(med2))
+      .withColumn("dev2", abs(lit(2) * col("n_events") - col("m_n_events")))
+    val mad4 = med2Of(dev.select(col("day"), col("dev2")), "dev2")
+    dev.crossJoin(broadcast(mad4))
+      .select(col("day"), col("n_events"), col("m_n_events").as("med2"),
+        col("dev2"), col("m_dev2").as("mad4"),
+        when(lit(2) * col("dev2") > lit(3) * col("m_dev2"), 1L).otherwise(0L)
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  private val anomalyMadSql =
+    """WITH daily AS (SELECT (epoch_ns(ts)//1000000000) // 86400 AS day, count(*) AS n_events
+      |              FROM events GROUP BY 1),
+      |r1 AS (SELECT *, CAST(row_number() OVER (ORDER BY n_events, day) AS BIGINT) AS rn,
+      |         CAST(count(*) OVER () AS BIGINT) AS n FROM daily),
+      |m1 AS (SELECT CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN n_events ELSE 0 END)
+      |         + sum(CASE WHEN rn = n // 2 + 1 THEN n_events ELSE 0 END) AS BIGINT) AS med2 FROM r1),
+      |dv AS (SELECT d.day, d.n_events, m1.med2, abs(2 * d.n_events - m1.med2) AS dev2
+      |       FROM daily d, m1),
+      |r2 AS (SELECT *, CAST(row_number() OVER (ORDER BY dev2, day) AS BIGINT) AS rn,
+      |         CAST(count(*) OVER () AS BIGINT) AS n FROM dv),
+      |m2 AS (SELECT CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+      |         + sum(CASE WHEN rn = n // 2 + 1 THEN dev2 ELSE 0 END) AS BIGINT) AS mad4 FROM r2)
+      |SELECT dv.day, dv.n_events, dv.med2, dv.dev2, m2.mad4,
+      |  CAST(CASE WHEN 2 * dv.dev2 > 3 * m2.mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM dv, m2
+      |ORDER BY dv.day""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     Op("ev_power_users", powerUsers, Some(powerUsersSql)),
     Op("ev_dau_wau", dauWau, Some(dauWauSql)),
     Op("ev_rfm", rfm, Some(rfmSql)),
