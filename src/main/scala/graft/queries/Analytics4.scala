@@ -53,6 +53,69 @@ object Analytics4 {
       |WHERE p.price = st.size_min AND (st.strict_min IS NULL OR st.strict_min > p.price)
       |ORDER BY p.p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_hierarchy_flatten — recursive-hierarchy traversal (the
+  // org-chart / category-tree closure SQL solves with RECURSIVE
+  // CTEs, which Spark lacks): depth-to-root per node over the
+  // deterministic binary tree parent(k) = k DIV 2 synthesized on the
+  // customer keys. Spark-first re-expression: POINTER JUMPING
+  // (anc ← anc(anc), steps add) — O(log depth) rounds of keyed
+  // self-joins instead of O(depth) recursive steps, the same
+  // log-round engine dedup_clusters proved, with localCheckpoint
+  // lineage truncation, a 1-row driver action per round for the
+  // fixpoint, and a loud failure at the round cap. The oracle IS a
+  // recursive CTE — the hash match proves the log-round rewrite
+  // equals true recursion. Output: one row per depth (histogram +
+  // key range), so the gate stays |depths|-sized.
+  // ---------------------------------------------------------------
+  private val MaxHierRounds = 40 // pointer jumping: covers depth ~2^40
+
+  private def hierarchyFlatten(s: SparkSession, dir: String): DataFrame = {
+    val init = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("node"))
+      .select(col("node"),
+        when(col("node") <= 1, col("node")).otherwise(expr("node DIV 2")).as("anc"),
+        when(col("node") <= 1, 0L).otherwise(1L).as("steps"))
+    var cur = init.localCheckpoint()
+    var rounds = 0
+    var converged = cur.filter(col("anc") > 1).isEmpty
+    while (!converged && rounds < MaxHierRounds) {
+      val prev = cur
+      cur = prev.as("a")
+        .join(prev.as("b").select(col("node").as("bnode"),
+          col("anc").as("banc"), col("steps").as("bsteps")),
+          col("a.anc") === col("bnode"))
+        .select(col("a.node").as("node"), col("banc").as("anc"),
+          (col("a.steps") + col("bsteps")).as("steps"))
+        .localCheckpoint()
+      prev.unpersist()
+      rounds += 1
+      converged = cur.filter(col("anc") > 1).isEmpty
+    }
+    require(converged,
+      s"q_hierarchy_flatten: pointer jumping did not converge in $MaxHierRounds rounds")
+    cur.groupBy(col("steps").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_key"), max(col("node")).as("max_key"))
+      .orderBy("depth")
+  }
+
+  private val hierarchyFlattenSql =
+    """WITH RECURSIVE walk(node, anc, steps) AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey <= 1 THEN c_custkey ELSE c_custkey // 2 END,
+      |    CAST(CASE WHEN c_custkey <= 1 THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT w.node, CASE WHEN w.anc <= 1 THEN w.anc ELSE w.anc // 2 END, w.steps + 1
+      |  FROM walk w WHERE w.anc > 1),
+      |d AS (SELECT node, max(steps) AS depth FROM walk GROUP BY 1)
+      |SELECT depth, count(*) AS n_nodes, min(node) AS min_key, max(node) AS max_key
+      |FROM d
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("q_skyline", skyline, Some(skylineSql)))
+    Op("q_skyline", skyline, Some(skylineSql)),
+    Op("q_hierarchy_flatten", hierarchyFlatten, Some(hierarchyFlattenSql)))
 }
