@@ -115,7 +115,71 @@ object Analytics4 {
       |GROUP BY depth
       |ORDER BY depth""".stripMargin
 
+  // ---------------------------------------------------------------
+  // geo_cell_join — spatial proximity join via GRID-CELL BUCKETING
+  // (the geohash-class technique: a radius join compiles to an
+  // equality join on cell ids, never an all-pairs distance filter).
+  // Positions are deterministic md5-derived integer microdegrees on
+  // a 10°×10° region (the corpus has no geo columns; the synthesized
+  // ones are engine-portable like every other md5-derived value
+  // here). One side explodes to its 3×3 neighbor cells, the other
+  // stays in its own cell — every qualifying pair meets in EXACTLY
+  // one cell (the right point's own), so no distinct is needed; the
+  // residual predicate is an exact integer squared-distance test at
+  // radius 0.5° (flat-grid metric, the honest small-cell
+  // approximation). At 100 TB this is the standard spatial-join
+  // plan: cells partition the shuffle, the 9× fan-out is bounded,
+  // and skewed cells fall to AQE like any hot join key.
+  // ---------------------------------------------------------------
+  private val GeoRadiusMicro = 500000L // 0.5 degrees in microdegrees
+
+  private def geoCellJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("key"),
+      expr("CAST(conv(substr(md5(concat('lat', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 10000000")
+        .as("lat"),
+      expr("CAST(conv(substr(md5(concat('lon', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 10000000")
+        .as("lon"))
+      .withColumn("cla", expr("lat DIV 1000000"))
+      .withColumn("clo", expr("lon DIV 1000000"))
+    val probe = pts
+      .withColumn("di", explode(expr("sequence(-1, 1)")))
+      .withColumn("dj", explode(expr("sequence(-1, 1)")))
+      .select(col("key").as("a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+        (col("cla") + col("di")).as("jcla"), (col("clo") + col("dj")).as("jclo"))
+    probe.join(pts.select(col("key").as("b"), col("lat").as("lat_b"),
+        col("lon").as("lon_b"), col("cla").as("jcla"), col("clo").as("jclo")),
+        Seq("jcla", "jclo"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist2",
+        (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b"))
+          + (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
+      .filter(col("dist2") <= GeoRadiusMicro * GeoRadiusMicro)
+      .select(col("a"), col("b"), col("dist2"))
+      .orderBy("a", "b")
+  }
+
+  private val geoCellJoinSql =
+    s"""WITH pts AS (
+      |  SELECT c_custkey AS key,
+      |    (('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 AS lat,
+      |    (('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 AS lon
+      |  FROM customer),
+      |c AS (SELECT *, lat // 1000000 AS cla, lon // 1000000 AS clo FROM pts),
+      |probe AS (
+      |  SELECT key AS a, lat AS lat_a, lon AS lon_a,
+      |    cla + di.x AS jcla, clo + dj.x AS jclo
+      |  FROM c, range(-1, 2) di(x), range(-1, 2) dj(x))
+      |SELECT p.a, q.key AS b,
+      |  (p.lat_a - q.lat) * (p.lat_a - q.lat) + (p.lon_a - q.lon) * (p.lon_a - q.lon) AS dist2
+      |FROM probe p JOIN c q ON p.jcla = q.cla AND p.jclo = q.clo
+      |WHERE p.a < q.key
+      |  AND (p.lat_a - q.lat) * (p.lat_a - q.lat) + (p.lon_a - q.lon) * (p.lon_a - q.lon)
+      |      <= ${GeoRadiusMicro * GeoRadiusMicro}
+      |ORDER BY a, b""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_skyline", skyline, Some(skylineSql)),
-    Op("q_hierarchy_flatten", hierarchyFlatten, Some(hierarchyFlattenSql)))
+    Op("q_hierarchy_flatten", hierarchyFlatten, Some(hierarchyFlattenSql)),
+    Op("geo_cell_join", geoCellJoin, Some(geoCellJoinSql)))
 }

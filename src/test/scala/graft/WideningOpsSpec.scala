@@ -63,6 +63,24 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("geo_cell_join equals the brute-force radius join (cell cover is complete)") {
+    val got = run("geo_cell_join").select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def h(p: String, k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 8), 16) % 10000000L
+    }
+    val pts = Tables.load(spark, sfDir, "customer").select("c_custkey").collect()
+      .map(_.getLong(0)).map(k => (k, h("lat", k), h("lon", k)))
+    val r2 = 500000L * 500000L
+    val brute = (for {
+      (ka, la, oa) <- pts; (kb, lb, ob) <- pts
+      if ka < kb && (la - lb) * (la - lb) + (oa - ob) * (oa - ob) <= r2
+    } yield (ka, kb)).toSet
+    assert(got == brute, s"cell join ${got.size} pairs vs brute ${brute.size}")
+  }
+
   test("ev_dau_wau: WAU bounds DAU and matches a brute weekly distinct") {
     val out = run("ev_dau_wau").cache()
     assert(out.count() > 0)
