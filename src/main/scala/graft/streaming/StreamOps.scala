@@ -478,7 +478,71 @@ object StreamOps {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_watermark_late — BOUNDED-LATENESS SEMANTICS through the
+  // hash gate: the one watermark behavior no other gate pins down —
+  // that data arriving BEYOND the watermark is DROPPED, with bounded
+  // state, instead of corrupting finalized windows. Mechanics:
+  //  - batch 1 (first staged file, older mtime; maxFilesPerTrigger=1
+  //    keeps the files in separate micro-batches, ordered by mtime):
+  //    every real event at second precision PLUS one far-future
+  //    sentinel row — at batch end the watermark advances past every
+  //    real window's close, so Append mode finalizes and emits them
+  //    all in the next trigger;
+  //  - batch 2 (second file): a full REPLAY of the corpus with
+  //    shifted event ids — every row now beyond the watermark. If
+  //    late-drop works, none of it lands; if it leaked, counts
+  //    double and the hash gate fails. The oracle is the plain
+  //    batch aggregate of the ON-TIME rows only.
+  // ---------------------------------------------------------------
+  private def streamWatermarkLate(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_late_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
+        col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)).as("ts"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    ev.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(src)
+    Thread.sleep(1100) // distinct mtimes => deterministic file (= batch) order
+    // middle batch: watermark advancement COMMITS one planning cycle
+    // after the batch that observed the max event time — a batch must
+    // pass between the sentinel and the replay, or the replay is
+    // filtered against the still-initial watermark (measured: without
+    // this, every late row merges into live state and counts double)
+    s.range(1).select(lit(-2L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 7300 * 1000L)).as("ts"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      .repartition(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    ev.select((col("event_id") + 1000000000L).as("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .repartition(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val agg = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(agg, name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"),
+        col("sum_dec").cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  private val streamWatermarkLateSql = streamTumblingSql
+
   val ops: Seq[Op] = Seq(
+    Op("stream_watermark_late", streamWatermarkLate, Some(streamWatermarkLateSql)),
     Op("stream_enrich", streamEnrich, Some(streamEnrichSql)),
     Op("stream_upsert", streamUpsert, Some(streamUpsertSql)),
     Op("stream_file_sink", streamFileSink, Some(streamFileSinkSql)),
