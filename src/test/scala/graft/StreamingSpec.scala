@@ -190,6 +190,49 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       Seq("user_id", "purchase_id", "purchase_ts", "signup_ts"), "left_anti").count() == 0)
   }
 
+  test("watermark visibility lags one planning cycle: immediate replay LEAKS, post-commit replay drops") {
+    // Encodes the measurement behind stream_watermark_late's 3-file
+    // staging: a replay in the batch RIGHT AFTER the watermark-
+    // advancing batch still filters against the old watermark and
+    // merges into live state (counts double); a replay one batch
+    // later is dropped. Both phases drive real multi-batch streams.
+    import org.apache.spark.sql.streaming.OutputMode
+    def drain(nMidBatches: Int, qname: String): Long = {
+      val src = Files.createTempDirectory(s"graft_wmlag_$qname").toString
+      val base = spark.range(100).select(
+        col("id").as("event_id"),
+        expr("timestamp_seconds(1700000000 + id * 60)").as("ts"),
+        lit("e").as("event_type"))
+      val sentinel = spark.range(1).select(lit(-1L).as("event_id"),
+        expr("timestamp_seconds(1700000000 + 864000)").as("ts"),
+        lit("sentinel").as("event_type"))
+      base.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(src)
+      for (i <- 1 to nMidBatches) {
+        Thread.sleep(1100)
+        spark.range(1).select(lit(-1L - i).as("event_id"),
+            expr(s"timestamp_seconds(1700000000 + 864000 + $i)").as("ts"),
+            lit("sentinel").as("event_type"))
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      Thread.sleep(1100)
+      base.select((col("event_id") + 1000L).as("event_id"), col("ts"), col("event_type"))
+        .repartition(1).write.mode("append").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val agg = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      EventStream.runAvailableNow(agg, qname, OutputMode.Append(),
+        Files.createTempDirectory(s"graft_wmlag_ckpt_$qname").toString)
+      spark.table(qname).filter(col("event_type") === "e")
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    }
+    assert(drain(0, "wmlag_leak") == 200L,
+      "expected the immediate replay to LEAK (watermark not yet visible)")
+    assert(drain(1, "wmlag_drop") == 100L,
+      "expected the post-commit replay to be dropped")
+  }
+
   test("stateful running user aggregate matches batch totals") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
