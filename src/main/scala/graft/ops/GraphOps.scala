@@ -41,9 +41,17 @@ object GraphOps {
       .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    // materialize the edge relation ONCE: the unrolled supersteps
+    // reference it 7× (outdeg + 2 joins × 3 iterations) and Catalyst
+    // does not dedupe common subplans, so without this the fact-table
+    // join would execute 7 times (A/B at sf0.1: 3.0 s → 2.76 s —
+    // modest here because |E| is small, but at 100 TB it is the
+    // difference between one fact pass and seven)
     val edges = co.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
       .unionByName(co.select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     var mass = outdeg.select(col("src").as("v"), lit(1000000L).as("mass"))
     for (_ <- 1 to Iters) {
       mass = edges
