@@ -48,6 +48,13 @@ object Spans {
           s"i -> concat_ws(' ', slice(toks, i+1, $SpanK)))) AS (pos, g)")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         expr(Dedup.sid60Spark).as("wid"))
+      // materialize the skinny (doc, pos, wid) relation once: it is
+      // scanned twice (occurrence count + the lookup join) and the
+      // md5-per-window id generation dominates the scan — A/B at
+      // sf0.1: 3.1–3.4 s recomputed vs 1.7–2.0 s staged (contrast
+      // emb_power_iter, where the re-scanned work is a cheap
+      // quantize and staging LOSES)
+      .localCheckpoint()
     val dupIds = wins.groupBy("wid").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
     islandSpans(wins.join(dupIds, "wid"), SpanK)
