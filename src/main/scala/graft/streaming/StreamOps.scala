@@ -396,31 +396,36 @@ object StreamOps {
     val schema = s.read.parquet(src).schema
     val target = graft.sources.SourceOps.tmpDir("graft_stream_upsert_tgt")
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
-    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    // versions are keyed on the MICRO-BATCH ID, not a local counter:
+    // foreachBatch re-executes a batch after a mid-stream failure,
+    // and a replay of batch N must re-derive v(N+1) from the same
+    // v(N) (idempotent overwrite) rather than double-apply the merge
+    // — the exactly-once discipline a transactional MERGE sink gets
+    // from (table version, batchId) bookkeeping.
+    val lastVer = new java.util.concurrent.atomic.AtomicLong(0L)
     def agg(df: DataFrame): DataFrame =
       df.groupBy("user_id")
         .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
     val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val batchAgg = batch.select(col("user_id"), lit(1L).as("n_events"),
           struct(expr("unix_timestamp(ts)").as("es"), col("event_id"),
             col("event_type"), col("value")).as("last"))
-        val cur = ver.get()
         val merged =
-          if (cur == 0) agg(batchAgg)
+          if (batchId == 0) agg(batchAgg)
           else agg(batchAgg.unionByName(
-            s.read.parquet(s"$target/v$cur").select("user_id", "n_events", "last")))
-        merged.write.mode("overwrite").parquet(s"$target/v${cur + 1}")
-        ver.incrementAndGet()
+            s.read.parquet(s"$target/v$batchId").select("user_id", "n_events", "last")))
+        merged.write.mode("overwrite").parquet(s"$target/v${batchId + 1}")
+        lastVer.set(batchId + 1)
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    require(ver.get() >= 4, s"expected >=4 merge batches, saw ${ver.get()}")
-    s.read.parquet(s"$target/v${ver.get()}")
+    require(lastVer.get() >= 4, s"expected >=4 merge batches, saw ${lastVer.get()}")
+    s.read.parquet(s"$target/v${lastVer.get()}")
       .select(col("user_id"), col("n_events"),
         col("last.es").as("last_es"), col("last.event_id").as("last_event_id"),
         col("last.event_type").as("last_event_type"), col("last.value").as("last_value"))
