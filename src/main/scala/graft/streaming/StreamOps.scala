@@ -509,8 +509,19 @@ object StreamOps {
     val sentinel = s.range(1).select(lit(-1L).as("event_id"),
       lit(new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)).as("ts"),
       lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    // FileStreamSource orders files by (mtime, path); set mtimes
+    // EXPLICITLY after each write so the three files form three
+    // deterministic micro-batches without sleeping between writes
+    def stampNewFiles(seen: Set[String], mtimeMs: Long): Set[String] = {
+      val dir0 = new java.io.File(src)
+      val parts = dir0.listFiles().filter(f => f.getName.startsWith("part-"))
+      parts.filterNot(f => seen.contains(f.getName))
+        .foreach(f => f.setLastModified(mtimeMs))
+      parts.map(_.getName).toSet
+    }
+    val t0 = System.currentTimeMillis() - 60000
     ev.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(src)
-    Thread.sleep(1100) // distinct mtimes => deterministic file (= batch) order
+    var seen = stampNewFiles(Set.empty, t0)
     // middle batch: watermark advancement COMMITS one planning cycle
     // after the batch that observed the max event time — a batch must
     // pass between the sentinel and the replay, or the replay is
@@ -520,10 +531,11 @@ object StreamOps {
         lit(new java.sql.Timestamp(maxTs.getTime + 7300 * 1000L)).as("ts"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"))
       .repartition(1).write.mode("append").parquet(src)
-    Thread.sleep(1100)
+    seen = stampNewFiles(seen, t0 + 10000)
     ev.select((col("event_id") + 1000000000L).as("event_id"), col("ts"),
         col("event_type"), col("value"))
       .repartition(1).write.mode("append").parquet(src)
+    stampNewFiles(seen, t0 + 20000)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
