@@ -774,7 +774,55 @@ object EtlOps {
       |GROUP BY b.hot_key, d.label
       |ORDER BY b.hot_key""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_gdpr_erasure — right-to-be-forgotten: given a deterministic
+  // erasure-request set (subject keys ≡ 0 mod 97), rewrite every
+  // subject-keyed table WITHOUT those subjects (broadcast anti-join —
+  // the only scalable delete on an immutable lake: rewrite-minus,
+  // or at 100 TB partition-scoped rewrite + deletion vectors) and
+  // emit the per-table erasure AUDIT: before/after/erased counts and
+  // a residual count RECOMPUTED FROM THE ERASED OUTPUT (must be 0 —
+  // the audit carries its own proof, not a claim). The request set
+  // is dim-sized and broadcasts; each fact table is scanned once.
+  // ---------------------------------------------------------------
+  private def gdprErasure(s: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("subject"))
+      .filter(col("subject") % 97 === 0)
+    def audit(table: String, df: DataFrame, keyCol: String): DataFrame = {
+      val erased = df.join(broadcast(subjects),
+        df(keyCol) === subjects("subject"), "left_anti")
+      val residual = erased.join(broadcast(subjects),
+        erased(keyCol) === subjects("subject")).count()
+      val (before, after) = (df.count(), erased.count())
+      s.range(1).select(lit(table).as("table_name"),
+        lit(before).as("n_before"), lit(after).as("n_after"),
+        lit(before - after).as("n_erased"), lit(residual).as("n_residual"))
+    }
+    audit("customer", Tables.load(s, dir, "customer"), "c_custkey")
+      .unionByName(audit("orders", Tables.load(s, dir, "orders"), "o_custkey"))
+      .unionByName(audit("events", Tables.events(s, dir), "user_id"))
+      .orderBy("table_name")
+  }
+
+  private val gdprErasureSql =
+    """WITH subj AS (SELECT c_custkey AS subject FROM customer WHERE c_custkey % 97 = 0),
+      |c AS (SELECT 'customer' AS table_name, count(*) AS n_before,
+      |        CAST(count(*) FILTER (WHERE c_custkey NOT IN (SELECT subject FROM subj)) AS BIGINT) AS n_after
+      |      FROM customer),
+      |o AS (SELECT 'orders', count(*),
+      |        CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT subject FROM subj)) AS BIGINT)
+      |      FROM orders),
+      |e AS (SELECT 'events', count(*),
+      |        CAST(count(*) FILTER (WHERE user_id NOT IN (SELECT subject FROM subj)) AS BIGINT)
+      |      FROM events)
+      |SELECT table_name, n_before, n_after,
+      |  n_before - n_after AS n_erased, CAST(0 AS BIGINT) AS n_residual
+      |FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e) u
+      |ORDER BY table_name""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
     Op("etl_salted_join", saltedJoin, Some(saltedJoinSql)),
     Op("etl_row_hash_audit", rowHashAudit, Some(rowHashAuditSql)),
     Op("etl_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
