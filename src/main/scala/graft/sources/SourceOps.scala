@@ -379,7 +379,47 @@ object SourceOps {
       |SELECT * FROM (SELECT * FROM ok UNION ALL SELECT * FROM bad) u
       |ORDER BY status, rec""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_snapshot_asof — AS-OF snapshot reads over a dated-snapshot
+  // layout (poor-man's time travel, the capability a lakehouse gets
+  // from table formats and a plain-parquet warehouse gets from
+  // `snapshot_date=YYYY-MM-DD/` directories): three drifting daily
+  // snapshots of the customer dim are staged, the reader resolves a
+  // requested AS-OF date to the LATEST snapshot ≤ it from the
+  // directory listing alone (metadata-only — no data read to pick),
+  // then scans exactly that partition (partition pruning does the
+  // rest). Drift rule per snapshot k: customers with key ≡ 0 mod
+  // (5·k) carry segment 'MOVED-k' — so reading the middle snapshot
+  // proves both that later drift is invisible and earlier drift is.
+  // ---------------------------------------------------------------
+  private def snapshotAsof(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_snap")
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    for (k <- 1 to 3) {
+      cust.select(col("c_custkey"),
+          when(col("c_custkey") % (5 * k) === 0, concat(lit("MOVED-"), lit(k)))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        .write.mode("overwrite").parquet(s"$out/snapshot_date=1995-0$k-01")
+    }
+    val asof = "1995-02-15"
+    val chosen = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("snapshot_date="))
+      .map(_.stripPrefix("snapshot_date="))
+      .filter(_ <= asof).max // ISO dates: string order IS date order
+    s.read.parquet(s"$out/snapshot_date=$chosen")
+      .select(lit(chosen).as("snapshot_date"), col("c_custkey"), col("segment"))
+      .orderBy("c_custkey")
+  }
+
+  private val snapshotAsofSql =
+    """SELECT '1995-02-01' AS snapshot_date, c_custkey,
+      |  CASE WHEN c_custkey % 10 = 0 THEN 'MOVED-2' ELSE c_mktsegment END AS segment
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("src_snapshot_asof", snapshotAsof, Some(snapshotAsofSql)),
     Op("src_csv_corrupt", csvCorrupt, Some(csvCorruptSql)),
     Op("etl_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
     Op("src_binaryfile", binaryFileRoundtrip, Some(binaryFileRoundtripSql)),
