@@ -821,7 +821,64 @@ object EtlOps {
       |FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e) u
       |ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------
+  // meta_lineage — COLUMN-LEVEL LINEAGE as a queryable relation (the
+  // governance surface the reference's metadata model encodes but
+  // never exposes: which target column comes from which source
+  // column through which transform, and whether it's a merge key).
+  // One row per configured column across the catalog, the output
+  // mapping joined on where it exists; `included=0` rows surface
+  // columns the extraction DROPS — lineage must show what's absent,
+  // not just what flows. The oracle is generated FROM THE SAME typed
+  // catalog (like meta_sqlgen), so any drift between the config
+  // model and its documented lineage fails the gate.
+  // ---------------------------------------------------------------
+  private def metaLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outByTarget = SampleCatalog.lineitemOutput.map(o => o.targetColumnName -> o).toMap
+    SampleCatalog.all.flatMap { spec =>
+      spec.columns.map { c =>
+        val target = c.aliasName.getOrElse(c.columnName)
+        val out = if (spec.table.tableName == "lineitem") outByTarget.get(target) else None
+        (spec.table.tableName, spec.table.loadType, c.columnId.toLong,
+          c.columnName, target,
+          if (c.includeFlag) 1L else 0L,
+          c.transformationLogic.getOrElse(""),
+          out.map(_.targetDataType).getOrElse(""),
+          out.map(_.targetPosition.toLong).getOrElse(-1L),
+          out.map(o => if (o.isKey) 1L else 0L).getOrElse(0L))
+      }
+    }.toDF("table_name", "load_type", "column_id", "source_column", "target_column",
+      "included", "transform", "out_type", "out_position", "is_key")
+      .orderBy("table_name", "column_id")
+  }
+
+  private val metaLineageSql: String = {
+    def q(s0: String) = "'" + s0.replace("'", "''") + "'"
+    val outByTarget = SampleCatalog.lineitemOutput.map(o => o.targetColumnName -> o).toMap
+    val rows = SampleCatalog.all.flatMap { spec =>
+      spec.columns.map { c =>
+        val target = c.aliasName.getOrElse(c.columnName)
+        val out = if (spec.table.tableName == "lineitem") outByTarget.get(target) else None
+        Seq(q(spec.table.tableName), q(spec.table.loadType),
+          s"CAST(${c.columnId} AS BIGINT)", q(c.columnName), q(target),
+          s"CAST(${if (c.includeFlag) 1 else 0} AS BIGINT)",
+          q(c.transformationLogic.getOrElse("")),
+          q(out.map(_.targetDataType).getOrElse("")),
+          s"CAST(${out.map(_.targetPosition).getOrElse(-1)} AS BIGINT)",
+          s"CAST(${out.map(o => if (o.isKey) 1 else 0).getOrElse(0)} AS BIGINT)"
+        ).mkString("(", ", ", ")")
+      }
+    }
+    s"""SELECT * FROM (VALUES
+      |${rows.mkString(",\n")}
+      |) AS t(table_name, load_type, column_id, source_column, target_column,
+      |       included, transform, out_type, out_position, is_key)
+      |ORDER BY table_name, column_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("meta_lineage", metaLineage, Some(metaLineageSql)),
     Op("etl_gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
     Op("etl_salted_join", saltedJoin, Some(saltedJoinSql)),
     Op("etl_row_hash_audit", rowHashAudit, Some(rowHashAuditSql)),
