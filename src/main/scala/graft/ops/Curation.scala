@@ -119,6 +119,51 @@ object Curation {
       |LEFT JOIN hits h ON q.doc_id = h.doc_id
       |ORDER BY q.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // exp_dataset_card — the one-row DATASET CARD a curation run
+  // publishes beside its export (the corpus-level summary every
+  // training-data release ships: sizes, composition, and how much
+  // each cleaning stage removed): the per-document manifest
+  // aggregated to disposition counts + exact token totals + integer
+  // mean quality, with source/language cardinalities broadcast from
+  // one dimension pass. Everything derives from already-gated
+  // relations, so the card can never disagree with the lineage it
+  // summarizes — and the oracle nests the manifest oracle whole.
+  // ---------------------------------------------------------------
+  private def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    def n(d: String) = sum(when(col("disposition") === d, 1L).otherwise(0L)).as(s"n_$d")
+    val dims = Tables.load(s, dir, "documents")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+    manifest(s, dir)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        n("exact_dup"), n("near_dup"), n("eval_holdout"),
+        n("contaminated"), n("low_quality"), n("kept"),
+        expr("sum(quality_ppm) DIV count(1)").as("mean_quality_ppm"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"), col("n_langs"),
+        col("n_exact_dup"), col("n_near_dup"), col("n_eval_holdout"),
+        col("n_contaminated"), col("n_low_quality"), col("n_kept"),
+        col("mean_quality_ppm"))
+  }
+
+  private val datasetCardSql =
+    s"""WITH m AS ($manifestSql),
+      |dims AS (SELECT count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs
+      |         FROM documents)
+      |SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  dims.n_sources, dims.n_langs,
+      |  CAST(sum(CASE WHEN disposition = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(sum(CASE WHEN disposition = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |  CAST(sum(CASE WHEN disposition = 'eval_holdout' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_holdout,
+      |  CAST(sum(CASE WHEN disposition = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(sum(CASE WHEN disposition = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+      |  CAST(sum(CASE WHEN disposition = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(quality_ppm) AS BIGINT) // count(*) AS mean_quality_ppm
+      |FROM m, dims
+      |GROUP BY dims.n_sources, dims.n_langs""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("curation_manifest", manifest, Some(manifestSql)))
+    Op("curation_manifest", manifest, Some(manifestSql)),
+    Op("exp_dataset_card", datasetCard, Some(datasetCardSql)))
 }
