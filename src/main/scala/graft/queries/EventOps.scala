@@ -942,7 +942,52 @@ object EventOps {
       |FROM dv, m2
       |ORDER BY dv.day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_cohort_ltv — the cohort-LTV TRIANGLE (signup-week cohort ×
+  // weeks-since-signup → revenue), the companion to ev_retention
+  // (which counts users; this sums value): per cohort row, the
+  // cumulative exact-cents purchase revenue at each week offset —
+  // what a growth team reads LTV curves off. Plan shape: first-event
+  // week per user (one map-side-combined agg), broadcast back onto
+  // the purchase stream (skinny |users|-row build side), one
+  // (cohort, offset) aggregate, then a cumulative RANGE window
+  // PARTITIONED by cohort over the tiny triangle relation.
+  // ---------------------------------------------------------------
+  private def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+    val cohorts = ev.groupBy("user_id")
+      .agg(expr("min(es) DIV 604800").as("cohort_week"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("es DIV 604800").as("wk"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .join(broadcast(cohorts), "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(cum))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortLtvSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS es,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |c AS (SELECT user_id, min(es) // 604800 AS cohort_week FROM e GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_week, e.es // 604800 - c.cohort_week AS week_offset,
+      |    count(*) AS n_purchases, CAST(sum(e.cents) AS BIGINT) AS revenue_cents
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_purchases, revenue_cents,
+      |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents
+      |FROM cells
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     Op("ev_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     Op("ev_power_users", powerUsers, Some(powerUsersSql)),
     Op("ev_dau_wau", dauWau, Some(dauWauSql)),
