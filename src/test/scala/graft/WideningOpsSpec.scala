@@ -63,6 +63,21 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("ev_cohort_ltv conserves total purchase revenue across the triangle") {
+    val tri = run("ev_cohort_ltv").cache()
+    assert(tri.count() > 0)
+    assert(tri.filter(col("week_offset") < 0).count() == 0)
+    val total = graft.queries.EventOps.withEs(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .head().getLong(0)
+    assert(tri.agg(sum(col("revenue_cents"))).head().getLong(0) == total)
+    // per cohort, the last cumulative value equals the cohort's own sum
+    val perCohort = tri.groupBy("cohort_week")
+      .agg(sum(col("revenue_cents")).as("s"), max(col("cum_revenue_cents")).as("m"))
+    assert(perCohort.filter(col("s") =!= col("m")).count() == 0)
+  }
+
   test("geo_cell_join equals the brute-force radius join (cell cover is complete)") {
     val got = run("geo_cell_join").select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
