@@ -51,7 +51,26 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(full)
+    // The full line above is the contract, but at 161 queries it runs
+    // ~6 KB — longer than the 2000-char output tail the driver keeps,
+    // so it can never parse from the tail. Persist it to a file and
+    // end stdout with a compact summary (per-family subtotals) that
+    // fits whole inside any tail window.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_FULL.json write failed: ${e.getMessage}") }
+    val famTotals = results.filter(_._2 >= 0)
+      .groupBy { case (k, _) => k.split("_", 2)(0) }
+      .map { case (f, rs) => f -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (f, s) => "\"" + f + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$famTotals,"n_queries":${results.size},"errors":$errors,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (results.exists(_._2 < 0)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

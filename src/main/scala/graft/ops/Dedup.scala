@@ -757,7 +757,7 @@ object Dedup {
       .withColumn("nrm", expr("graft_array_dot(v, v)"))
   }
 
-  private val EmbTau = 0.4
+  private[graft] val EmbTau = 0.4
 
   /** Banded random-hyperplane LSH candidates + exact cosine verify —
     * kept for the banding sweep spec and for HIGH-τ corpora (τ ≥

@@ -303,7 +303,12 @@ object Multimodal {
           "from candidate generation (logged cap, oracle-replicated)")
       n
     }
-    hotKey match {
+    // surfaced as a column (not just a log line): at a corpus where
+    // the cap bites, the excluded count shows up in the gated output
+    // itself — an audited cap like the dedup family's, and since the
+    // oracle recomputes the same statistic the gate stays green while
+    // making the exclusion impossible to miss (ADVICE r5)
+    val hotExcluded: Long = hotKey match {
       case Some(key) => phHotMemo.computeIfAbsent(key, _ => countHot())
       case None => countHot()
     }
@@ -321,6 +326,7 @@ object Multimodal {
       .filter(col("hamming") <= PhHamMax)
       .select("media_type", "doc_a", "doc_b", "hamming")
       .distinct()
+      .withColumn("hot_excluded", lit(hotExcluded))
       .orderBy("media_type", "doc_a", "doc_b")
   }
 
@@ -346,9 +352,13 @@ object Multimodal {
       |cand AS (
       |  SELECT DISTINCT x.media_type, x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS sa, y.ph AS sb
       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
-      |    AND x.media_type = y.media_type AND x.doc_id < y.doc_id)
-      |SELECT media_type, doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-      |FROM cand
+      |    AND x.media_type = y.media_type AND x.doc_id < y.doc_id),
+      |hot AS (SELECT count(*) AS hot_excluded FROM (
+      |  SELECT media_type, band, bv FROM all_bands
+      |  GROUP BY 1, 2, 3 HAVING count(*) > $PhBucketCap) x)
+      |SELECT media_type, doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+      |  CAST(hot.hot_excluded AS BIGINT) AS hot_excluded
+      |FROM cand, hot
       |WHERE bit_count(xor(sa, sb)) <= $PhHamMax
       |ORDER BY media_type, doc_a, doc_b""".stripMargin
 

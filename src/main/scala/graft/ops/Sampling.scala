@@ -324,9 +324,14 @@ object Sampling {
     val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
     val totals = counts.agg(sum(col("n_docs")).as("total_docs"), sum(col("w")).as("sum_w"))
+    // rate numerator budget·w·10000 can pass 2^63 near 1e10 docs
+    // (Spark would wrap silently where DuckDB raises — ADVICE r5), so
+    // the products run in DECIMAL(38,0)/HUGEINT on both engines; the
+    // QUOTIENT is bounded by total_docs·10000 and lands back in BIGINT
     val rates = counts.crossJoin(broadcast(totals))
       .withColumn("rate_bp", least(lit(10000L),
-        expr("((total_docs DIV 4) * w * 10000) DIV (sum_w * n_docs)")))
+        expr("(CAST(total_docs DIV 4 AS DECIMAL(38,0)) * w * 10000) " +
+          "DIV (CAST(sum_w AS DECIMAL(38,0)) * n_docs)")))
       .select("source", "n_docs", "rate_bp")
     d.join(broadcast(rates), "source")
       .withColumn("h_bp", expr(bpSpark))
@@ -340,7 +345,7 @@ object Sampling {
       |cw AS (SELECT *, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM c),
       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs, CAST(sum(w) AS BIGINT) AS sum_w FROM cw),
       |r AS (SELECT source, n_docs,
-      |        CAST(least(10000, ((t.total_docs // 4) * w * 10000) // (t.sum_w * n_docs)) AS BIGINT) AS rate_bp
+      |        CAST(least(10000, (CAST(t.total_docs // 4 AS HUGEINT) * w * 10000) // (CAST(t.sum_w AS HUGEINT) * n_docs)) AS BIGINT) AS rate_bp
       |      FROM cw, t)
       |SELECT d.source, r.n_docs, r.rate_bp, d.doc_id, d.lang
       |FROM documents d JOIN r USING (source)

@@ -561,7 +561,13 @@ object EventOps {
     est.join(exact, Seq("event_type", "q"))
       .select(col("event_type"), col("q"), col("n"),
         col("exact_cents"), col("est_cents"),
-        expr("(est_cents - exact_cents) * CAST(1000000 AS BIGINT) DIV exact_cents")
+        // guard the ratio: a quantile rank landing on value 0 (bucket
+        // 0) makes exact_cents 0, where Spark's non-ANSI DIV yields
+        // NULL but DuckDB's // raises — a latent engine divergence
+        // (ADVICE r5); both plans pin that case to 0
+        expr("CASE WHEN exact_cents > 0 THEN " +
+          "(est_cents - exact_cents) * CAST(1000000 AS BIGINT) DIV exact_cents " +
+          "ELSE CAST(0 AS BIGINT) END")
           .as("slack_ppm"))
       .orderBy("event_type", "q")
   }
@@ -596,9 +602,11 @@ object EventOps {
       |SELECT est.event_type, est.q, est.n, ex.exact_cents,
       |  CASE WHEN est.bucket = 0 THEN CAST(0 AS BIGINT)
       |       ELSE (CAST(1 AS BIGINT) << CAST(est.bucket AS INT)) - 1 END AS est_cents,
-      |  (CASE WHEN est.bucket = 0 THEN CAST(0 AS BIGINT)
-      |        ELSE (CAST(1 AS BIGINT) << CAST(est.bucket AS INT)) - 1 END
-      |   - ex.exact_cents) * CAST(1000000 AS BIGINT) // ex.exact_cents AS slack_ppm
+      |  CASE WHEN ex.exact_cents > 0 THEN
+      |    (CASE WHEN est.bucket = 0 THEN CAST(0 AS BIGINT)
+      |          ELSE (CAST(1 AS BIGINT) << CAST(est.bucket AS INT)) - 1 END
+      |     - ex.exact_cents) * CAST(1000000 AS BIGINT) // ex.exact_cents
+      |  ELSE CAST(0 AS BIGINT) END AS slack_ppm
       |FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
       |ORDER BY est.event_type, est.q""".stripMargin
 

@@ -140,10 +140,22 @@ object Jdbc {
     */
   def indexColumn(spec: JdbcSourceSpec, column: String): Unit = {
     Class.forName(spec.driver)
+    // Identifier quoting must match how each object was CREATED
+    // (ADVICE r5): [[write]] emits the table name unquoted (Derby
+    // folds it to upper case) but quotes every column (Spark's JDBC
+    // writer quotes schema columns via the dialect), so the index
+    // DDL quotes the upper-folded table/index names and the column
+    // as given. Re-running against an already-indexed DB (a re-seed
+    // of a persistent source) is a no-op, not a failure: Derby
+    // signals the duplicate as SQLState X0Y32.
+    val table = "\"" + spec.table.toUpperCase + "\""
+    val idx = "\"" + s"${spec.table}_${column}_IDX".toUpperCase + "\""
     val conn = DriverManager.getConnection(spec.url)
     try conn.createStatement().execute(
-      s"""CREATE INDEX ${spec.table}_${column}_IDX ON ${spec.table}("$column")""")
-    finally conn.close()
+      s"""CREATE INDEX $idx ON $table("$column")""")
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // index exists
+    } finally conn.close()
   }
 
   /** JDBC sink (used to seed the embedded test DB; on a cluster this

@@ -23,7 +23,7 @@ class StagedPairSpec extends AnyFunSuite with SparkSuite {
     val staged = Dedup.embeddingNearDupPairs(spark, sfDir)
       .orderBy("vec_a", "vec_b").collect().toSeq
     val inline = Dedup.embeddingPairsIvf(
-        Tables.load(spark, sfDir, "embeddings"), 0.4)
+        Tables.load(spark, sfDir, "embeddings"), Dedup.EmbTau)
       .orderBy("vec_a", "vec_b").collect().toSeq
     assert(staged.nonEmpty, "embedding pair set unexpectedly empty")
     assert(staged == inline)
