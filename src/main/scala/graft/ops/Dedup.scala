@@ -220,6 +220,7 @@ object Dedup {
     embStageMemo.values.asScala.foreach(deleteDirQuietly)
     embStageMemo.clear()
     embStageLatest.clear()
+    Similarity.resetKnnStage(deleteDirQuietly)
   }
 
   /** Plans that execute INSIDE staging and are therefore invisible to
@@ -237,7 +238,8 @@ object Dedup {
         embeddingPairsIvf(Tables.load(s, dir, "embeddings"), EmbTau),
       // constructing this plan RUNS the CC loop (it is iterative);
       // the guarded plan is the final labels+sizes join it returns
-      "dedup_label_stage(unstaged)" -> clustersComputed(s, dir))
+      "dedup_label_stage(unstaged)" -> clustersComputed(s, dir),
+      "sim_knn_graph_stage(unstaged)" -> Similarity.knnGraphUnsorted(s, dir))
 
   /** Candidate pair stats passing ANY consumer threshold — what the
     * stage persists (see header above).
@@ -270,7 +272,7 @@ object Dedup {
     * snapshot) skips staging entirely and computes `inlinePlan` —
     * correct, never stale.
     */
-  private def stagedBySnapshot(s: SparkSession, dir: String,
+  private[ops] def stagedBySnapshot(s: SparkSession, dir: String,
       memo: java.util.concurrent.ConcurrentHashMap[(String, Long), String],
       latest: java.util.concurrent.ConcurrentHashMap[String, (String, Long)],
       tmpPrefix: String, what: String,

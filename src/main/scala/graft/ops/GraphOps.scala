@@ -85,6 +85,111 @@ object GraphOps {
       |ORDER BY v""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // graph_triangles — triangle counting + local clustering
+  // coefficient over the symmetrized kNN graph (the one
+  // sim_knn_graph stages and gates): the neighborhood-density audit
+  // of an embedding space. Triangle-dense vertices sit in genuine
+  // clique-like duplicate/topic families; triangle-free high-degree
+  // vertices are hubness artifacts or chain false positives — the
+  // exact cases SemDeDup-style semantic dedup over-merges on, so a
+  // curation pipeline reads this before trusting connected
+  // components over the same graph.
+  //
+  // Algorithm: degree-ordered edge orientation (Schank–Wagner /
+  // Cohen's MapReduce formulation — public-domain classics): orient
+  // every undirected edge from its (degree, id)-smaller endpoint to
+  // the larger; each triangle then has exactly ONE vertex with two
+  // out-edges, so wedges (u→v, u→w with v ≺ w) joined against the
+  // oriented edge v→w count each triangle once. Orientation bounds
+  // the wedge fan-out by the max ORIENTED out-degree ≤ O(√|E|)
+  // regardless of raw degree skew — a celebrity vertex with 10⁷
+  // neighbors generates no wedges because its edges all point INTO
+  // it; on a kNN graph out-degree is additionally ≤ 2k by
+  // construction. All joins are equality joins on 8-byte vertex ids;
+  // per-vertex counts partial-aggregate map-side. At 100 TB the edge
+  // relation is the staged artifact (pre-partitioned by src), and
+  // every step is one bounded shuffle of skinny id rows — nothing
+  // quadratic survives.
+  //
+  // Exact integers end to end: counts are counts, and the local
+  // clustering coefficient is published in truncating integer ppm —
+  // cc_ppm = (2·10⁶·n_tri) DIV (deg·(deg−1)) — so the hash gate is
+  // engine- and order-stable.
+  // ---------------------------------------------------------------
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraphStaged(s, dir)
+    // symmetrize: the kNN relation is directed (i's top-k); the
+    // underlying similarity graph is not
+    val ue = g.select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val dg = ue.select(col("a").as("v"))
+      .unionAll(ue.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val da = dg.select(col("v").as("a"), col("deg").as("dega"))
+    val db = dg.select(col("v").as("b"), col("deg").as("degb"))
+    // orient a→b when (deg, id)(a) ≺ (deg, id)(b); carry the dst's
+    // (deg, id) so the wedge join can order v ≺ w without re-joining
+    val o = ue.join(da, "a").join(db, "b")
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("degb"))
+          .otherwise(col("dega")).as("ddeg"))
+    val o1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val o2 = o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = o1.join(o2, "src")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tri = wedges.join(
+      o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val part = tri.select(col("u").as("x"))
+      .unionAll(tri.select(col("v").as("x")))
+      .unionAll(tri.select(col("w").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    dg.join(part.withColumnRenamed("x", "v"), Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm",
+        when(col("degree") >= 2,
+          expr("(2 * 1000000 * n_tri) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("vec_id")
+  }
+
+  private val trianglesSql =
+    s"""${Similarity.knnEdgesDuck},
+      |ue AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+      |                       greatest(vec_id, neighbor_id) AS b FROM g),
+      |dg AS (SELECT v, count(*) AS deg
+      |       FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) z GROUP BY 1),
+      |o AS (SELECT CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.a ELSE ue.b END AS src,
+      |             CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.b ELSE ue.a END AS dst,
+      |             CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN db.deg ELSE da.deg END AS ddeg
+      |      FROM ue JOIN dg da ON ue.a = da.v JOIN dg db ON ue.b = db.v),
+      |tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      |        FROM o o1 JOIN o o2 ON o1.src = o2.src
+      |          AND ((o1.ddeg, o1.dst) < (o2.ddeg, o2.dst))
+      |        JOIN o oc ON oc.src = o1.dst AND oc.dst = o2.dst),
+      |part AS (SELECT x, count(*) AS n_tri FROM (
+      |           SELECT u AS x FROM tri UNION ALL SELECT v FROM tri
+      |           UNION ALL SELECT w FROM tri) z GROUP BY 1)
+      |SELECT dg.v AS vec_id, dg.deg AS degree,
+      |  CAST(coalesce(part.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(CASE WHEN dg.deg >= 2
+      |    THEN (2 * 1000000 * coalesce(part.n_tri, 0)) // (dg.deg * (dg.deg - 1))
+      |    ELSE 0 END AS BIGINT) AS cc_ppm
+      |FROM dg LEFT JOIN part ON dg.v = part.x
+      |ORDER BY vec_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("graph_pagerank", pagerank, Some(pagerankSql)))
+    Op("graph_pagerank", pagerank, Some(pagerankSql)),
+    Op("graph_triangles", triangles, Some(trianglesSql)))
 }

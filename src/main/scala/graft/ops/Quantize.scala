@@ -395,7 +395,68 @@ object Quantize {
       |SELECT query_id, rank, neighbor_id, d2_micro, adist_micro FROM r WHERE rank <= $TopK
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // emb_quantize — INT8 scalar quantization audit (the OTHER
+  // embedding-compression path besides PQ: per-dimension affine
+  // int8, the format every vector store ships as its first memory
+  // cut — 4× smaller than float32 with near-lossless recall).
+  // Before a deployment swaps its serving index to int8 it wants the
+  // reconstruction-error bound per dimension, not a vibe: this op
+  // quantizes each component to code = ((v−min)·255) DIV (max−min),
+  // reconstructs r = min + (code·(max−min)) DIV 255, and publishes
+  // per-dimension max/mean absolute reconstruction error — all in
+  // the corpus-standard floor(x·10⁶) ppm integers, so codes, the
+  // reconstruction and every error statistic are engine-exact.
+  //
+  // Plan shape: pass 1 posexplode → per-dim min/max (map-side
+  // partial agg to 64 rows); pass 2 re-explodes the corpus and joins
+  // the BROADCAST 64-row stats on dim, then partial-aggregates the
+  // error moments back to 64 rows. The corpus is never shuffled —
+  // both shuffles move ≤ |dims| rows; at 100 TB this is two columnar
+  // scans and nothing else. Constant dimensions (max = min) encode
+  // as code 0 / zero error by definition.
+  // ---------------------------------------------------------------
+  private def int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("v_ppm"))
+    val stats = cells.groupBy("dim")
+      .agg(min(col("v_ppm")).as("min_ppm"), max(col("v_ppm")).as("max_ppm"))
+    cells.join(broadcast(stats), "dim")
+      .withColumn("code", expr(
+        "CASE WHEN max_ppm > min_ppm THEN ((v_ppm - min_ppm) * 255) DIV (max_ppm - min_ppm) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("err", expr(
+        "abs(v_ppm - (min_ppm + (code * (max_ppm - min_ppm)) DIV 255))"))
+      .groupBy("dim", "min_ppm", "max_ppm")
+      .agg(count(lit(1)).as("n"), max(col("err")).as("max_err_ppm"),
+        sum(col("err")).as("sum_err_ppm"))
+      .withColumn("mean_err_ppm", expr("sum_err_ppm DIV n"))
+      .select("dim", "min_ppm", "max_ppm", "n", "max_err_ppm", "sum_err_ppm", "mean_err_ppm")
+      .orderBy("dim")
+  }
+
+  private val int8QuantizeSql =
+    """WITH cells AS (
+      |  SELECT CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT embedding, unnest(range(0, len(embedding))) AS i FROM embeddings) u),
+      |st AS (SELECT dim, min(v_ppm) AS min_ppm, max(v_ppm) AS max_ppm FROM cells GROUP BY dim),
+      |q AS (
+      |  SELECT c.dim, st.min_ppm, st.max_ppm,
+      |    abs(c.v_ppm - (st.min_ppm +
+      |      (CASE WHEN st.max_ppm > st.min_ppm
+      |            THEN ((c.v_ppm - st.min_ppm) * 255) // (st.max_ppm - st.min_ppm)
+      |            ELSE 0 END * (st.max_ppm - st.min_ppm)) // 255)) AS err
+      |  FROM cells c JOIN st ON c.dim = st.dim)
+      |SELECT dim, min_ppm, max_ppm, count(*) AS n,
+      |  max(err) AS max_err_ppm, CAST(sum(err) AS BIGINT) AS sum_err_ppm,
+      |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err_ppm
+      |FROM q GROUP BY dim, min_ppm, max_ppm
+      |ORDER BY dim""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("emb_pq", pqTopK, Some(pqSql)),
-    Op("sim_ivf_pq", ivfPqTopK, Some(ivfPqSql)))
+    Op("sim_ivf_pq", ivfPqTopK, Some(ivfPqSql)),
+    Op("emb_quantize", int8Quantize, Some(int8QuantizeSql)))
 }
