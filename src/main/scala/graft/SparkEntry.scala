@@ -33,6 +33,7 @@ object Registry {
       graft.queries.Analytics3.ops ++
       graft.queries.Analytics4.ops ++
       graft.queries.EventOps.ops ++
+      graft.queries.EventOps2.ops ++
       graft.ops.TextOps.ops ++
       graft.ops.Dedup.ops ++
       graft.ops.Spans.ops ++

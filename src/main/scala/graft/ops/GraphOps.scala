@@ -189,7 +189,82 @@ object GraphOps {
       |FROM dg LEFT JOIN part ON dg.v = part.x
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // graph_link_predict — co-citation link prediction over the staged
+  // kNN graph: for every non-adjacent pair (a, b) that some vertex u
+  // points to together (u→a AND u→b in its top-k list), score the
+  // missing edge by its co-recommendation count and the Jaccard of
+  // the two in-neighbor sets — the "users who bought X also bought Y"
+  // primitive, and on an embedding kNN graph the candidate generator
+  // for "these two documents are probably near-dups the index
+  // missed".
+  //
+  // The scale argument is the WEDGE DIRECTION: wedges centered on
+  // common IN-neighbors (u→a, u→b) are bounded by C(k,2) = 3 per
+  // vertex regardless of skew — a hub vertex with 10⁶ in-links
+  // contributes the same 3 wedges as anyone else, because its OWN
+  // out-list is k long by construction. Centering on common
+  // out-neighbors instead (a→u, b→u) would be in-degree-quadratic and
+  // die on hubs. |wedges| = N·C(k,2) exactly; everything downstream
+  // is equality joins on 8-byte pair keys, map-side combined.
+  // Jaccard is over in-neighbor sets (|in(a) ∪ in(b)| denominators
+  // from the in-degree relation), truncating-DIV ppm so the gate is
+  // engine-stable; ranked output carries a strict total order.
+  // ---------------------------------------------------------------
+  private val LpTopN = 50
+
+  private def linkPredict(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraphStaged(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    // undirected adjacency (for the "already linked" exclusion)
+    val und = g.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val indeg = g.groupBy(col("dst").as("v")).agg(count(lit(1)).as("indeg"))
+    // wedges from each vertex's own k-bounded out-list: u→a, u→b, a<b
+    val o1 = g.select(col("src").as("u"), col("dst").as("a"))
+    val o2 = g.select(col("src").as("u"), col("dst").as("b"))
+    val cand = o1.join(o2, "u").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(und, Seq("a", "b"), "left_anti")
+    val scored = cand
+      .join(indeg.select(col("v").as("a"), col("indeg").as("ina")), "a")
+      .join(indeg.select(col("v").as("b"), col("indeg").as("inb")), "b")
+      .withColumn("jaccard_ppm",
+        expr("n_common * CAST(1000000 AS BIGINT) DIV (ina + inb - n_common)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_common").desc, col("jaccard_ppm").desc, col("a"), col("b"))
+    // global rank over the |candidates| relation (≤ 3N pairs, already
+    // aggregated): TakeOrdered on a skinny relation, never the corpus
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LpTopN)
+      .select("rank", "a", "b", "n_common", "ina", "inb", "jaccard_ppm")
+      .orderBy("rank")
+  }
+
+  private val linkPredictSql =
+    s"""${Similarity.knnEdgesDuck},
+      |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM g),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
+      |indeg AS (SELECT dst AS v, count(*) AS indeg FROM ed GROUP BY 1),
+      |lpc AS (
+      |  SELECT o1.dst AS a, o2.dst AS b, count(*) AS n_common
+      |  FROM ed o1 JOIN ed o2 ON o1.src = o2.src AND o1.dst < o2.dst
+      |  GROUP BY 1, 2),
+      |nonadj AS (SELECT lpc.* FROM lpc
+      |           LEFT JOIN und ON lpc.a = und.a AND lpc.b = und.b
+      |           WHERE und.a IS NULL),
+      |scored AS (
+      |  SELECT n.a, n.b, n.n_common, ia.indeg AS ina, ib.indeg AS inb,
+      |    CAST(n.n_common * 1000000 // (ia.indeg + ib.indeg - n.n_common) AS BIGINT) AS jaccard_ppm
+      |  FROM nonadj n JOIN indeg ia ON n.a = ia.v JOIN indeg ib ON n.b = ib.v),
+      |lpr AS (SELECT *, CAST(row_number() OVER (ORDER BY n_common DESC, jaccard_ppm DESC, a, b) AS INT) AS rank
+      |      FROM scored)
+      |SELECT rank, a, b, n_common, ina, inb, jaccard_ppm FROM lpr WHERE rank <= $LpTopN
+      |ORDER BY rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_pagerank", pagerank, Some(pagerankSql)),
-    Op("graph_triangles", triangles, Some(trianglesSql)))
+    Op("graph_triangles", triangles, Some(trianglesSql)),
+    Op("graph_link_predict", linkPredict, Some(linkPredictSql)))
 }

@@ -392,7 +392,58 @@ object Sampling {
       |FROM k
       |ORDER BY epoch, shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------
+  // exp_interleave — deterministic stride-scheduled source
+  // interleaving: the global training order in which every source is
+  // spread evenly across the whole epoch (no "all of source A, then
+  // all of B" — which would make early training see one domain — and
+  // no rand() — which would make the run unreproducible). Classic
+  // stride scheduling: doc at within-source shuffled rank r of n_s
+  // gets virtual position (2r−1)·N DIV (2·n_s) — source s occupies
+  // every (N/n_s)-th slot, so ANY prefix of the order holds each
+  // source in proportion to its share (±|sources|, the bound
+  // InterleaveSpec locks). Exact integer arithmetic; ties between
+  // sources at the same virtual position break by (source, doc_id).
+  //
+  // Scale shape: the within-source shuffle rank is a window
+  // PARTITIONED BY SOURCE (hash-ordered, like exp_epoch_shuffle);
+  // the virtual position is pure per-row algebra off the broadcast
+  // |sources|-row count relation; the output's global orderBy is a
+  // sort-on-read contract (the order KEY is data — a consumer
+  // re-sorts by it per epoch shard), not a global window: no
+  // unpartitioned window anywhere.
+  // ---------------------------------------------------------------
+  private def interleave(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val nTotal = d.count()
+    val withRank = d
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("ok"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("ok"), col("doc_id"))).cast("bigint"))
+    val srcN = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+    withRank.join(broadcast(srcN), "source")
+      .withColumn("vpos", expr(s"(2 * src_rank - 1) * CAST($nTotal AS BIGINT) DIV (2 * n_src)"))
+      .select("doc_id", "source", "src_rank", "n_src", "vpos")
+      .orderBy("vpos", "source", "doc_id")
+  }
+
+  private val interleaveSql =
+    """WITH n AS (SELECT count(*) AS n_total FROM documents),
+      |k AS (SELECT doc_id, source,
+      |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS ok
+      |      FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS BIGINT) AS src_rank
+      |      FROM k),
+      |sn AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source)
+      |SELECT r.doc_id, r.source, r.src_rank, sn.n_src,
+      |  CAST((2 * r.src_rank - 1) * n.n_total // (2 * sn.n_src) AS BIGINT) AS vpos
+      |FROM r JOIN sn ON r.source = sn.source CROSS JOIN n
+      |ORDER BY vpos, r.source, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("exp_interleave", interleave, Some(interleaveSql)),
     Op("exp_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Op("samp_temperature", temperature, Some(temperatureSql)),
     Op("exp_split", tvtSplit, Some(splitSql)),

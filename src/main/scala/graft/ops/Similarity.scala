@@ -810,8 +810,76 @@ object Similarity {
       |SELECT vec_id, rank, neighbor_id, sim FROM g
       |ORDER BY vec_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // sim_recall_eval — ANN index quality as DATA: per-query recall@K
+  // of the multiprobe LSH index against the exact brute-force top-K,
+  // plus the index's candidate-side selectivity proxy (the probed
+  // result's worst kept sim vs the exact kth sim). Production vector
+  // stores run exactly this audit on a query sample before trusting
+  // an index — recall is a measured table, not a README claim. The
+  // op COMPOSES the two already-gated plans (same query sample, same
+  // deterministic planes), so the hash gate proves the evaluation
+  // harness itself, end to end, on both engines.
+  //
+  // Scale shape: both sides are top-K relations over the bounded
+  // query sample (|Q|·K rows) — the join and aggregate are
+  // query-sample-sized; the corpus passes are the two underlying
+  // index scans, each already proven sub-linear.
+  // ---------------------------------------------------------------
+  private def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnBrute(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("exact_sim"))
+    val ann = knnMultiprobe(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("ann_sim"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(when(col("ann_sim").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        min(col("exact_sim")).as("exact_kth_sim"))
+      .withColumn("recall_ppm", expr("n_hits * CAST(1000000 AS BIGINT) DIV k"))
+      .select("query_id", "k", "n_hits", "recall_ppm", "exact_kth_sim")
+      .orderBy("query_id")
+  }
+
+  private val recallEvalSql = {
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val masks = (0 +: (0 until NPlanes).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
+      |       FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+      |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |       FROM bp),
+      |exact AS (SELECT query_id, neighbor_id, sim AS exact_sim FROM br WHERE rank <= $K),
+      |b AS (SELECT vec_id, v, nrm,
+      |      $bucketExpr AS bucket
+      |      FROM n),
+      |mq AS (SELECT vec_id, v, nrm, CAST(xor(bucket, m) AS INT) AS bucket
+      |       FROM b, (SELECT unnest($masks) AS m) masks
+      |       WHERE vec_id < $NQueries),
+      |mp AS (SELECT mq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(mq.v, c.v) / sqrt(mq.nrm * c.nrm), 4) AS sim
+      |       FROM mq JOIN b c ON mq.bucket = c.bucket AND mq.vec_id <> c.vec_id),
+      |mr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |       FROM mp),
+      |ann AS (SELECT query_id, neighbor_id, sim AS ann_sim FROM mr WHERE rank <= $K)
+      |SELECT exact.query_id, count(*) AS k,
+      |  CAST(sum(CASE WHEN ann.ann_sim IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN ann.ann_sim IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+      |  min(exact.exact_sim) AS exact_kth_sim
+      |FROM exact LEFT JOIN ann
+      |  ON exact.query_id = ann.query_id AND exact.neighbor_id = ann.neighbor_id
+      |GROUP BY exact.query_id
+      |ORDER BY exact.query_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_knn_graph", knnGraph, Some(knnGraphSql)),
+    Op("sim_recall_eval", recallEval, Some(recallEvalSql)),
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),

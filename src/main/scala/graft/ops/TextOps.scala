@@ -637,7 +637,89 @@ object TextOps {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_source_divergence — per-source distribution drift: the total
+  // variation distance between each source's unigram distribution
+  // and the corpus-wide one, over the top-V corpus terms with
+  // everything else collapsed into one OTHER bucket (so the distance
+  // is over a complete probability distribution, not a truncated
+  // one). This is the data-mixture audit a pretraining pipeline runs
+  // when a new crawl source lands: TVD ≈ 0 means the source speaks
+  // like the corpus; a high TVD flags domain shift worth a sampling
+  //-weight review (samp_mixture / samp_temperature consume exactly
+  // such verdicts). TVD (= ½ Σ|p−q|) over ppm-truncated masses is
+  // pure integer algebra — engine-exact where a KL/JSD would drift
+  // on transcendentals.
+  //
+  // Plan shape: ONE corpus scan → (source, term) counts (map-side
+  // combined); the corpus distribution re-aggregates that relation,
+  // never the corpus. The top-V set is a TakeOrdered over the vocab
+  // relation (V·partials reduce, broadcast back), so the final TVD
+  // algebra runs on ≤ |sources|·(V+1) rows. At 100 TB: linear scan,
+  // bounded everything else.
+  // ---------------------------------------------------------------
+  private val TvdTopV = 200
+
+  private def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    val corpus = st.groupBy("term").agg(sum(col("n")).as("cn"))
+    val top = corpus.orderBy(col("cn").desc, col("term")).limit(TvdTopV)
+      .select(col("term"))
+    // collapse non-top terms into the OTHER bucket on both grains;
+    // the sentinel is \\u0001-prefixed so it can never collide with a
+    // real top-V term spelled "other" (buckets feed the groupBy — a
+    // collision would silently merge two buckets; chr(1) || 'other'
+    // on the DuckDB side)
+    val stB = st.join(broadcast(top.withColumn("keep", lit(1))), Seq("term"), "left")
+      .withColumn("bucket", when(col("keep").isNotNull, col("term")).otherwise(lit("\u0001other")))
+      .groupBy("source", "bucket").agg(sum(col("n")).as("n"))
+    val srcTot = stB.groupBy("source").agg(sum(col("n")).as("src_tot"))
+    val corpB = stB.groupBy("bucket").agg(sum(col("n")).as("cn"))
+    val corpTot = corpB.agg(sum(col("cn")).as("corp_tot"))
+    // every source must carry every bucket (missing ⇒ p = 0), so the
+    // grid is (sources × buckets) built from the two TINY aggregated
+    // relations (≤ |sources| × (V+1) rows; the broadcast side makes
+    // this a nested-loop broadcast, never a corpus cartesian), then
+    // the observed counts left-join in
+    srcTot.crossJoin(broadcast(corpB))
+      .join(stB, Seq("source", "bucket"), "left")
+      .join(broadcast(corpTot))
+      .withColumn("p_ppm", expr("coalesce(n, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT) DIV src_tot"))
+      .withColumn("q_ppm", expr("cn * CAST(1000000 AS BIGINT) DIV corp_tot"))
+      .groupBy("source")
+      .agg(max(col("src_tot")).as("n_tokens"),
+        sum(expr("abs(p_ppm - q_ppm)")).as("abs_diff_ppm"))
+      .withColumn("tvd_ppm", expr("abs_diff_ppm DIV 2"))
+      .select("source", "n_tokens", "tvd_ppm")
+      .orderBy("source")
+  }
+
+  private val sourceDivergenceSql =
+    s"""WITH st AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+      |sc AS (SELECT source, term, count(*) AS n FROM st GROUP BY 1, 2),
+      |corpus AS (SELECT term, sum(n) AS cn FROM sc GROUP BY 1),
+      |top AS (SELECT term FROM corpus ORDER BY cn DESC, term LIMIT $TvdTopV),
+      |scb AS (SELECT source,
+      |    CASE WHEN top.term IS NOT NULL THEN sc.term ELSE chr(1) || 'other' END AS bucket,
+      |    sum(n) AS n
+      |  FROM sc LEFT JOIN top ON sc.term = top.term GROUP BY 1, 2),
+      |src_tot AS (SELECT source, sum(n) AS src_tot FROM scb GROUP BY 1),
+      |corpb AS (SELECT bucket, sum(n) AS cn FROM scb GROUP BY 1),
+      |corp_tot AS (SELECT sum(cn) AS corp_tot FROM corpb),
+      |grid AS (SELECT s.source, b.bucket, s.src_tot, b.cn FROM src_tot s CROSS JOIN corpb b),
+      |j AS (SELECT g.source, g.bucket, g.src_tot, g.cn, scb.n, ct.corp_tot
+      |      FROM grid g LEFT JOIN scb ON g.source = scb.source AND g.bucket = scb.bucket
+      |      CROSS JOIN corp_tot ct)
+      |SELECT source, CAST(max(src_tot) AS BIGINT) AS n_tokens,
+      |  CAST(sum(abs(coalesce(n, 0) * 1000000 // src_tot - cn * 1000000 // corp_tot)) // 2 AS BIGINT) AS tvd_ppm
+      |FROM j GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("txt_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
     Op("txt_readability", readability, Some(readabilitySql)),
     Op("txt_surprisal", surprisal, Some(surprisalSql)),
     Op("txt_repetition", repetition, Some(repetitionSql)),
