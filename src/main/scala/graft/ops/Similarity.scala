@@ -877,9 +877,109 @@ object Similarity {
       |ORDER BY exact.query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // sim_mmr — maximal-marginal-relevance re-ranking (Carbonell &
+  // Goldstein 1998): greedy diversified top-k over each query's
+  // candidate pool, score(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)
+  // — the de-dup-at-retrieval-time step every RAG / search stack
+  // runs so the 5 results aren't 5 copies of the same document.
+  // λ = 0.7 as the exact rational 7/10 over sims in exact 1e-4 units:
+  // score×10 = 7·sim4 − 3·max_sel4, pure BIGINT algebra, ties by id —
+  // the greedy argmax is engine-stable at every step, which is what
+  // lets an ITERATIVE re-ranker face the hash gate.
+  //
+  // Scale shape: the pool is the brute top-20 per query (at scale
+  // it'd be the ANN shortlist — same contract: MMR always runs over a
+  // BOUNDED pool, never the corpus); the pairwise-sim relation is
+  // |Q|·20·19 rows; the K−1 greedy steps join candidate-pool-sized
+  // relations. One corpus pass total (the pool scan); everything
+  // after is query-sample-sized.
+  // ---------------------------------------------------------------
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  private def mmr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val poolW = Window.partitionBy("query_id").orderBy(col("sim4").desc, col("cid"))
+    val cand = broadcast(q).join(c, col("query_id") =!= col("cid"))
+      .withColumn("sim4",
+        expr("CAST(round(10000 * graft_array_dot(qv, cv) / sqrt(qn * cn), 0) AS BIGINT)"))
+      .withColumn("rk", row_number().over(poolW))
+      .filter(col("rk") <= MmrPool)
+      .select("query_id", "cid", "cv", "cn", "sim4")
+      .localCheckpoint() // |Q|·pool rows; the base of 4 greedy steps
+    val px = cand.select(col("query_id"), col("cid").as("c1"), col("cv").as("v1"), col("cn").as("n1"))
+    val py = cand.select(col("query_id"), col("cid").as("c2"), col("cv").as("v2"), col("cn").as("n2"))
+    val pair = px.join(py, Seq("query_id")).filter(col("c1") =!= col("c2"))
+      .withColumn("psim4",
+        expr("CAST(round(10000 * graft_array_dot(v1, v2) / sqrt(n1 * n2), 0) AS BIGINT)"))
+      .select("query_id", "c1", "c2", "psim4")
+      .localCheckpoint() // |Q|·pool·(pool−1) skinny rows
+    val base = cand.select("query_id", "cid", "sim4")
+    var sel = base
+      .withColumn("rk", row_number().over(poolW))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cid"), lit(1L).as("rank"),
+        col("sim4"), (col("sim4") * 7).as("score10"))
+    for (k <- 2 to MmrK) {
+      val rem = base.join(sel.select("query_id", "cid"), Seq("query_id", "cid"), "left_anti")
+      val pen = pair
+        .join(sel.select(col("query_id"), col("cid").as("c2")), Seq("query_id", "c2"))
+        .groupBy(col("query_id"), col("c1").as("cid"))
+        .agg(max(col("psim4")).as("max_sel4"))
+      val stepW = Window.partitionBy("query_id").orderBy(col("score10").desc, col("cid"))
+      val pick = rem.join(pen, Seq("query_id", "cid"))
+        .withColumn("score10", expr("7 * sim4 - 3 * max_sel4"))
+        .withColumn("rk", row_number().over(stepW))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cid"), lit(k.toLong).as("rank"),
+          col("sim4"), col("score10"))
+      sel = sel.unionByName(pick)
+    }
+    sel.withColumnRenamed("cid", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  private val mmrSql = {
+    val steps = (2 to MmrK).map { k =>
+      s"""pen$k AS (SELECT p.query_id, p.c1 AS cid, max(p.psim4) AS max_sel4
+        |  FROM pair p JOIN sel${k - 1} s ON p.query_id = s.query_id AND p.c2 = s.cid
+        |  GROUP BY 1, 2),
+        |pick$k AS (SELECT query_id, cid, CAST($k AS BIGINT) AS rank, sim4, score10 FROM (
+        |    SELECT c.query_id, c.cid, c.sim4, 7 * c.sim4 - 3 * pen$k.max_sel4 AS score10,
+        |      row_number() OVER (PARTITION BY c.query_id ORDER BY 7 * c.sim4 - 3 * pen$k.max_sel4 DESC, c.cid) AS rk
+        |    FROM cand c JOIN pen$k ON c.query_id = pen$k.query_id AND c.cid = pen$k.cid
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s WHERE s.query_id = c.query_id AND s.cid = c.cid)
+        |  ) z WHERE rk = 1),
+        |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |c0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cid,
+      |         CAST(round(10000 * list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 0) AS BIGINT) AS sim4
+      |       FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+      |cand AS (SELECT query_id, cid, sim4 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim4 DESC, cid) AS rk FROM c0
+      |  ) z WHERE rk <= $MmrPool),
+      |pair AS (SELECT x.query_id, x.cid AS c1, y.cid AS c2,
+      |         CAST(round(10000 * list_dot_product(xv.v, yv.v) / sqrt(xv.nrm * yv.nrm), 0) AS BIGINT) AS psim4
+      |       FROM cand x JOIN cand y ON x.query_id = y.query_id AND x.cid <> y.cid
+      |       JOIN n xv ON x.cid = xv.vec_id JOIN n yv ON y.cid = yv.vec_id),
+      |sel1 AS (SELECT query_id, cid, CAST(1 AS BIGINT) AS rank, sim4, 7 * sim4 AS score10 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim4 DESC, cid) AS rk FROM cand
+      |  ) z WHERE rk = 1),
+      |$steps
+      |SELECT query_id, rank, cid AS neighbor_id, sim4, score10 FROM sel$MmrK
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Op("sim_recall_eval", recallEval, Some(recallEvalSql)),
+    Op("sim_mmr", mmr, Some(mmrSql)),
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),

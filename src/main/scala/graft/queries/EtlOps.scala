@@ -877,6 +877,43 @@ object EtlOps {
       |ORDER BY table_name, column_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // etl_k_anonymity — k-anonymity audit over the customer dimension's
+  // quasi-identifiers (nation, market segment, account-balance band):
+  // the privacy companion to etl_gdpr_erasure — erasure removes known
+  // subjects; this measures whether the REMAINING rows re-identify
+  // anyone. Every equivalence class of the generalized
+  // quasi-identifier tuple is published with its size and a
+  // k≥5 verdict; a release pipeline suppresses (or generalizes
+  // further) the failing classes, and the failing-row total is the
+  // number it must suppress. Banding uses floor(acctbal/1000) — floor
+  // (not truncating DIV) so negative balances band consistently on
+  // both engines.
+  //
+  // Plan shape: one dimension scan → map-side-combined groupBy on the
+  // generalized tuple. At 100 TB the dimension is still the small
+  // side; the audit is one bounded aggregate.
+  // ---------------------------------------------------------------
+  private val KAnon = 5
+
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_safe", (col("n") >= KAnon).cast("int"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+  private val kAnonymitySql =
+    s"""SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |  count(*) AS n,
+      |  CAST(CASE WHEN count(*) >= $KAnon THEN 1 ELSE 0 END AS INT) AS is_safe
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("meta_lineage", metaLineage, Some(metaLineageSql)),
     Op("etl_gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
@@ -899,6 +936,7 @@ object EtlOps {
     Op("etl_scd2", scd2, Some(scd2Sql)),
     Op("etl_scd2_pointintime", scd2PointInTime, Some(scd2PointInTimeSql)),
     Op("etl_dedup_latest", dedupLatest, Some(dedupLatestSql)),
+    Op("etl_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Op("etl_dq_checks", dqChecks, Some(dqChecksSql)),
     Op("etl_consolidate", consolidate, Some(consolidateSql)),
     Op("etl_process_log", processLog, Some(processLogSql)))

@@ -73,6 +73,37 @@ object SourceOps {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // src_xml_roundtrip — XML sink + schema'd XML source (the
+  // interchange format B2B/legacy feeds still arrive in; Spark 4
+  // ships the former spark-xml as a built-in datasource): the part
+  // dimension written as <part> row elements and read back must carry
+  // identical content. Ints and strings only — XML is no more
+  // float-safe than csv, so the money column stays out by design; the
+  // oracle reads the ORIGINAL table (content fidelity, not file
+  // comparison).
+  // ---------------------------------------------------------------
+  private val partXmlSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType)))
+
+  private def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_xml")
+    val cols = partXmlSchema.fieldNames.map(col)
+    Sources.writeXml(Tables.load(s, dir, "part").select(cols.toSeq: _*), out, rowTag = "part")
+    Sources.xml(s, out, partXmlSchema, rowTag = "part")
+      .select(cols.toSeq: _*)
+      .orderBy("p_partkey")
+  }
+
+  private val xmlRoundtripSql =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
   // src_json_roundtrip — json-lines sink + schema'd source with a
   // NESTED payload: orders serialized as {key, detail: {status,
   // priority}, day}; read back, flattened, content-compared. Dates
@@ -424,6 +455,7 @@ object SourceOps {
     Op("etl_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
     Op("src_binaryfile", binaryFileRoundtrip, Some(binaryFileRoundtripSql)),
     Op("src_jdbc", jdbcExtract, Some(jdbcExtractSql)),
+    Op("src_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
     Op("src_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Op("src_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Op("src_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),

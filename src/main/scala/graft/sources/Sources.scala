@@ -53,4 +53,16 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** XML source/sink (built into Spark 4's datasource set): schema'd
+    * read — inference would be an extra full pass at scale, same rule
+    * as csv/json.
+    */
+  def xml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("rowTag", rowTag).xml(path)
 }
