@@ -263,8 +263,71 @@ object GraphOps {
       |SELECT rank, a, b, n_common, ina, inb, jaccard_ppm FROM lpr WHERE rank <= $LpTopN
       |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // graph_bfs — multi-source breadth-first distance over the
+  // symmetrized staged kNN graph: hop distance from the seed set
+  // (vec_id < 5) out to 3 hops — the "how far is everything from the
+  // flagged cluster" query behind contamination blast-radius audits
+  // (seed = known-bad docs, dist = how many near-dup hops away) and
+  // graph-ANN entry-point analysis. The FRONTIER formulation, not
+  // pointer jumping: per round, join the current frontier to the edge
+  // relation, anti-join everything already labeled, min-aggregate new
+  // vertices — each round touches frontier×k edges, never the whole
+  // graph; 3 unrolled rounds keep the plan bounded (a 100 TB run
+  // would loop with localCheckpoint like dedup's CC engine, one
+  // bounded shuffle pair per round).
+  //
+  // Exactness: distances are small integers; ties (a vertex reached
+  // from two frontier vertices in the same round) collapse in the
+  // min/distinct — order-independent, hash-stable.
+  // ---------------------------------------------------------------
+  private val BfsSeeds = 5L
+  private val BfsRounds = 3
+
+  private def bfs(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraphStaged(s, dir)
+    val edges = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .unionAll(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+      .distinct()
+    val seeds = g.select(col("vec_id").as("v")).unionAll(g.select(col("neighbor_id").as("v")))
+      .filter(col("v") < BfsSeeds).distinct()
+      .withColumn("dist", lit(0L))
+    var labeled = seeds
+    var frontier = seeds
+    for (k <- 1 to BfsRounds) {
+      val next = frontier.join(edges, frontier("v") === edges("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(labeled.select("v"), Seq("v"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+      labeled = labeled.unionByName(next)
+      frontier = next
+    }
+    labeled.orderBy("v")
+  }
+
+  private val bfsSql = {
+    val rounds = (1 to BfsRounds).map { k =>
+      s"""f$k AS (SELECT DISTINCT e.dst AS v, CAST($k AS BIGINT) AS dist
+        |  FROM f${k - 1} f JOIN bedges e ON f.v = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM l${k - 1} l WHERE l.v = e.dst)),
+        |l$k AS (SELECT * FROM l${k - 1} UNION ALL SELECT * FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""${Similarity.knnEdgesDuck},
+      |bedges AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT vec_id AS src, neighbor_id AS dst FROM g
+      |    UNION ALL SELECT neighbor_id, vec_id FROM g) z),
+      |f0 AS (SELECT DISTINCT v, CAST(0 AS BIGINT) AS dist FROM (
+      |    SELECT vec_id AS v FROM g UNION ALL SELECT neighbor_id FROM g) z
+      |  WHERE v < $BfsSeeds),
+      |l0 AS (SELECT * FROM f0),
+      |$rounds
+      |SELECT v, dist FROM l$BfsRounds
+      |ORDER BY v""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("graph_pagerank", pagerank, Some(pagerankSql)),
     Op("graph_triangles", triangles, Some(trianglesSql)),
-    Op("graph_link_predict", linkPredict, Some(linkPredictSql)))
+    Op("graph_link_predict", linkPredict, Some(linkPredictSql)),
+    Op("graph_bfs", bfs, Some(bfsSql)))
 }

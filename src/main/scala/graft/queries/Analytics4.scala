@@ -178,8 +178,61 @@ object Analytics4 {
       |      <= ${GeoRadiusMicro * GeoRadiusMicro}
       |ORDER BY a, b""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // geo_grid_density — rasterized density + 3×3 binomial smoothing
+  // (the hotspot-map primitive: raster algebra as relational ops).
+  // Same md5-derived microdegree points as geo_cell_join, bucketed to
+  // 1° cells; the smoothing kernel (corner 1, edge 2, center 4, /16)
+  // is an EQUALITY JOIN of the cell-count relation against its own
+  // 9-offset explode — convolution compiles to join+aggregate exactly
+  // like the radius join compiles to cell equality. The local-peak
+  // ratio (cell count vs its smoothed neighborhood) is published in
+  // truncating ppm so the verdict is engine-stable.
+  //
+  // Scale shape: ONE fact-sized aggregate (map-side combined) down to
+  // ≤ |cells| rows; the convolution fans the CELL relation ×9, never
+  // the points. At 100 TB with a finer grid the cell relation is
+  // still millions of rows, not billions — the kernel join shuffles
+  // on the cell key and partial-aggregates.
+  // ---------------------------------------------------------------
+  private def geoGridDensity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "customer").select(
+        expr("CAST(conv(substr(md5(concat('lat', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 10000000 DIV 1000000").as("cla"),
+        expr("CAST(conv(substr(md5(concat('lon', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 10000000 DIV 1000000").as("clo"))
+      .groupBy("cla", "clo").agg(count(lit(1)).as("n"))
+    val spread = cells
+      .withColumn("di", explode(expr("sequence(-1, 1)")))
+      .withColumn("dj", explode(expr("sequence(-1, 1)")))
+      .select((col("cla") + col("di")).as("cla"), (col("clo") + col("dj")).as("clo"),
+        (col("n") * (lit(4) - abs(col("di")) * 2 - abs(col("dj")) * 2
+          + abs(col("di")) * abs(col("dj")))).as("w"))
+    // weight algebra: (0,0)→4, edge→2, corner→1 (binomial 3×3 kernel)
+    val smooth = spread.groupBy("cla", "clo").agg(sum(col("w")).as("smooth16"))
+    cells.join(smooth, Seq("cla", "clo"))
+      .withColumn("peak_ppm", expr("n * 16 * CAST(1000000 AS BIGINT) DIV smooth16"))
+      .select("cla", "clo", "n", "smooth16", "peak_ppm")
+      .orderBy("cla", "clo")
+  }
+
+  private val geoGridDensitySql =
+    """WITH pts AS (SELECT
+      |    (('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 // 1000000 AS cla,
+      |    (('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 // 1000000 AS clo
+      |  FROM customer),
+      |cells AS (SELECT cla, clo, count(*) AS n FROM pts GROUP BY 1, 2),
+      |spread AS (SELECT cla + di AS cla, clo + dj AS clo,
+      |    n * (4 - abs(di) * 2 - abs(dj) * 2 + abs(di) * abs(dj)) AS w
+      |  FROM cells, (SELECT unnest([-1, 0, 1]) AS di) a, (SELECT unnest([-1, 0, 1]) AS dj) b),
+      |smooth AS (SELECT cla, clo, CAST(sum(w) AS BIGINT) AS smooth16 FROM spread GROUP BY 1, 2)
+      |SELECT c.cla, c.clo, c.n, s.smooth16,
+      |  CAST(c.n * 16 * 1000000 // s.smooth16 AS BIGINT) AS peak_ppm
+      |FROM cells c JOIN smooth s ON c.cla = s.cla AND c.clo = s.clo
+      |ORDER BY c.cla, c.clo""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_skyline", skyline, Some(skylineSql)),
     Op("q_hierarchy_flatten", hierarchyFlatten, Some(hierarchyFlattenSql)),
-    Op("geo_cell_join", geoCellJoin, Some(geoCellJoinSql)))
+    Op("geo_cell_join", geoCellJoin, Some(geoCellJoinSql)),
+    Op("geo_grid_density", geoGridDensity, Some(geoGridDensitySql)))
 }

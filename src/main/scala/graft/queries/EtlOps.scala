@@ -4,6 +4,7 @@ import graft.{Op, Tables}
 import graft.etl.{Consolidator, ExtractionPlanner, Merger, Pipeline, QualityChecks, Skew}
 import graft.meta.SampleCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ETL / warehouse-core capabilities (SURVEY.md §2 first block) —
@@ -878,6 +879,49 @@ object EtlOps {
   }
 
   // ---------------------------------------------------------------
+  // etl_scd3 — SCD Type 3 historization (current + previous value as
+  // COLUMNS, the "show me what changed" dimension shape — the third
+  // classic Kimball pattern next to the SCD2 interval table and the
+  // late-arriving SCD1 correction already registered). Change stream:
+  // v1 = the customer's original market segment; v2 (every 7th key) =
+  // a deterministic re-segmentation. The dimension keeps ONE row per
+  // key with (curr, prev, n_versions): a single key-partitioned
+  // window pass over the change stream — no interval algebra, no
+  // fact-table touch.
+  // ---------------------------------------------------------------
+  private def scd3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val v1 = c.select(col("c_custkey").as("key"), lit(1).as("seq"),
+      col("c_mktsegment").as("segment"))
+    val v2 = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), lit(2).as("seq"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string")).as("segment"))
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    v1.unionByName(v2)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lead(col("segment"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"),
+        col("segment").as("curr_segment"),
+        coalesce(col("prev"), lit("(none)")).as("prev_segment"),
+        col("seq").cast("long").as("n_versions"))
+      .orderBy("key")
+  }
+
+  private val scd3Sql =
+    """WITH v AS (
+      |  SELECT c_custkey AS key, 1 AS seq, c_mktsegment AS segment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |r AS (SELECT *, row_number() OVER w AS rn, lead(segment, 1) OVER w AS prev
+      |      FROM v WINDOW w AS (PARTITION BY key ORDER BY seq DESC))
+      |SELECT key, segment AS curr_segment, coalesce(prev, '(none)') AS prev_segment,
+      |  CAST(seq AS BIGINT) AS n_versions
+      |FROM r WHERE rn = 1
+      |ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_k_anonymity — k-anonymity audit over the customer dimension's
   // quasi-identifiers (nation, market segment, account-balance band):
   // the privacy companion to etl_gdpr_erasure — erasure removes known
@@ -934,6 +978,7 @@ object EtlOps {
     Op("etl_output_mapping", outputMapping, Some(outputMappingSql)),
     Op("etl_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Op("etl_scd2", scd2, Some(scd2Sql)),
+    Op("etl_scd3", scd3, Some(scd3Sql)),
     Op("etl_scd2_pointintime", scd2PointInTime, Some(scd2PointInTimeSql)),
     Op("etl_dedup_latest", dedupLatest, Some(dedupLatestSql)),
     Op("etl_k_anonymity", kAnonymity, Some(kAnonymitySql)),
