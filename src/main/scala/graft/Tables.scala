@@ -15,18 +15,31 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries nanosecond parquet timestamps, which
-    * Spark rejects as a timestamp type; graft sessions read them as
-    * BIGINT nanos (exact integer arithmetic downstream, no sub-micro
-    * truncation ambiguity). The `nanosAsLong` conf this needs is part
-    * of the session contract — set once in [[GraftSession.build]] /
-    * [[GraftSession.tune]], NOT here: a conf flip inside a loader
-    * would race concurrent reads and silently retype other nanos
-    * columns mid-session.
+  /** The events table surfaces `ts` as BIGINT epoch nanoseconds to
+    * every consumer — exact integer arithmetic downstream, no
+    * sub-micro truncation ambiguity, and one normalization point for
+    * whatever physical type the generator writes:
+    *   - parquet nanos (`timestamp[ns]`): read as LongType via the
+    *     session-contract `nanosAsLong` conf (set in
+    *     [[GraftSession.build]]/[[GraftSession.tune]], NOT here — a
+    *     conf flip inside a loader would race concurrent reads);
+    *   - parquet micros (`timestamp[us]`, surfaced as TIMESTAMP_NTZ):
+    *     cast through the UTC session zone and widen micros → nanos.
+    * The DuckDB oracle side needs no branch: `epoch_ns(ts)` yields
+    * the same integer for either physical type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "graft sessions read parquet nanos as BIGINT; build the session via GraftSession.build/tune")
-    load(spark, dir, "events")
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft sessions pin UTC; build the session via GraftSession.build/tune")
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            raw("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
 }
