@@ -28,6 +28,7 @@ object SparkEntry {
 object Registry {
   val all: Seq[Op] =
     graft.queries.EtlOps.ops ++
+      graft.queries.EtlOps2.ops ++
       graft.queries.Analytics.ops ++
       graft.queries.Analytics2.ops ++
       graft.queries.Analytics3.ops ++

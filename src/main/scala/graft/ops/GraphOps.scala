@@ -325,7 +325,77 @@ object GraphOps {
       |ORDER BY v""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // graph_lpa — synchronous label propagation (community detection)
+  // over the symmetrized staged kNN graph: labels start as vertex
+  // ids; each round every vertex adopts the MOST FREQUENT label among
+  // its neighbors (ties → smallest label — the determinism knob that
+  // makes an LPA face a hash gate at all; classic async LPA is
+  // run-order-dependent by construction). Three unrolled rounds.
+  // Communities differ from connected components (dedup_clusters'
+  // output): LPA splits a weakly-bridged component into its dense
+  // cores, which is what topic/near-dup FAMILY discovery wants —
+  // components only say "reachable", LPA says "belongs".
+  //
+  // Plan per round: one equality join of the label relation to the
+  // edge relation on src (shuffle on 8-byte ids), one
+  // map-side-combined count per (dst, label), one per-dst window
+  // argmax — the window partitions by vertex (max k rows each; never
+  // global) and sits above an Aggregate. Edges localCheckpoint once,
+  // reused all rounds. At 100 TB: per-superstep cost is |E| join
+  // rows, label relation persists between rounds — same staging
+  // contract as pagerank/bfs.
+  // ---------------------------------------------------------------
+  private val LpaRounds = 3
+
+  private def lpa(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraphStaged(s, dir)
+    val edges = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .unionAll(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+      .distinct().localCheckpoint()
+    var lab = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to LpaRounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dst").orderBy(col("cnt").desc, col("label").asc)
+      lab = edges.join(lab.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("label"))
+    }
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "label")
+      .select(col("v").as("vec_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("vec_id")
+  }
+
+  private val lpaSql = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""lv$i AS (
+        |  SELECT dst AS v, label FROM (
+        |    SELECT e.dst, l.label, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY e.dst
+        |        ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM ledges e JOIN lv${i - 1} l ON e.src = l.v
+        |    GROUP BY e.dst, l.label) z
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${Similarity.knnEdgesDuck},
+      |ledges AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT vec_id AS src, neighbor_id AS dst FROM g
+      |    UNION ALL SELECT neighbor_id, vec_id FROM g) z),
+      |lv0 AS (SELECT DISTINCT src AS v, src AS label FROM ledges),
+      |$rounds,
+      |sz AS (SELECT label, count(*) AS community_size FROM lv$LpaRounds GROUP BY 1)
+      |SELECT l.v AS vec_id, l.label AS community, sz.community_size
+      |FROM lv$LpaRounds l JOIN sz ON l.label = sz.label
+      |ORDER BY vec_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("graph_lpa", lpa, Some(lpaSql)),
     Op("graph_pagerank", pagerank, Some(pagerankSql)),
     Op("graph_triangles", triangles, Some(trianglesSql)),
     Op("graph_link_predict", linkPredict, Some(linkPredictSql)),

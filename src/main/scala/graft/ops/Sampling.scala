@@ -442,7 +442,64 @@ object Sampling {
       |FROM r JOIN sn ON r.source = sn.source CROSS JOIN n
       |ORDER BY vpos, r.source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // exp_token_budget — greedy token-budget fill per language: rank
+  // each language's docs by quality (the proven integer quality_ppm,
+  // ties → doc_id), admit docs while the running token total stays
+  // within the per-language budget — the "give me the best 2k tokens
+  // of German" selection a mixture-weighted pre-training recipe runs
+  // per (lang, source) cell. Greedy-prefix semantics: a doc is kept
+  // iff its OWN cumulative sum fits; later smaller docs may still fit
+  // and are kept (knapsack-greedy, deterministic, order-stable).
+  //
+  // Scale shape: the cumulative sum is a window PARTITIONED BY
+  // LANGUAGE — the partition count is the language count, so at
+  // 100 TB this is the documented skew point: the production path
+  // computes the per-lang quality-threshold from a bounded
+  // (lang × quality-band) histogram first (exactly the two-phase
+  // trick q_percentiles_hist proves) and only window-scans the
+  // boundary band; registered form keeps the single window since the
+  // gate corpus has 5 langs × ≤220 docs. The window sits above a
+  // doc-level relation keyed by (lang, quality, id) — deterministic
+  // under any partitioning.
+  // ---------------------------------------------------------------
+  private val TokenBudget = 2000L
+
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Dedup.qualityPerDoc(s, dir)
+      .join(Tables.load(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("lang", "doc_id", "quality_ppm", "n_tokens", "cum_tokens")
+      .orderBy("lang", "cum_tokens", "doc_id")
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |    (10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) // n AS quality_ppm,
+      |    CAST(n AS BIGINT) AS n_tokens
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n,
+      |      len(list_filter(toks, x -> x IN (${graft.ops.TextOps.stopList}))) AS stop_cnt,
+      |      len(list_filter(toks, x -> length(x) <= 2)) AS short_cnt,
+      |      len(toks) - len(list_distinct(toks)) AS dup_cnt
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents) t) x),
+      |c AS (
+      |  SELECT d.lang, q.doc_id, q.quality_ppm, q.n_tokens,
+      |    CAST(sum(q.n_tokens) OVER (PARTITION BY d.lang
+      |      ORDER BY q.quality_ppm DESC, q.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
+      |SELECT lang, doc_id, quality_ppm, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= $TokenBudget
+      |ORDER BY lang, cum_tokens, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("exp_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Op("exp_interleave", interleave, Some(interleaveSql)),
     Op("exp_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Op("samp_temperature", temperature, Some(temperatureSql)),
