@@ -295,11 +295,18 @@ object GraphOps {
     var labeled = seeds
     var frontier = seeds
     for (k <- 1 to BfsRounds) {
+      // truncate lineage each round: `next` reads BOTH frontier and
+      // labeled, and labeled = union of every prior round — without
+      // checkpoints the final plan embeds the whole cascade ~2^rounds
+      // times (6.1s at sf0.1, ~same at sf0.01: plan cost, not data).
+      // Frontier/labeled are skinny id relations; the 100 TB loop
+      // would persist them the same way (cf. dedup's CC engine).
       val next = frontier.join(edges, frontier("v") === edges("src"))
         .select(col("dst").as("v")).distinct()
         .join(labeled.select("v"), Seq("v"), "left_anti")
         .withColumn("dist", lit(k.toLong))
-      labeled = labeled.unionByName(next)
+        .localCheckpoint()
+      labeled = labeled.unionByName(next).localCheckpoint()
       frontier = next
     }
     labeled.orderBy("v")

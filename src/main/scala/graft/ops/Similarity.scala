@@ -735,7 +735,7 @@ object Similarity {
     */
   private[ops] def knnGraphUnsorted(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val assigned = Dedup.ivfCellAssignments(Tables.load(s, dir, "embeddings"))
+    val assigned = Dedup.stagedCellAssignments(s, dir)
     val cand = assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -937,7 +937,12 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("cid"), lit(k.toLong).as("rank"),
           col("sim4"), col("score10"))
-      sel = sel.unionByName(pick)
+      // truncate lineage each step: pick_k references sel_{k-1} TWICE
+      // (remaining-pool anti-join + penalty join), so without this the
+      // final plan embeds ~2^K copies of the cascade — at sf0.1 that
+      // was 5.0s of pure planning/codegen for |Q|·K tiny rows (6.7s at
+      // sf0.01: the cost was plan-shaped, not data-shaped)
+      sel = sel.unionByName(pick).localCheckpoint()
     }
     sel.withColumnRenamed("cid", "neighbor_id")
       .orderBy("query_id", "rank")
