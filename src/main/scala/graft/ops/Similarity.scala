@@ -878,6 +878,83 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // emb_matryoshka_eval — truncated-dimension retrieval audit
+  // (Kusupati et al. 2022, "Matryoshka Representation Learning"):
+  // per-query recall@K of brute-force search over the first
+  // 8/16/32 components against the full 64-dim top-K — the
+  // measurement behind every "search the cheap prefix first, rerank
+  // with the full vector" deployment, and the budget table that says
+  // which prefix an ANN tier can index. Same evaluation skeleton as
+  // sim_recall_eval (top-K sets joined per query, integer-ppm
+  // recall); rounded-sim ranking with neighbor-id tiebreak keeps
+  // every per-dim top-K engine-stable.
+  //
+  // Scale shape: each dim's pass is the brute scan over the bounded
+  // query sample (|Q|·N dots, prefix-length each) — 3 extra passes
+  // at ≤ half the full-dim flops; everything downstream is |Q|·K
+  // rows. At 100 TB the corpus side would be the ANN shortlist per
+  // tier (same contract as sim_mmr's pool).
+  // ---------------------------------------------------------------
+  private val MatDims = Seq(8, 16, 32)
+  private val MatK = 10
+
+  private def matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def topk(d: Int): DataFrame = {
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), expr(s"slice(v, 1, $d)").as("qv"))
+        .withColumn("qn", expr("graft_array_dot(qv, qv)"))
+      val c = e.select(col("vec_id").as("nid"), expr(s"slice(v, 1, $d)").as("cv"))
+        .withColumn("cn", expr("graft_array_dot(cv, cv)"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nid"))
+      broadcast(q).join(c, col("query_id") =!= col("nid"))
+        .withColumn("sim", cosine(expr("graft_array_dot(qv, cv)"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= MatK)
+        .select(col("query_id"), col("nid"))
+    }
+    val full = topk(64)
+      .select(col("query_id").as("fq"), col("nid").as("fid"))
+      .localCheckpoint()
+    MatDims.map { d =>
+      topk(d)
+        .join(full, col("query_id") === col("fq") && col("nid") === col("fid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("fid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("query_id"), col("k"),
+          col("n_hits"),
+          expr("n_hits * CAST(1000000 AS BIGINT) DIV k").as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("dim", "query_id")
+  }
+
+  private val matryoshkaSql = {
+    def pass(d: Int, name: String) =
+      s"""p$name AS (SELECT q.vec_id AS query_id, c.vec_id AS nid,
+        |  round(list_dot_product(q.v[1:$d], c.v[1:$d]) /
+        |        sqrt(list_dot_product(q.v[1:$d], q.v[1:$d]) *
+        |             list_dot_product(c.v[1:$d], c.v[1:$d])), 4) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+        |t$name AS (SELECT query_id, nid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, nid) AS rank FROM p$name) z WHERE rank <= $MatK)""".stripMargin
+    val dims = MatDims.map(d => pass(d, d.toString)).mkString(",\n")
+    val unions = MatDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, t.query_id, count(*) AS k,
+        |  CAST(sum(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM t$d t LEFT JOIN tfull f
+        |  ON t.query_id = f.query_id AND t.nid = f.nid
+        |GROUP BY t.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |${pass(64, "full")},
+      |$dims
+      |$unions
+      |ORDER BY dim, query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // sim_mmr — maximal-marginal-relevance re-ranking (Carbonell &
   // Goldstein 1998): greedy diversified top-k over each query's
   // candidate pool, score(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)
@@ -984,6 +1061,7 @@ object Similarity {
   val ops: Seq[Op] = Seq(
     Op("sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Op("sim_recall_eval", recallEval, Some(recallEvalSql)),
+    Op("emb_matryoshka_eval", matryoshka, Some(matryoshkaSql)),
     Op("sim_mmr", mmr, Some(mmrSql)),
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),

@@ -141,7 +141,55 @@ object EventOps2 {
       |FROM r GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_forecast_baseline — seasonal-naive forecast audit: predict
+  // each (event_type, day)'s event count and cent volume with the
+  // value from SEVEN DAYS EARLIER and publish the per-day absolute
+  // errors — the baseline every real forecasting deployment must
+  // beat (and the drift monitor that pages when today diverges from
+  // last week). Forecast joins day = day−7 EXPLICITLY (a lag(7) row
+  // window would silently read the 7th-PREVIOUS-OBSERVED day when a
+  // type skips days — wrong semantics, and engine-divergent). All
+  // arithmetic in BIGINT counts/cents.
+  //
+  // Plan shape: one fact scan → map-side-combined (day, type)
+  // aggregate; the forecast join is |days×types|-sized on both
+  // sides. At 100 TB the daily rollup IS the incremental artifact
+  // (etl_incremental_agg's contract) and this op joins two tiny
+  // relations.
+  // ---------------------------------------------------------------
+  private def forecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val daily = withEs(s, dir)
+      .select(expr("es DIV 86400").as("day_num"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day_num", "event_type")
+      .agg(count(lit(1)).as("actual_n"), sum("cents").as("actual_cents"))
+    val fc = daily.select(col("event_type"), (col("day_num") + 7).as("day_num"),
+      col("actual_n").as("forecast_n"), col("actual_cents").as("forecast_cents"))
+    daily.join(fc, Seq("event_type", "day_num"))
+      .select(col("event_type"), col("day_num"), col("actual_n"), col("forecast_n"),
+        abs(col("actual_n") - col("forecast_n")).as("abs_err_n"),
+        col("actual_cents"), col("forecast_cents"),
+        abs(col("actual_cents") - col("forecast_cents")).as("abs_err_cents"))
+      .orderBy("event_type", "day_num")
+  }
+
+  private val forecastBaselineSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts)//1000000000 // 86400 AS day_num, event_type,
+      |    count(*) AS actual_n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS actual_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, a.day_num, a.actual_n,
+      |  f.actual_n AS forecast_n, abs(a.actual_n - f.actual_n) AS abs_err_n,
+      |  a.actual_cents, f.actual_cents AS forecast_cents,
+      |  abs(a.actual_cents - f.actual_cents) AS abs_err_cents
+      |FROM daily a JOIN daily f
+      |  ON a.event_type = f.event_type AND a.day_num = f.day_num + 7
+      |ORDER BY a.event_type, a.day_num""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_growth_accounting", growthAccounting, Some(growthAccountingSql)),
+    Op("ev_forecast_baseline", forecastBaseline, Some(forecastBaselineSql)),
     Op("ev_concurrency", concurrency, Some(concurrencySql)))
 }
