@@ -878,6 +878,86 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // emb_coreset — k-center greedy coreset selection (Gonzalez 1985
+  // farthest-point traversal, the 2-approximation that anchors every
+  // coreset / diverse-subset pipeline): seed with the smallest
+  // vec_id, then K−1 times add the point FARTHEST from the selected
+  // set (min cosine to its nearest center; ties → smallest id) — the
+  // "pick 8 maximally spread exemplars" selection a curation pipeline
+  // runs to seed clustering, pick annotation batches, or cap a
+  // topic's redundancy. Output: each center with its selection step
+  // and the corpus max-min coverage radius AT selection (the classic
+  // monotone k-center curve).
+  //
+  // Determinism: rounded-1e-4 sims with vec_id tie-breaks at the
+  // argmin make every pick engine-exact (same contract as every
+  // other greedy op here). Scale shape: per step ONE map over the
+  // corpus against the single new center (broadcast 1 row) to fold
+  // best_sim, plus a TakeOrdered(1) argmin — K bounded passes, state
+  // localCheckpointed per round like the other iterative engines;
+  // the 1-row driver collect per step is the same fixpoint pattern
+  // as dedup's CC rounds. At 100 TB: K scans of a skinny
+  // (id, best_sim) relation + the vector column — never a pairwise
+  // join.
+  // ---------------------------------------------------------------
+  private val CoresetK = 8
+
+  private def coreset(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val c0 = e.orderBy("vec_id").limit(1).collect()(0)
+    def simTo(cv: Seq[Double], cn: Double) = {
+      // explicit D suffix: bare decimal literals parse as DECIMAL and
+      // the dot kernel takes ARRAY<DOUBLE>
+      val lit0 = cv.map(x => s"${x}D").mkString("array(", ", ", ")")
+      expr(s"round(graft_array_dot(v, $lit0) / sqrt(nrm * ${cn}D), 4)")
+    }
+    var picked = Seq((c0.getLong(0), 1L, 10000L)) // (vec_id, step, radius4)
+    var state = e.filter(col("vec_id") =!= c0.getLong(0))
+      .withColumn("best", simTo(c0.getSeq[Double](1), c0.getDouble(2)))
+      .localCheckpoint()
+    for (k <- 2 to CoresetK) {
+      val next = state.orderBy(col("best").asc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("best")).collect()(0)
+      picked :+= ((next.getLong(0), k.toLong,
+        (next.getDouble(3) * 10000).round))
+      state = state.filter(col("vec_id") =!= next.getLong(0))
+        .withColumn("best", greatest(col("best"),
+          simTo(next.getSeq[Double](1), next.getDouble(2))))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    picked.toDF("vec_id", "step", "coverage_sim4")
+      .select(col("step"), col("vec_id"), col("coverage_sim4"))
+      .orderBy("step")
+  }
+
+  private val coresetSql = {
+    // replicate the greedy exactly: step CTEs carry (selected set,
+    // per-point best sim); each pick is the 1-row argmin
+    def step(k: Int): String =
+      s"""p$k AS (SELECT vec_id, v, nrm, best FROM s${k - 1}
+        |        ORDER BY best, vec_id LIMIT 1),
+        |s$k AS (SELECT t.vec_id, t.v, t.nrm,
+        |          greatest(t.best, round(list_dot_product(t.v, p.v) / sqrt(t.nrm * p.nrm), 4)) AS best
+        |        FROM s${k - 1} t, p$k p WHERE t.vec_id <> p.vec_id)""".stripMargin
+    val steps = (2 to CoresetK).map(step).mkString(",\n")
+    val outs = (2 to CoresetK)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, vec_id, CAST(round(best * 10000) AS BIGINT) AS coverage_sim4 FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e0),
+      |c0 AS (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 1),
+      |s1 AS (SELECT t.vec_id, t.v, t.nrm,
+      |         round(list_dot_product(t.v, c.v) / sqrt(t.nrm * c.nrm), 4) AS best
+      |       FROM n t, c0 c WHERE t.vec_id <> c.vec_id),
+      |$steps
+      |SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(10000 AS BIGINT) AS coverage_sim4 FROM c0
+      |UNION ALL
+      |$outs
+      |ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // emb_matryoshka_eval — truncated-dimension retrieval audit
   // (Kusupati et al. 2022, "Matryoshka Representation Learning"):
   // per-query recall@K of brute-force search over the first
@@ -1062,6 +1142,7 @@ object Similarity {
     Op("sim_knn_graph", knnGraph, Some(knnGraphSql)),
     Op("sim_recall_eval", recallEval, Some(recallEvalSql)),
     Op("emb_matryoshka_eval", matryoshka, Some(matryoshkaSql)),
+    Op("emb_coreset", coreset, Some(coresetSql)),
     Op("sim_mmr", mmr, Some(mmrSql)),
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),

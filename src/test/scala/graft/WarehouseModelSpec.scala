@@ -88,6 +88,18 @@ class WarehouseModelSpec extends AnyFunSuite with SparkSuite {
     lpa.unpersist()
   }
 
+  test("emb_coreset: distinct centers and a monotone coverage curve") {
+    val cs = run("emb_coreset").collect()
+    assert(cs.length == 8)
+    assert(cs.map(_.getLong(1)).distinct.length == 8)
+    // farthest-point traversal: once the globally farthest point is
+    // taken (step 2), every later pick is nearer its closest center —
+    // the coverage sim at selection is non-decreasing from step 2 on
+    val curve = cs.sortBy(_.getLong(0)).map(_.getLong(2)).drop(1)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"coverage curve not monotone: ${curve.toSeq}")
+  }
+
   test("exp_token_budget: per-lang totals within budget and selection is the quality prefix") {
     val sel = run("exp_token_budget").cache()
     // budget respected per language
