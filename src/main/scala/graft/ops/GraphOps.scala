@@ -294,20 +294,27 @@ object GraphOps {
       .withColumn("dist", lit(0L))
     var labeled = seeds
     var frontier = seeds
+    var labeledIds = Set.empty[Int]
+    var frontierIds = Set.empty[Int]
     for (k <- 1 to BfsRounds) {
       // truncate lineage each round: `next` reads BOTH frontier and
       // labeled, and labeled = union of every prior round — without
       // checkpoints the final plan embeds the whole cascade ~2^rounds
       // times (6.1s at sf0.1, ~same at sf0.01: plan cost, not data).
-      // Frontier/labeled are skinny id relations; the 100 TB loop
-      // would persist them the same way (cf. dedup's CC engine).
-      val next = frontier.join(edges, frontier("v") === edges("src"))
-        .select(col("dst").as("v")).distinct()
-        .join(labeled.select("v"), Seq("v"), "left_anti")
-        .withColumn("dist", lit(k.toLong))
-        .localCheckpoint()
-      labeled = labeled.unionByName(next).localCheckpoint()
+      // Superseded rounds are freed (Rounds bookkeeping, same
+      // convention as dedup's CC engine).
+      val (next, nextIds) = Rounds.checkpoint(
+        frontier.join(edges, frontier("v") === edges("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(labeled.select("v"), Seq("v"), "left_anti")
+          .withColumn("dist", lit(k.toLong)))
+      Rounds.free(edges, frontierIds)
       frontier = next
+      frontierIds = nextIds
+      val (lab2, labIds2) = Rounds.checkpoint(labeled.unionByName(next))
+      Rounds.free(edges, labeledIds)
+      labeled = lab2
+      labeledIds = labIds2
     }
     labeled.orderBy("v")
   }

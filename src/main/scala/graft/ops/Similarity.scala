@@ -912,19 +912,23 @@ object Similarity {
       expr(s"round(graft_array_dot(v, $lit0) / sqrt(nrm * ${cn}D), 4)")
     }
     var picked = Seq((c0.getLong(0), 1L, 10000L)) // (vec_id, step, radius4)
-    var state = e.filter(col("vec_id") =!= c0.getLong(0))
-      .withColumn("best", simTo(c0.getSeq[Double](1), c0.getDouble(2)))
-      .localCheckpoint()
+    var (state, stateIds) = Rounds.checkpoint(
+      e.filter(col("vec_id") =!= c0.getLong(0))
+        .withColumn("best", simTo(c0.getSeq[Double](1), c0.getDouble(2))))
     for (k <- 2 to CoresetK) {
       val next = state.orderBy(col("best").asc, col("vec_id").asc).limit(1)
         .select(col("vec_id"), col("v"), col("nrm"), col("best")).collect()(0)
       picked :+= ((next.getLong(0), k.toLong,
         (next.getDouble(3) * 10000).round))
-      state = state.filter(col("vec_id") =!= next.getLong(0))
-        .withColumn("best", greatest(col("best"),
-          simTo(next.getSeq[Double](1), next.getDouble(2))))
-        .localCheckpoint()
+      val (st2, ids2) = Rounds.checkpoint(
+        state.filter(col("vec_id") =!= next.getLong(0))
+          .withColumn("best", greatest(col("best"),
+            simTo(next.getSeq[Double](1), next.getDouble(2)))))
+      Rounds.free(state, stateIds)
+      state = st2
+      stateIds = ids2
     }
+    Rounds.free(state, stateIds) // output is driver-side `picked`; state is done
     import s.implicits._
     picked.toDF("vec_id", "step", "coverage_sim4")
       .select(col("step"), col("vec_id"), col("coverage_sim4"))
@@ -1081,6 +1085,7 @@ object Similarity {
       .filter(col("rk") === 1)
       .select(col("query_id"), col("cid"), lit(1L).as("rank"),
         col("sim4"), (col("sim4") * 7).as("score10"))
+    var selIds = Set.empty[Int]
     for (k <- 2 to MmrK) {
       val rem = base.join(sel.select("query_id", "cid"), Seq("query_id", "cid"), "left_anti")
       val pen = pair
@@ -1098,8 +1103,12 @@ object Similarity {
       // (remaining-pool anti-join + penalty join), so without this the
       // final plan embeds ~2^K copies of the cascade — at sf0.1 that
       // was 5.0s of pure planning/codegen for |Q|·K tiny rows (6.7s at
-      // sf0.01: the cost was plan-shaped, not data-shaped)
-      sel = sel.unionByName(pick).localCheckpoint()
+      // sf0.01: the cost was plan-shaped, not data-shaped). Superseded
+      // steps freed via Rounds bookkeeping.
+      val (sel2, ids2) = Rounds.checkpoint(sel.unionByName(pick))
+      Rounds.free(sel, selIds)
+      sel = sel2
+      selIds = ids2
     }
     sel.withColumnRenamed("cid", "neighbor_id")
       .orderBy("query_id", "rank")
