@@ -362,11 +362,18 @@ object GraphOps {
   // ---------------------------------------------------------------
   private val LpaRounds = 3
 
-  private def lpa(s: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized distinct edge relation of the staged kNN graph. */
+  private def symEdges(s: SparkSession, dir: String): DataFrame = {
     val g = Similarity.knnGraphStaged(s, dir)
-    val edges = g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    g.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .unionAll(g.select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct()
+  }
+
+  /** LPA fixpoint labels (v, label) over `edges` — shared by the
+    * community op and the modularity audit.
+    */
+  private def lpaLabels(edges: DataFrame): DataFrame = {
     var lab = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
     for (_ <- 1 to LpaRounds) {
@@ -378,6 +385,12 @@ object GraphOps {
         .filter(col("rn") === 1)
         .select(col("dst").as("v"), col("label"))
     }
+    lab
+  }
+
+  private def lpa(s: SparkSession, dir: String): DataFrame = {
+    val edges = symEdges(s, dir).localCheckpoint()
+    val lab = lpaLabels(edges)
     val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
     lab.join(sizes, "label")
       .select(col("v").as("vec_id"), col("label").as("community"),
@@ -385,7 +398,10 @@ object GraphOps {
       .orderBy("vec_id")
   }
 
-  private val lpaSql = {
+  /** Shared oracle fragment: kNN edges + symmetrized `ledges` + the
+    * LPA fixpoint CTEs (final labels in `lv{LpaRounds}`).
+    */
+  private val lpaDuckCtes = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""lv$i AS (
         |  SELECT dst AS v, label FROM (
@@ -401,15 +417,82 @@ object GraphOps {
       |    SELECT vec_id AS src, neighbor_id AS dst FROM g
       |    UNION ALL SELECT neighbor_id, vec_id FROM g) z),
       |lv0 AS (SELECT DISTINCT src AS v, src AS label FROM ledges),
-      |$rounds,
+      |$rounds""".stripMargin
+  }
+
+  private val lpaSql =
+    s"""$lpaDuckCtes,
       |sz AS (SELECT label, count(*) AS community_size FROM lv$LpaRounds GROUP BY 1)
       |SELECT l.v AS vec_id, l.label AS community, sz.community_size
       |FROM lv$LpaRounds l JOIN sz ON l.label = sz.label
       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // graph_modularity — Newman modularity decomposition of the LPA
+  // communities over the same symmetrized kNN graph: per community,
+  // Q_c = e_c/m − (d_c/2m)², published in truncating integer ppm
+  // (e_c·10⁶ DIV m − d_c²·10⁶ DIV 4m²) with the community's vertex /
+  // internal-edge / degree-sum bookkeeping — the audit that says
+  // whether the communities are REAL structure (ΣQ_c ≫ 0) or
+  // partition noise (≈ 0), read before anyone trusts the labels for
+  // redundancy capping. Composes the gated LPA labels with the gated
+  // edge relation, so the quality score is itself oracle-proven.
+  //
+  // Plan shape: labels join the undirected edge relation twice (both
+  // endpoints, 8-byte keys), then two map-side-combined aggregates
+  // (per-community internal edges; per-community degree mass). m and
+  // the per-community rows are |communities|-sized. At 100 TB the
+  // labels and edges are the staged artifacts; nothing here adds a
+  // corpus pass.
+  // ---------------------------------------------------------------
+  private def modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = symEdges(s, dir).localCheckpoint()
+    val lab = lpaLabels(edges)
+    val ue = edges.filter(col("src") < col("dst"))
+    val la = lab.select(col("v").as("src"), col("label").as("ca"))
+    val lb = lab.select(col("v").as("dst"), col("label").as("cb"))
+    val m = ue.count()
+    val internal = ue.join(la, "src").join(lb, "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degs = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val dsum = lab.join(degs, "v")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("degree_sum"))
+    dsum.join(internal, Seq("community"), "left")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .withColumn("modularity_ppm", expr(
+        s"internal_edges * CAST(1000000 AS BIGINT) DIV $m" +
+          s" - (degree_sum * degree_sum * CAST(1000000 AS BIGINT)) DIV (4 * $m * $m)"))
+      .select("community", "n_vertices", "internal_edges", "degree_sum",
+        "modularity_ppm")
+      .orderBy("community")
   }
+
+  private val modularitySql =
+    s"""$lpaDuckCtes,
+      |ue AS (SELECT src, dst FROM ledges WHERE src < dst),
+      |mm AS (SELECT count(*) AS m FROM ue),
+      |inte AS (SELECT la.label AS community, count(*) AS internal_edges
+      |         FROM ue JOIN lv$LpaRounds la ON ue.src = la.v
+      |                 JOIN lv$LpaRounds lb ON ue.dst = lb.v
+      |         WHERE la.label = lb.label GROUP BY 1),
+      |degs AS (SELECT src AS v, count(*) AS deg FROM ledges GROUP BY 1),
+      |dsum AS (SELECT l.label AS community, count(*) AS n_vertices,
+      |           sum(d.deg) AS degree_sum
+      |         FROM lv$LpaRounds l JOIN degs d ON l.v = d.v GROUP BY 1)
+      |SELECT d.community, CAST(d.n_vertices AS BIGINT) AS n_vertices,
+      |  CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+      |  CAST(d.degree_sum AS BIGINT) AS degree_sum,
+      |  CAST(coalesce(i.internal_edges, 0) * 1000000 // mm.m
+      |    - (d.degree_sum * d.degree_sum * 1000000) // (4 * mm.m * mm.m) AS BIGINT) AS modularity_ppm
+      |FROM dsum d LEFT JOIN inte i ON d.community = i.community CROSS JOIN mm
+      |ORDER BY d.community""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("graph_lpa", lpa, Some(lpaSql)),
+    Op("graph_modularity", modularity, Some(modularitySql)),
     Op("graph_pagerank", pagerank, Some(pagerankSql)),
     Op("graph_triangles", triangles, Some(trianglesSql)),
     Op("graph_link_predict", linkPredict, Some(linkPredictSql)),

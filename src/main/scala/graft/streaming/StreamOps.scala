@@ -61,6 +61,55 @@ object StreamOps {
       .orderBy("hour_epoch", "event_type")
   }
 
+  // ---------------------------------------------------------------
+  // stream_sliding — 11th streaming gate: OVERLAPPING (sliding)
+  // window aggregation as a real streaming query — window(ts, 1 hour
+  // SLIDE 15 min) + watermark, AvailableNow drain, Complete-mode
+  // memory sink — hash-checked against the batch oracle that explodes
+  // each event into its 4 covering windows. The tumbling gate proves
+  // streaming aggregation; this proves the multi-assignment window
+  // path (each row updates FOUR window states), which is a different
+  // streaming operator (StateStoreSave over expanded windows) with
+  // 4× the state rows. Result grain (15-min starts × event_type) is
+  // bounded, so the Complete sink stays driver-safe.
+  // ---------------------------------------------------------------
+  def slidingFrom(s: SparkSession, sourceDir: String): DataFrame = {
+    val schema = s.read.parquet(sourceDir).schema
+    s.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+  }
+
+  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_slide_src")
+    Tables.events(s, dir)
+      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val name = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    EventStream.runAvailableNow(slidingFrom(s, src), name, OutputMode.Complete(), ckpt)
+    s.table(name)
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"),
+        col("sum_dec").cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  private val streamSlidingSql =
+    """SELECT win_start, event_type, count(*) AS n_events,
+      | CAST(CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT event_type, value, es - (es % 900) - k * 900 AS win_start
+      |  FROM (SELECT event_type, value, epoch_ns(ts)//1000000000 AS es,
+      |        unnest(range(0, 4)) AS k FROM events) e
+      |) w
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   private val streamTumblingSql =
     """SELECT hour_epoch, event_type, count(*) AS n_events,
       | CAST(CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
@@ -567,6 +616,7 @@ object StreamOps {
       Some(graft.queries.EventOps.sessionizeSql)),
     Op("stream_hll", streamHll, Some(graft.queries.EventOps.hllDistinctSql)),
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
+    Op("stream_sliding", streamSliding, Some(streamSlidingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Op("stream_attribution", streamAttribution, Some(streamAttributionSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)))
