@@ -878,6 +878,47 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // samp_hard_negatives — hard-negative mining off the staged kNN
+  // graph: for every vector, its highest-similarity neighbors BELOW
+  // the near-dup threshold (sim ∈ [0.20, 0.40 = Dedup.EmbTau)),
+  // ranked, top-2 — the contrastive-training selection ("closest
+  // non-duplicates") every embedding-model pipeline mines, and by
+  // construction disjoint from the near-dup pair set dedup_embedding
+  // gates (near-dups ARE sim ≥ τ, so the band filter is the
+  // anti-join). Pure filter + per-vertex ≤k-row window over the
+  // already-gated graph relation: zero corpus passes, zero new
+  // shuffles beyond the |edges| scan. The floor keeps random-ish
+  // pairs (sim ≈ 0) out — those are easy negatives a trainer gets
+  // for free.
+  // ---------------------------------------------------------------
+  private val NegFloor4 = 2000L // 0.20 in 1e-4 sim units
+  private val NegPerVec = 2
+
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphStaged(s, dir)
+      .withColumn("sim4", expr("CAST(round(sim * 10000) AS BIGINT)"))
+      .filter(col("sim4") >= NegFloor4 &&
+        col("sim4") < (Dedup.EmbTau * 10000).toLong)
+    val w = Window.partitionBy("vec_id").orderBy(col("sim4").desc, col("neighbor_id"))
+    g.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= NegPerVec)
+      .select(col("vec_id"), col("neg_rank"), col("neighbor_id"), col("sim4"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
+  private val hardNegativesSql =
+    s"""$knnEdgesDuck,
+      |band AS (SELECT vec_id, neighbor_id,
+      |           CAST(round(sim * 10000) AS BIGINT) AS sim4 FROM g
+      |         WHERE round(sim * 10000) >= $NegFloor4
+      |           AND round(sim * 10000) < ${(Dedup.EmbTau * 10000).toLong}),
+      |nr AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY sim4 DESC, neighbor_id) AS INT) AS neg_rank FROM band)
+      |SELECT vec_id, neg_rank, neighbor_id, sim4 FROM nr
+      |WHERE neg_rank <= $NegPerVec
+      |ORDER BY vec_id, neg_rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // emb_coreset — k-center greedy coreset selection (Gonzalez 1985
   // farthest-point traversal, the 2-approximation that anchors every
   // coreset / diverse-subset pipeline): seed with the smallest
@@ -1152,6 +1193,7 @@ object Similarity {
     Op("sim_recall_eval", recallEval, Some(recallEvalSql)),
     Op("emb_matryoshka_eval", matryoshka, Some(matryoshkaSql)),
     Op("emb_coreset", coreset, Some(coresetSql)),
+    Op("samp_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Op("sim_mmr", mmr, Some(mmrSql)),
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),

@@ -192,8 +192,95 @@ object EtlOps2 {
       |  FROM customer) v
       |ORDER BY vault_table, bk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_wap — Write-Audit-Publish (the Iceberg/Netflix staging
+  // pattern, and the missing classic next to MERGE / SCD / dynamic
+  // partition refresh): a corrected orders batch is (1) WRITTEN to a
+  // staging zone, (2) AUDITED from the staged files — null merge
+  // keys, duplicate keys — and (3) PUBLISHED with violating keys
+  // quarantined; the published zone is read BACK for the row count,
+  // so the gate proves the real write→audit→publish→read cycle, not
+  // an in-plan simulation. The batch injects deterministic
+  // violations (every 200th key's custkey nulled, every 120th key
+  // duplicated) so the audit provably rejects something. Output is
+  // the one-relation audit summary a WAP orchestrator logs.
+  //
+  // Scale shape: audits are map-side-combined aggregates over the
+  // staged batch (batch-sized, not warehouse-sized); publish is one
+  // filtered write. At 100 TB the pattern is per-partition (audit
+  // and swap one partition's staging dir), composing with
+  // etl_partition_refresh's overwrite mechanics.
+  // ---------------------------------------------------------------
+  private def wap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 200 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_totalprice"))
+    val batch = base.unionByName(base.filter(col("o_orderkey") % 120 === 0))
+    // WRITE
+    val stage = graft.sources.SourceOps.tmpDir("graft_wap_stage")
+    batch.write.mode("overwrite").parquet(stage)
+    // AUDIT (from the staged files, as WAP requires)
+    val staged = s.read.parquet(stage)
+    val keyCounts = staged.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    val dupExtra = keyCounts.filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L))).head().getLong(0)
+    val flagged = staged.join(
+      keyCounts.filter(col("n") > 1).select(col("o_orderkey"), lit(1).as("dup")),
+      Seq("o_orderkey"), "left")
+    val audit = flagged.agg(
+      count(lit(1)).as("staged_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_key_rows"),
+      sum(when(col("o_custkey").isNull || col("dup").isNotNull, 1L)
+        .otherwise(0L)).as("quarantined_rows")).head()
+    // PUBLISH (violating keys quarantined) + read back
+    val publish = graft.sources.SourceOps.tmpDir("graft_wap_publish")
+    flagged.filter(col("o_custkey").isNotNull && col("dup").isNull)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(publish)
+    val published = s.read.parquet(publish).count()
+    Seq(
+      ("dup_key_rows", dupExtra),
+      ("null_key_rows", audit.getLong(1)),
+      ("published_rows", published),
+      ("quarantined_rows", audit.getLong(2)),
+      ("staged_rows", audit.getLong(0)))
+      .toDF("metric", "value")
+      .orderBy("metric")
+  }
+
+  // the oracle recomputes the same algebra from the source relation:
+  // every %40 key contributes 1 + (%120) copies; %200 keys are
+  // null-injected; a key is quarantined (all copies) when nulled or
+  // duplicated; dup_key_rows counts the EXTRA copies (sum over dup
+  // keys of n−1)
+  private val wapSql =
+    """WITH k AS (
+      |  SELECT o_orderkey,
+      |    CAST(1 + CASE WHEN o_orderkey % 120 = 0 THEN 1 ELSE 0 END AS BIGINT) AS copies,
+      |    CASE WHEN o_orderkey % 200 = 0 THEN 1 ELSE 0 END AS nulled
+      |  FROM orders WHERE o_orderkey % 40 = 0),
+      |agg AS (
+      |  SELECT
+      |    CAST(sum(copies) AS BIGINT) AS staged_rows,
+      |    CAST(sum(nulled * copies) AS BIGINT) AS null_key_rows,
+      |    CAST(sum(copies - 1) AS BIGINT) AS dup_key_rows,
+      |    CAST(sum(CASE WHEN nulled = 1 OR copies > 1 THEN copies ELSE 0 END) AS BIGINT) AS quarantined_rows
+      |  FROM k)
+      |SELECT metric, value FROM (
+      |  SELECT 'staged_rows' AS metric, staged_rows AS value FROM agg
+      |  UNION ALL SELECT 'null_key_rows', null_key_rows FROM agg
+      |  UNION ALL SELECT 'dup_key_rows', dup_key_rows FROM agg
+      |  UNION ALL SELECT 'quarantined_rows', quarantined_rows FROM agg
+      |  UNION ALL SELECT 'published_rows', staged_rows - quarantined_rows FROM agg
+      |) z ORDER BY metric""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("meta_table_stats", tableStats, Some(tableStatsSql)),
     Op("etl_surrogate_key", surrogateKey, Some(surrogateKeySql)),
-    Op("etl_data_vault", dataVault, Some(dataVaultSql)))
+    Op("etl_data_vault", dataVault, Some(dataVaultSql)),
+    Op("etl_wap", wap, Some(wapSql)))
 }
