@@ -278,7 +278,59 @@ object EtlOps2 {
       |  UNION ALL SELECT 'published_rows', staged_rows - quarantined_rows FROM agg
       |) z ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_calendar_dim — generated calendar (date-spine) dimension,
+  // the Kimball artifact every warehouse keeps beside its facts: one
+  // row per day covering the event corpus's span, with integer
+  // day-of-week (epoch-anchored: day 0 = Thursday), week number, and
+  // Gregorian year/month/day from the DATE type (both engines agree
+  // on the proleptic Gregorian calendar), LEFT-joined to daily
+  // activity so quiet days appear with zero counts — the join that
+  // makes "days with no sales" queryable at all. The spine is
+  // explode(sequence(min_day, max_day)) INSIDE the plan (no driver
+  // action); min/max ride a 1-row aggregate. At 100 TB the spine is
+  // |days|-sized — the fact aggregate is the only corpus-shaped
+  // input, map-side combined.
+  // ---------------------------------------------------------------
+  private def calendarDim(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day_num"))
+      .groupBy("day_num").agg(count(lit(1)).as("n_events"))
+    val spine = daily.agg(min("day_num").as("d0"), max("day_num").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day_num"))
+      .withColumn("cal_date", expr("date_add(DATE '1970-01-01', CAST(day_num AS INT))"))
+    spine.join(daily, Seq("day_num"), "left")
+      .select(col("day_num"),
+        col("cal_date").cast("string").as("cal_date"),
+        expr("CAST(year(cal_date) AS BIGINT)").as("yr"),
+        expr("CAST(month(cal_date) AS BIGINT)").as("mo"),
+        expr("CAST((day_num + 4) % 7 AS BIGINT)").as("dow"),
+        expr("CAST((day_num + 3) DIV 7 AS BIGINT)").as("week_num"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("day_num")
+  }
+
+  private val calendarDimSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts)//1000000000 // 86400 AS day_num, count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT min(day_num) AS d0, max(day_num) AS d1 FROM daily),
+      |spine AS (SELECT unnest(range(d0, d1 + 1)) AS day_num FROM bounds),
+      |cal AS (SELECT day_num,
+      |          DATE '1970-01-01' + CAST(day_num AS INT) AS cal_date
+      |        FROM spine)
+      |SELECT c.day_num,
+      |  CAST(c.cal_date AS VARCHAR) AS cal_date,
+      |  CAST(year(c.cal_date) AS BIGINT) AS yr,
+      |  CAST(month(c.cal_date) AS BIGINT) AS mo,
+      |  CAST((c.day_num + 4) % 7 AS BIGINT) AS dow,
+      |  CAST((c.day_num + 3) // 7 AS BIGINT) AS week_num,
+      |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+      |FROM cal c LEFT JOIN daily d ON c.day_num = d.day_num
+      |ORDER BY c.day_num""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_calendar_dim", calendarDim, Some(calendarDimSql)),
     Op("meta_table_stats", tableStats, Some(tableStatsSql)),
     Op("etl_surrogate_key", surrogateKey, Some(surrogateKeySql)),
     Op("etl_data_vault", dataVault, Some(dataVaultSql)),

@@ -88,6 +88,48 @@ class WarehouseModelSpec extends AnyFunSuite with SparkSuite {
     lpa.unpersist()
   }
 
+  test("etl_wap: staged rows are exactly published + quarantined") {
+    val m = run("etl_wap").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("staged_rows") == m("published_rows") + m("quarantined_rows"))
+    // the injected violations really are rejected
+    assert(m("null_key_rows") > 0 && m("dup_key_rows") > 0)
+    assert(m("quarantined_rows") >= m("null_key_rows"))
+  }
+
+  test("etl_calendar_dim: dense spine conserving total activity") {
+    val cal = run("etl_calendar_dim").cache()
+    val n = cal.count()
+    val mn = cal.agg(min("day_num")).head().getLong(0)
+    val mx = cal.agg(max("day_num")).head().getLong(0)
+    assert(n == mx - mn + 1) // no gaps, no dups
+    val total = cal.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    assert(cal.filter(col("dow") < 0 || col("dow") > 6).count() == 0)
+    cal.unpersist()
+  }
+
+  test("samp_hard_negatives: sims in the negative band, below the near-dup threshold") {
+    val hn = run("samp_hard_negatives").cache()
+    assert(hn.count() > 0)
+    assert(hn.filter(col("sim4") < 2000L || col("sim4") >= 4000L).count() == 0)
+    assert(hn.groupBy("vec_id").count().agg(max("count")).head().getLong(0) <= 2)
+    hn.unpersist()
+  }
+
+  test("graph_modularity: edge and degree mass bookkeeping closes") {
+    val q = run("graph_modularity").cache()
+    val g = run("sim_knn_graph")
+    val m = g.select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct().count()
+    val sums = q.agg(sum("internal_edges"), sum("degree_sum")).head()
+    assert(sums.getLong(0) <= m) // internal edges can never exceed all edges
+    assert(sums.getLong(1) == 2 * m) // handshake lemma over the partition
+    q.unpersist()
+  }
+
   test("emb_coreset: distinct centers and a monotone coverage curve") {
     val cs = run("emb_coreset").collect()
     assert(cs.length == 8)
