@@ -574,7 +574,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val minhashLshSql = {
+  /** Shared oracle fragment: MinHash signatures + band index + the
+    * LSH candidate pair set (CTEs sig/m/bands/cand; assumes
+    * [[shinglesDuck]]'s `s` is in scope) — used by dedup_minhash_lsh
+    * and the recall evaluation op.
+    */
+  private val minhashCandDuck = {
     val mins = perms.map { case (a, b) =>
       s"list_min(list_transform(sids, x -> ($a * x + $b) % $MersennePrime))"
     }.mkString("[", ",\n      ", "]")
@@ -584,8 +589,7 @@ object Dedup {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $j AS band, $parts AS sig FROM m"
     }.mkString("\n  UNION ALL ")
-    s"""$shinglesDuck,
-      |sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sid32Duck)) AS sids FROM s),
+    s"""sig AS (SELECT doc_id, sh, list_distinct(list_transform(sh, g -> $sid32Duck)) AS sids FROM s),
       |m AS (SELECT doc_id, sh,
       |      $mins AS msig
       |      FROM sig),
@@ -593,7 +597,12 @@ object Dedup {
       |  $bandRows),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private val minhashLshSql = {
+    s"""$shinglesDuck,
+      |$minhashCandDuck
       |SELECT doc_a, doc_b,
       |  CAST(list_sum(list_transform(range(1, ${NPerm + 1}),
       |    i -> CASE WHEN a.msig[i] = b.msig[i] THEN 1 ELSE 0 END)) AS INT) AS mh_matches,
@@ -603,6 +612,52 @@ object Dedup {
       |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
       |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // dedup_recall_eval — text-dedup index quality as DATA (the
+  // companion to sim_recall_eval on the embedding side): per
+  // Jaccard-decile band, how many of the TRUE near-dup pairs (the
+  // registered df-capped exact-Jaccard ≥ 0.5 relation) the
+  // MinHash-LSH index actually surfaces. The banding is the point —
+  // LSH recall is sharply similarity-dependent (the S-curve), so one
+  // aggregate recall number hides exactly the marginal-pair region a
+  // production dedup must tune its banding against. Composes two
+  // already-gated plans; everything past them is pair-set-sized
+  // joins + one tiny aggregate.
+  // ---------------------------------------------------------------
+  private def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(s, dir)
+    val found = minhashLsh(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth
+      .withColumn("jband", expr("least(inter * 10 DIV uni, CAST(9 AS BIGINT))"))
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy("jband")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall_ppm",
+        expr("n_found * CAST(1000000 AS BIGINT) DIV n_true"))
+      .orderBy("jband")
+  }
+
+  private val recallEvalSql =
+    s"""$shinglesDuck,
+      |$cappedPairsDuck,
+      |tru AS (SELECT doc_a, doc_b, inter, na + nb - inter AS uni
+      |        FROM pairs WHERE inter * 2 >= na + nb - inter),
+      |$minhashCandDuck,
+      |fnd AS (
+      |  SELECT cand.doc_a, cand.doc_b
+      |  FROM cand JOIN m a ON cand.doc_a = a.doc_id JOIN m b ON cand.doc_b = b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 2 >=
+      |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |SELECT least(t.inter * 10 // t.uni, 9) AS jband,
+      |  count(*) AS n_true,
+      |  CAST(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+      |  CAST(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+      |FROM tru t LEFT JOIN fnd f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+      |GROUP BY 1
+      |ORDER BY jband""".stripMargin
 
   // ---------------------------------------------------------------
   // dedup_incremental — new-batch-vs-corpus dedup, the flow a 100 TB
@@ -1284,6 +1339,7 @@ object Dedup {
     Op("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Op("dedup_containment", containment, Some(containmentSql)),
     Op("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Op("dedup_recall_eval", recallEval, Some(recallEvalSql)),
     Op("dedup_incremental", incremental, Some(incrementalSql)),
     Op("dedup_simhash", simhash, Some(simhashSql)),
     Op("dedup_embedding", embeddingDedup, Some(embeddingDedupSql)),
