@@ -188,8 +188,56 @@ object EventOps2 {
       |  ON a.event_type = f.event_type AND a.day_num = f.day_num + 7
       |ORDER BY a.event_type, a.day_num""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_seasonality — hour-of-week activity profile (dow × hour grid,
+  // epoch-anchored integer calendar: day 0 = Thursday): per cell the
+  // event count, its ppm share of the week grid, and a per-dow peak
+  // flag — the seasonal fingerprint capacity planning and
+  // anomaly-baseline jobs read (ev_anomaly_* asks "is today
+  // strange"; this asks "what does normal look like"). One fact
+  // scan → map-side-combined 168-cell aggregate; the peak flag is a
+  // window over 24-row dow partitions of the aggregate. All integer
+  // (counts, truncating-ppm shares, max-tie → earliest hour).
+  // ---------------------------------------------------------------
+  private def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = withEs(s, dir)
+      .select(expr("(es DIV 86400 + 4) % 7").as("dow"),
+        expr("(es DIV 3600) % 24").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+    val total = Window.partitionBy()
+    val wDow = Window.partitionBy("dow")
+      .orderBy(col("n_events").desc, col("hour").asc)
+    cells
+      // integer DIV against the window total: a double `/` + floor can
+      // round across the integer boundary where // cannot (the window
+      // sits above the 168-row Aggregate — PlanGuard-admissible)
+      .withColumn("wk_total", sum("n_events").over(total))
+      .withColumn("share_ppm", expr("n_events * CAST(1000000 AS BIGINT) DIV wk_total"))
+      .withColumn("is_dow_peak",
+        (org.apache.spark.sql.functions.row_number().over(wDow) === 1).cast("int"))
+      .select("dow", "hour", "n_events", "share_ppm", "is_dow_peak")
+      .orderBy("dow", "hour")
+  }
+
+  private val seasonalitySql =
+    """WITH cells AS (
+      |  SELECT (epoch_ns(ts)//1000000000 // 86400 + 4) % 7 AS dow,
+      |         (epoch_ns(ts)//1000000000 // 3600) % 24 AS hour,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_events) AS t FROM cells),
+      |r AS (SELECT c.*, CAST(c.n_events * 1000000 // tot.t AS BIGINT) AS share_ppm,
+      |        row_number() OVER (PARTITION BY c.dow
+      |          ORDER BY c.n_events DESC, c.hour) AS rn
+      |      FROM cells c CROSS JOIN tot)
+      |SELECT dow, hour, n_events, share_ppm,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_dow_peak
+      |FROM r
+      |ORDER BY dow, hour""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_growth_accounting", growthAccounting, Some(growthAccountingSql)),
     Op("ev_forecast_baseline", forecastBaseline, Some(forecastBaselineSql)),
+    Op("ev_seasonality", seasonality, Some(seasonalitySql)),
     Op("ev_concurrency", concurrency, Some(concurrencySql)))
 }
