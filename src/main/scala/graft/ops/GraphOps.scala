@@ -462,9 +462,18 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("degree_sum"))
     dsum.join(internal, Seq("community"), "left")
       .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      // Both DIV operands of the d_c²·10⁶/4m² term are positive, so
+      // Spark's truncating DIV and DuckDB's flooring // agree — which
+      // lets each engine use its own wide type for the products:
+      // DECIMAL(38,0) here, HUGEINT in the oracle. Interpolating $m
+      // bare would parse as an INT literal and (4*m*m) overflows INT
+      // at m>23,170 (ANSI mode ⇒ hard failure); d_c²·10⁶ similarly
+      // outgrows BIGINT at degree mass ≥3×10⁶. The decimal algebra
+      // keeps the op exact to ~10³⁸, far past any real edge count.
       .withColumn("modularity_ppm", expr(
         s"internal_edges * CAST(1000000 AS BIGINT) DIV $m" +
-          s" - (degree_sum * degree_sum * CAST(1000000 AS BIGINT)) DIV (4 * $m * $m)"))
+          s" - CAST((CAST(degree_sum AS DECIMAL(38,0)) * degree_sum * 1000000)" +
+          s" DIV (CAST(4 AS DECIMAL(38,0)) * $m * $m) AS BIGINT)"))
       .select("community", "n_vertices", "internal_edges", "degree_sum",
         "modularity_ppm")
       .orderBy("community")
@@ -486,7 +495,8 @@ object GraphOps {
       |  CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
       |  CAST(d.degree_sum AS BIGINT) AS degree_sum,
       |  CAST(coalesce(i.internal_edges, 0) * 1000000 // mm.m
-      |    - (d.degree_sum * d.degree_sum * 1000000) // (4 * mm.m * mm.m) AS BIGINT) AS modularity_ppm
+      |    - (CAST(d.degree_sum AS HUGEINT) * d.degree_sum * 1000000)
+      |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS modularity_ppm
       |FROM dsum d LEFT JOIN inte i ON d.community = i.community CROSS JOIN mm
       |ORDER BY d.community""".stripMargin
 

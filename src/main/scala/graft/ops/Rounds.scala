@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
 /** Bookkeeping for iterative-loop checkpoints. `localCheckpoint`
@@ -7,27 +8,47 @@ import org.apache.spark.sql.DataFrame
   * round's blocks in executor storage, and the checkpointed RDD is
   * not reachable through a public Dataset API — so superseded rounds
   * are tracked by diffing `sc.getPersistentRDDs` ids around the
-  * checkpoint call and freed explicitly (ContextCleaner GC is too
-  * lazy to rely on across a loop; same convention as the dedup CC
-  * engine at Dedup.clustersComputed). Under concurrent op execution
-  * the id diff can over-capture a neighbor's blocks; unpersist is
-  * correctness-neutral (Spark recomputes), so the worst case is a
-  * perf hiccup, not a wrong result.
+  * checkpoint call, then INTERSECTING the diff with the returned
+  * Dataset's own RDD lineage. The intersection is what makes the
+  * capture safe under concurrent op execution: a neighbor's
+  * concurrently-persisted RDD can appear in the keySet diff but can
+  * never appear in this Dataset's dependency walk, so [[free]] can
+  * only ever unpersist blocks this loop created. That matters
+  * because unpersisting someone else's LOCALLY checkpointed RDD is
+  * not recoverable — localCheckpoint truncates lineage, so Spark
+  * cannot recompute the blocks and later access fails; an id-diff
+  * alone would risk exactly that. (Same freeing convention as the
+  * dedup CC engine at Dedup.clustersComputed.)
   */
 private[ops] object Rounds {
 
-  /** Eagerly checkpoint `df`, returning it plus the RDD ids the call
-    * persisted (pass them to [[free]] once the round is superseded).
+  /** Eagerly checkpoint `df`, returning it plus the persisted RDD ids
+    * the call created within `df`'s own lineage (pass them to
+    * [[free]] once the round is superseded).
     */
   def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    (out, created.intersect(lineageIds(out.queryExecution.toRdd)))
   }
 
   def free(df: DataFrame, ids: Set[Int]): Unit = {
     val sc = df.sparkSession.sparkContext
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** All RDD ids reachable through `rdd`'s dependency graph
+    * (including itself). The checkpointed block manager RDD is an
+    * ancestor of the returned Dataset's physical scan, so it is
+    * always in this set.
+    */
+  private def lineageIds(rdd: RDD[_]): Set[Int] = {
+    val seen = scala.collection.mutable.Set[Int]()
+    def walk(r: RDD[_]): Unit =
+      if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+    walk(rdd)
+    seen.toSet
   }
 }

@@ -212,4 +212,41 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     assert(joined.filter(col("n_matches") =!= col("fm")).count() == 0)
     inc.unpersist()
   }
+
+  test("recall_eval exercises the banded path: multiple jaccard deciles on a banded corpus") {
+    // The gate corpus happens to collapse every true pair into one
+    // Jaccard decile, so the oracle hash alone never proves the
+    // per-band grouping/recall arithmetic. This corpus pins two
+    // deciles by construction: 3 identical pairs (J=1 → band 9) and
+    // 3 shared-prefix pairs (29 of 40/41 tokens shared → word-3-gram
+    // inter=27, uni=38+39−27=50, J=0.54 → band 5). Token vocabularies
+    // are disjoint across pairs, so no cross-pair truth rows exist.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recall_bands").toString
+    val docs = (0 until 3).flatMap { p =>
+      val t = (1 to 40).map(i => s"p${p}a$i").mkString(" ")
+      Seq((p * 10L, t), (p * 10L + 1, t))
+    } ++ (3 until 6).flatMap { p =>
+      val shared = (1 to 29).map(i => s"p${p}a$i")
+      val a = (shared ++ (30 to 40).map(i => s"p${p}a$i")).mkString(" ")
+      val b = (shared ++ (30 to 41).map(i => s"p${p}b$i")).mkString(" ")
+      Seq((p * 10L, a), (p * 10L + 1, b))
+    }
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = Registry.byName("dedup_recall_eval").run(spark, dir).collect()
+      .map(r => r.getAs[Long]("jband") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"), r.getAs[Long]("recall_ppm")))
+      .toMap
+    assert(got.keySet == Set(5L, 9L), s"expected bands {5,9}, got ${got.keySet}")
+    // identical docs share every minhash band, so LSH must find all 3
+    assert(got(9L) == ((3L, 3L, 1000000L)), s"band 9 was ${got(9L)}")
+    val (t5, f5, ppm5) = got(5L)
+    assert(t5 == 3L, s"band 5 n_true was $t5")
+    assert(f5 >= 0L && f5 <= 3L)
+    assert(ppm5 == f5 * 1000000L / 3L)
+  }
 }
