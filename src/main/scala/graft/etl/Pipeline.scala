@@ -108,15 +108,25 @@ object Pipeline {
   }
 
   /** Automatic retry policy — the typed counterpart of the reference
-    * DAG's `retries` / `retry_delay` default args (ref:
-    * /root/reference/dag/SMFG_DW_ETL_DAG.py:38-44, retries=0,
-    * retry_delay=5min). Spark already retries TASKS; this is the
-    * STAGE-level re-entry the DAG scheduler would drive, wrapped
-    * around [[rerunFailed]].
+    * DAG's `retries` / `retry_delay` / `email_on_failure` default
+    * args (ref: /root/reference/dag/SMFG_DW_ETL_DAG.py:38-44,
+    * retries=0, retry_delay=5min, email_on_failure=False). Spark
+    * already retries TASKS; this is the STAGE-level re-entry the DAG
+    * scheduler would drive, wrapped around [[rerunFailed]].
+    *
+    * `onFailure` is the alerting hook: invoked ONCE, after the final
+    * attempt, with the stage rows still FAILED — the seam where a
+    * deployment plugs its pager/mail sink. The pipeline also emits an
+    * ALERT audit row itself (see [[runWithRetries]]), so the alert is
+    * part of the queryable process log even when the hook is a no-op,
+    * and a THROWING hook is contained to an ALERT_FAILED row — a
+    * broken mail relay must not take down the batch that wanted to
+    * report a partial failure.
     */
   final case class RetryPolicy(retries: Int = 0,
       delay: scala.concurrent.duration.FiniteDuration =
-        scala.concurrent.duration.Duration(5, "min"))
+        scala.concurrent.duration.Duration(5, "min"),
+      onFailure: Seq[StageDetail] => Unit = _ => ())
 
   /** Run STAGING_EXTRACT, then retry ONLY the failed tables up to
     * `policy.retries` times with `policy.delay` between attempts
@@ -151,6 +161,20 @@ object Pipeline {
       attempts += merged.copy(stages =
         merged.stages.diff(before.stages))
       attempt += 1
+    }
+    val stillFailed = merged.stages.filter(_.status == "FAILED")
+    if (stillFailed.nonEmpty) {
+      val hook = scala.util.Try(policy.onFailure(stillFailed))
+      merged = merged.copy(stages = merged.stages :+ StageDetail(
+        stageName = "ALERT",
+        processId = merged.master.processId,
+        tableId = None,
+        tableName = stillFailed.map(_.tableName).sorted.mkString(","),
+        rowCount = Some(stillFailed.size.toLong),
+        status = if (hook.isSuccess) "SENT" else "ALERT_FAILED",
+        errorMessage = hook.failed.toOption.map(e => s"onFailure hook threw: ${e.getMessage}")
+          .orElse(Some(s"${stillFailed.size} table(s) FAILED after ${policy.retries} retr" +
+            (if (policy.retries == 1) "y" else "ies")))))
     }
     (merged, attempts.result())
   }

@@ -36,22 +36,30 @@ object GraphOps {
   // ---------------------------------------------------------------
   private val Iters = 3
 
-  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized bipartite purchase graph (customer 2c ↔ supplier
+    * 2sp+1), materialized ONCE: the pagerank variants reference the
+    * edge relation many times (outdeg + 2 joins × rounds) and
+    * Catalyst does not dedupe common subplans, so without the
+    * checkpoint the fact-table join would execute once per reference
+    * (A/B at sf0.1: 3.0 s → 2.76 s for the 3-round unroll — modest
+    * because |E| is small, but at 100 TB it is the difference
+    * between one fact pass and one per superstep).
+    */
+  private def purchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val co = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
-    // materialize the edge relation ONCE: the unrolled supersteps
-    // reference it 7× (outdeg + 2 joins × 3 iterations) and Catalyst
-    // does not dedupe common subplans, so without this the fact-table
-    // join would execute 7 times (A/B at sf0.1: 3.0 s → 2.76 s —
-    // modest here because |E| is small, but at 100 TB it is the
-    // difference between one fact pass and seven)
     val edges = co.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
       .unionByName(co.select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       .localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
+    (edges, outdeg)
+  }
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val (edges, outdeg) = purchaseGraph(s, dir)
     var mass = outdeg.select(col("src").as("v"), lit(1000000L).as("mass"))
     for (_ <- 1 to Iters) {
       mass = edges
@@ -84,6 +92,103 @@ object GraphOps {
       |FROM m$Iters
       |ORDER BY v""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // graph_pagerank_converged — the same exact integer-ppm PageRank,
+  // but iterated to a RESIDUAL STOP instead of a fixed unroll: rounds
+  // continue while max_v |Δmass(v)| > PrTolPpm, so the round count is
+  // bound by the DATA (the graph's mixing time) and not by the code —
+  // the property that makes "iterative graph algebra" a general
+  // claim rather than a 3-superstep special case. Measured on the
+  // gate corpus the walk needs ~36 rounds to reach a 5% residual
+  // (the bipartite graph's period-2 oscillation makes the decay
+  // slower than the 0.85 damping factor suggests, and exact integer
+  // truncation means an EXACT fixed point is never reached — both
+  // engines measured round-identical masses, which is why the stop
+  // must be a tolerance, not equality). A loud cap (PrMaxRounds)
+  // turns non-convergence into an error, never silent wrong output;
+  // n_rounds is emitted as a column so the hash gate proves the two
+  // engines stopped after the SAME data-bound round count.
+  //
+  // Plan shape per round: identical to graph_pagerank's superstep
+  // (two bounded 8-byte-key shuffles over the once-checkpointed edge
+  // relation), plus ONE driver-read scalar (the residual max — an
+  // aggregate of a |V|-sized join, the same config-sized action the
+  // CC engine's convergence test does). localCheckpoint truncation
+  // per round keeps the plan O(1) across an unbounded round count,
+  // and Rounds.free releases each superseded mass relation — at
+  // 100 TB the mass is one skinny (v, mass) relation co-partitioned
+  // with the edge list, and rounds cost |E| each regardless of how
+  // many the tolerance demands.
+  // ---------------------------------------------------------------
+  private[graft] val PrTolPpm = 50000L
+  private[graft] val PrMaxRounds = 80
+
+  private def pagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val (edges, outdeg) = purchaseGraph(s, dir)
+    var (mass, massIds) = Rounds.checkpoint(
+      outdeg.select(col("src").as("v"), lit(1000000L).as("mass")))
+    var residual = Long.MaxValue
+    var rounds = 0
+    while (residual > PrTolPpm && rounds < PrMaxRounds) {
+      val (next, ids) = Rounds.checkpoint(edges
+        .join(mass.withColumnRenamed("v", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))
+        .groupBy("v").agg(sum(col("contrib")).as("inflow"))
+        .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass")))
+      // the residual reads BOTH rounds — free the old one only after
+      residual = next.join(mass.select(col("v"), col("mass").as("prev")), "v")
+        .agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
+      Rounds.free(mass, massIds)
+      mass = next
+      massIds = ids
+      rounds += 1
+    }
+    if (residual > PrTolPpm)
+      throw new IllegalStateException(
+        s"graph_pagerank_converged: residual $residual ppm > $PrTolPpm " +
+          s"after $PrMaxRounds rounds — graph mixing slower than the cap allows")
+    mass.select(col("v"),
+        when(col("v") % 2 === 0, "customer").otherwise("supplier").as("entity"),
+        expr("v DIV 2").as("key"), col("mass").as("mass_ppm"),
+        lit(rounds.toLong).as("n_rounds"))
+      .orderBy("v")
+  }
+
+  /** The oracle replicates the data-bound loop with a recursive CTE:
+    * the working table is the previous round's mass relation, the
+    * recursive term is one superstep (join + aggregate), and the stop
+    * rule gates on the previous level's max residual — the `it <=
+    * PrMaxRounds` guard only prevents a hang if the cap is ever hit
+    * (Spark throws loudly in that case, failing the gate anyway).
+    */
+  private val pagerankConvergedSql =
+    s"""WITH RECURSIVE co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT c*2 AS src, sp*2+1 AS dst FROM co
+      |      UNION ALL SELECT sp*2+1, c*2 FROM co),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |pr(it, v, mass, delta) AS (
+      |  SELECT 0, src, CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT) FROM od
+      |  UNION ALL
+      |  SELECT nxt.it, nxt.v, nxt.mass, abs(nxt.mass - prev.mass)
+      |  FROM (
+      |    SELECT p.it + 1 AS it, e.dst AS v,
+      |           CAST(150000 + (85 * sum(p.mass // od.outdeg)) // 100 AS BIGINT) AS mass
+      |    FROM pr p JOIN e ON p.v = e.src JOIN od ON e.src = od.src
+      |    WHERE p.it = (SELECT max(it) FROM pr)
+      |    GROUP BY p.it, e.dst
+      |  ) nxt
+      |  JOIN pr prev ON prev.v = nxt.v AND prev.it = nxt.it - 1
+      |  WHERE (SELECT max(delta) FROM pr WHERE it = nxt.it - 1) > $PrTolPpm
+      |    AND nxt.it <= $PrMaxRounds
+      |)
+      |SELECT v, CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+      |  v // 2 AS key, mass AS mass_ppm,
+      |  CAST((SELECT max(it) FROM pr) AS BIGINT) AS n_rounds
+      |FROM pr WHERE it = (SELECT max(it) FROM pr)
+      |ORDER BY v""".stripMargin
 
   // ---------------------------------------------------------------
   // graph_triangles — triangle counting + local clustering
@@ -504,6 +609,7 @@ object GraphOps {
     Op("graph_lpa", lpa, Some(lpaSql)),
     Op("graph_modularity", modularity, Some(modularitySql)),
     Op("graph_pagerank", pagerank, Some(pagerankSql)),
+    Op("graph_pagerank_converged", pagerankConverged, Some(pagerankConvergedSql)),
     Op("graph_triangles", triangles, Some(trianglesSql)),
     Op("graph_link_predict", linkPredict, Some(linkPredictSql)),
     Op("graph_bfs", bfs, Some(bfsSql)))

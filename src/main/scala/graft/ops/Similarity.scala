@@ -811,8 +811,122 @@ object Similarity {
       |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // sim_knn_beam — greedy beam search over the staged kNN graph: the
+  // QUERY half of the graph-ANN pair (the graph is the index the
+  // repo already stages; HNSW answers queries by exactly this walk
+  // on its layer 0). From a deterministic entry vertex (the smallest
+  // corpus id ≠ query), each hop expands the current best-BeamWidth
+  // frontier's graph neighbors, scores them exactly against the
+  // query, and keeps the accumulated visited set; after BeamHops
+  // hops the top-K of the visited set is the answer. The query
+  // vertex itself is excluded from the walk (a real query is not a
+  // corpus member), so the op cannot degenerate into reading the
+  // query's own gated adjacency list.
+  //
+  // Scale shape: per query per hop the walk touches ≤ BeamWidth·2k
+  // edges and scores ≤ that many vectors — O(|Q|·H·B·k) total, zero
+  // corpus passes beyond the staged graph scan, and the per-hop
+  // joins are skinny 8-byte-key equality joins against the BROADCAST
+  // query sample. That independence from corpus size is the whole
+  // point of graph ANN: brute is O(N) per query, IVF is O(N/cells ·
+  // nprobe), the beam walk is O(H·B·k). localCheckpoint truncation
+  // per hop keeps the 3-hop plan cascade bounded (same move as
+  // graph_bfs). Determinism for the hash gate: fixed entry rule,
+  // fixed B/H, ties broken by (sim DESC, id) everywhere.
+  // ---------------------------------------------------------------
+  private val BeamWidth = 8
+  private val BeamHops = 3
+
+  private def knnBeam(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val g0 = knnGraphStaged(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = g0.unionByName(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    def score(ids: DataFrame): DataFrame = ids
+      .join(c, "cand_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", cosine(expr("graft_array_dot(qv, cv)"), col("qn"), col("cn")))
+      .select("query_id", "cand_id", "sim")
+    // entry: smallest corpus id that is not the query itself — a
+    // 2-row × |Q|-row broadcast product, config-sized
+    val low2 = e.orderBy("vec_id").limit(2).select(col("vec_id").as("cand_id"))
+    val entry = broadcast(q.select("query_id")).crossJoin(broadcast(low2))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("cand_id").as("cand_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    var (visited, vIds) = Rounds.checkpoint(score(entry))
+    for (_ <- 1 to BeamHops) {
+      val beam = visited.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BeamWidth)
+      val grown = beam.select("query_id", "cand_id")
+        .join(edges, col("cand_id") === col("src"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("cand_id"))
+        .distinct()
+        // visited candidates already carry their (deterministic)
+        // score — never rescore, only extend
+        .join(visited.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+      val (nv, ids) = Rounds.checkpoint(visited.unionByName(score(grown)))
+      Rounds.free(visited, vIds)
+      visited = nv
+      vIds = ids
+    }
+    visited.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Beam-walk oracle fragment (CTEs sedge/qq/low2/bent/bv0..bv$BeamHops;
+    * assumes [[knnEdgesDuck]]'s `n` and `g` are in scope) — shared by
+    * sim_knn_beam and the recall evaluation. UNION-dedup replicates
+    * the Spark side's anti-join-then-extend visited set because the
+    * score of a (query, candidate) pair is deterministic.
+    */
+  private val beamDuck = {
+    def hop(i: Int): String =
+      s"""bb$i AS (SELECT query_id, cand_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+        |    FROM bv${i - 1}) t WHERE rn <= $BeamWidth),
+        |bx$i AS (SELECT DISTINCT b.query_id, s.dst AS cand_id
+        |         FROM bb$i b JOIN sedge s ON b.cand_id = s.src
+        |         WHERE s.dst <> b.query_id),
+        |bs$i AS (SELECT x.query_id, x.cand_id,
+        |           round(list_dot_product(qq.qv, c.v) / sqrt(qq.qn * c.nrm), 4) AS sim
+        |         FROM bx$i x JOIN n c ON x.cand_id = c.vec_id
+        |              JOIN qq ON qq.query_id = x.query_id),
+        |bv$i AS (SELECT query_id, cand_id, sim FROM bv${i - 1}
+        |         UNION SELECT query_id, cand_id, sim FROM bs$i)""".stripMargin
+    s"""sedge AS (SELECT vec_id AS src, neighbor_id AS dst FROM g
+      |          UNION SELECT neighbor_id, vec_id FROM g),
+      |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NQueries),
+      |low2 AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 2),
+      |bent AS (SELECT q.query_id, min(l.vec_id) AS cand_id
+      |         FROM qq q JOIN low2 l ON l.vec_id <> q.query_id GROUP BY 1),
+      |bv0 AS (SELECT e0.query_id, e0.cand_id,
+      |          round(list_dot_product(qq.qv, c.v) / sqrt(qq.qn * c.nrm), 4) AS sim
+      |        FROM bent e0 JOIN n c ON e0.cand_id = c.vec_id
+      |             JOIN qq ON qq.query_id = e0.query_id),
+      |${(1 to BeamHops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  private val knnBeamSql =
+    s"""$knnEdgesDuck,
+      |$beamDuck
+      |SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM bv$BeamHops) t
+      |WHERE rank <= $K
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // sim_recall_eval — ANN index quality as DATA: per-query recall@K
-  // of the multiprobe LSH index against the exact brute-force top-K,
+  // of BOTH approximate index families — the multiprobe LSH bucket
+  // index and the staged-graph beam walk (one row per method per
+  // query) — against the exact brute-force top-K,
   // plus the index's candidate-side selectivity proxy (the probed
   // result's worst kept sim vs the exact kth sim). Production vector
   // stores run exactly this audit on a query sample before trusting
@@ -829,17 +943,23 @@ object Similarity {
   private def recallEval(s: SparkSession, dir: String): DataFrame = {
     val exact = knnBrute(s, dir)
       .select(col("query_id"), col("neighbor_id"), col("sim").as("exact_sim"))
-    val ann = knnMultiprobe(s, dir)
-      .select(col("query_id"), col("neighbor_id"), col("sim").as("ann_sim"))
-    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(
-        count(lit(1)).as("k"),
-        sum(when(col("ann_sim").isNotNull, 1L).otherwise(0L)).as("n_hits"),
-        min(col("exact_sim")).as("exact_kth_sim"))
-      .withColumn("recall_ppm", expr("n_hits * CAST(1000000 AS BIGINT) DIV k"))
-      .select("query_id", "k", "n_hits", "recall_ppm", "exact_kth_sim")
-      .orderBy("query_id")
+    def recallOf(ann: DataFrame, method: String): DataFrame =
+      exact.join(ann.select(col("query_id"), col("neighbor_id"), col("sim").as("ann_sim")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("k"),
+          sum(when(col("ann_sim").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          min(col("exact_sim")).as("exact_kth_sim"))
+        .withColumn("recall_ppm", expr("n_hits * CAST(1000000 AS BIGINT) DIV k"))
+        .withColumn("method", lit(method))
+        .select("method", "query_id", "k", "n_hits", "recall_ppm", "exact_kth_sim")
+    // both index families graded against the same exact baseline on
+    // the same query sample: the hash-bucket index (multiprobe LSH)
+    // and the graph index (beam walk)
+    recallOf(knnMultiprobe(s, dir), "multiprobe")
+      .unionByName(recallOf(knnBeam(s, dir), "beam"))
+      .orderBy("method", "query_id")
   }
 
   private val recallEvalSql = {
@@ -847,8 +967,16 @@ object Similarity {
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("\n      + ")
     val masks = (0 +: (0 until NPlanes).map(1 << _)).mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+    def recallOf(method: String, annCte: String): String =
+      s"""SELECT '$method' AS method, exact.query_id, count(*) AS k,
+        |  CAST(sum(CASE WHEN a.ann_sim IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN a.ann_sim IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+        |  min(exact.exact_sim) AS exact_kth_sim
+        |FROM exact LEFT JOIN $annCte a
+        |  ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id
+        |GROUP BY exact.query_id""".stripMargin
+    s"""$knnEdgesDuck,
+      |$beamDuck,
       |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
       |       FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
@@ -866,15 +994,14 @@ object Similarity {
       |       FROM mq JOIN b c ON mq.bucket = c.bucket AND mq.vec_id <> c.vec_id),
       |mr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       |       FROM mp),
-      |ann AS (SELECT query_id, neighbor_id, sim AS ann_sim FROM mr WHERE rank <= $K)
-      |SELECT exact.query_id, count(*) AS k,
-      |  CAST(sum(CASE WHEN ann.ann_sim IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-      |  CAST(sum(CASE WHEN ann.ann_sim IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
-      |  min(exact.exact_sim) AS exact_kth_sim
-      |FROM exact LEFT JOIN ann
-      |  ON exact.query_id = ann.query_id AND exact.neighbor_id = ann.neighbor_id
-      |GROUP BY exact.query_id
-      |ORDER BY exact.query_id""".stripMargin
+      |ann AS (SELECT query_id, neighbor_id, sim AS ann_sim FROM mr WHERE rank <= $K),
+      |bmr AS (SELECT query_id, cand_id AS neighbor_id, sim AS ann_sim FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |         FROM bv$BeamHops) t WHERE rank <= $K)
+      |${recallOf("multiprobe", "ann")}
+      |UNION ALL
+      |${recallOf("beam", "bmr")}
+      |ORDER BY method, query_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -1198,6 +1325,7 @@ object Similarity {
     Op("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),
+    Op("sim_knn_beam", knnBeam, Some(knnBeamSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
     Op("sim_ivf_twolevel", knnIvfTwoLevel, Some(knnIvfTwoLevelSql)),
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),

@@ -329,7 +329,35 @@ object EtlOps2 {
       |FROM cal c LEFT JOIN daily d ON c.day_num = d.day_num
       |ORDER BY c.day_num""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_conn_preflight — the config smoke test + source connection
+  // probe as a gated relation (see graft.etl.Preflight for the
+  // reference mapping): zone-config presence checks plus a per-
+  // configured-table probe (footer schema read + stats-only count,
+  // no column scan) with configured-vs-observed column validation.
+  // The oracle hard-codes the EXPECTED verdicts — preflight IS the
+  // comparison of observed state against expectation, so gate
+  // failure on source drift is the feature.
+  // ---------------------------------------------------------------
+  private def connPreflight(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Preflight.report(s, dir, graft.meta.SampleCatalog.all,
+      graft.meta.MetaStore.sampleZones)
+
+  private val connPreflightSql =
+    """SELECT CAST(1 AS INT) AS check_id, 'config' AS check_type, 'raw_zone' AS name,
+      |  'OK' AS status, CAST(-1 AS INT) AS n_cols, CAST(-1 AS INT) AS n_missing,
+      |  CAST(-1 AS BIGINT) AS n_rows
+      |UNION ALL SELECT 2, 'config', 'staging_zone', 'OK', -1, -1, -1
+      |UNION ALL SELECT 3, 'config', 'curated_zone', 'OK', -1, -1, -1
+      |UNION ALL SELECT 4, 'config', 'logs_path', 'OK', -1, -1, -1
+      |UNION ALL SELECT 5, 'source_probe', 'lineitem', 'REACHABLE', 11, 0, (SELECT count(*) FROM lineitem)
+      |UNION ALL SELECT 6, 'source_probe', 'orders', 'REACHABLE', 6, 0, (SELECT count(*) FROM orders)
+      |UNION ALL SELECT 7, 'source_probe', 'customer', 'REACHABLE', 5, 0, (SELECT count(*) FROM customer)
+      |UNION ALL SELECT 8, 'source_probe', 'part', 'REACHABLE', 6, 0, (SELECT count(*) FROM part)
+      |ORDER BY check_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_conn_preflight", connPreflight, Some(connPreflightSql)),
     Op("etl_calendar_dim", calendarDim, Some(calendarDimSql)),
     Op("meta_table_stats", tableStats, Some(tableStatsSql)),
     Op("etl_surrogate_key", surrogateKey, Some(surrogateKeySql)),

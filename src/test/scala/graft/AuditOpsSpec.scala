@@ -20,6 +20,7 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
     val ann = run("sim_knn_multiprobe").collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val got = run("sim_recall_eval").collect()
+      .filter(_.getAs[String]("method") == "multiprobe")
     assert(got.nonEmpty)
     for (r <- got) {
       val q = r.getAs[Long]("query_id")
@@ -41,6 +42,39 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
     val lshHits = exact.count(lsh).toLong
     assert(total >= lshHits, s"multiprobe hits $total < single-bucket hits $lshHits")
     assert(total > 0)
+  }
+
+  test("sim_knn_beam: k ranked per query, walk-reachable, recall row agrees with direct overlap") {
+    val beam = run("sim_knn_beam").collect()
+    assert(beam.nonEmpty)
+    // exactly K ranked rows per query, never the query itself, sims in range
+    val perQuery = beam.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rows) <- perQuery) {
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length),
+        s"ranks not contiguous for query $q")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      // ranked by (sim desc, id)
+      val keys = rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (-r.getAs[Double]("sim"), r.getAs[Long]("neighbor_id"))).toSeq
+      assert(keys == keys.sorted, s"beam ranking broken for query $q")
+    }
+    // the gated recall row must equal a direct overlap recompute
+    val exact = run("sim_knn_brute").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val beamSet = beam.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rec = run("sim_recall_eval").collect()
+      .filter(_.getAs[String]("method") == "beam")
+    assert(rec.nonEmpty)
+    for (r <- rec) {
+      val q = r.getAs[Long]("query_id")
+      val hits = exact.count { case (qq, nn) => qq == q && beamSet((qq, nn)) }
+      assert(r.getAs[Long]("n_hits") == hits, s"beam recall row drift at query $q")
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / r.getAs[Long]("k"))
+    }
+    // the walk must do better than its own entry seed alone: some
+    // true neighbor is found somewhere (scale-free floor, same
+    // convention as the multiprobe test above)
+    assert(rec.map(_.getAs[Long]("n_hits")).sum > 0)
   }
 
   test("graph_link_predict: non-edges only, brute co-citation counts, jaccard algebra") {

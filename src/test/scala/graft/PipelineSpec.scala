@@ -78,6 +78,68 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(merged.stages.count(_.status == "FAILED") == 1)
   }
 
+  test("onFailure hook fires once with the still-failed rows and an ALERT audit row lands") {
+    import scala.concurrent.duration.Duration
+    var alerted: Seq[graft.meta.StageDetail] = Nil
+    var fires = 0
+    val (merged, _) = Pipeline.runWithRetries(spark, sfDir,
+      () => Seq(SampleCatalog.customer, broken),
+      Pipeline.RetryPolicy(retries = 1, delay = Duration.Zero,
+        onFailure = rows => { fires += 1; alerted = rows }))
+    assert(fires == 1)
+    assert(alerted.map(_.tableId) == Seq(Some(99)))
+    val alert = merged.stages.filter(_.stageName == "ALERT")
+    assert(alert.size == 1)
+    assert(alert.head.status == "SENT")
+    assert(alert.head.tableName == "orders")
+    assert(alert.head.rowCount.contains(1L))
+    // the alert row rides the normal audit surface
+    val log = Pipeline.stageLog(spark, merged)
+    assert(log.filter(org.apache.spark.sql.functions.col("stage_name") === "ALERT").count() == 1)
+  }
+
+  test("a throwing onFailure hook is contained to an ALERT_FAILED row") {
+    import scala.concurrent.duration.Duration
+    val (merged, _) = Pipeline.runWithRetries(spark, sfDir,
+      () => Seq(broken),
+      Pipeline.RetryPolicy(retries = 0, delay = Duration.Zero,
+        onFailure = _ => sys.error("mail relay down")))
+    val alert = merged.stages.filter(_.stageName == "ALERT")
+    assert(alert.size == 1 && alert.head.status == "ALERT_FAILED")
+    assert(alert.head.errorMessage.exists(_.contains("mail relay down")))
+  }
+
+  test("no ALERT row when everything succeeds (with or without retries)") {
+    import scala.concurrent.duration.Duration
+    var fires = 0
+    val (merged, _) = Pipeline.runWithRetries(spark, sfDir,
+      () => Seq(SampleCatalog.customer),
+      Pipeline.RetryPolicy(retries = 1, delay = Duration.Zero, onFailure = _ => fires += 1))
+    assert(fires == 0)
+    assert(!merged.stages.exists(_.stageName == "ALERT"))
+  }
+
+  test("preflight: vanished source is UNREACHABLE, drifted config is SCHEMA_DRIFT, good ones probe") {
+    val zones = graft.meta.MetaStore.sampleZones
+    val ghost = ExtractSpec(
+      TableConfig(98, "warehouse", "no_such_table"),
+      Seq(ColumnConfig(981, 98, "whatever")))
+    val drifted = ExtractSpec(
+      TableConfig(97, "warehouse", "part"),
+      Seq(ColumnConfig(971, 97, "p_partkey"), ColumnConfig(972, 97, "p_gone")))
+    val checks = graft.etl.Preflight.run(spark, sfDir,
+      Seq(SampleCatalog.customer, ghost, drifted), zones)
+    val byName = checks.filter(_.checkType == "source_probe").map(c => c.name -> c).toMap
+    assert(byName("no_such_table").status == "UNREACHABLE")
+    assert(byName("no_such_table").nRows == -1L)
+    assert(byName("part").status == "SCHEMA_DRIFT" && byName("part").nMissing == 1)
+    assert(byName("customer").status == "REACHABLE" && byName("customer").nRows > 0)
+    // zone rows precede probes and a blank path is MISSING
+    assert(checks.take(4).forall(c => c.checkType == "config" && c.status == "OK"))
+    val blank = graft.etl.Preflight.run(spark, sfDir, Nil, zones.copy(logsPath = ""))
+    assert(blank.find(_.name == "logs_path").get.status == "MISSING")
+  }
+
   test("rerunFailed keeps the FAILED row when the current catalog can't retry it") {
     val first = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, broken))
     val rerun = Pipeline.rerunFailed(spark, sfDir, Seq(SampleCatalog.customer), first)
