@@ -17,8 +17,17 @@ MIN_BASE = 0.5
 
 
 def main(base_path: str, scaled_path: str, factor: float) -> int:
-    base = json.load(open(base_path))["queries"]
-    scaled = json.load(open(scaled_path))["queries"]
+    base_doc = json.load(open(base_path))
+    scaled_doc = json.load(open(scaled_path))
+    base = dict(base_doc["queries"])
+    scaled = dict(scaled_doc["queries"])
+    # staged-artifact build costs (post-r7 Bench separates them from
+    # per-op numbers) get their own slope rows — the index builds are
+    # exactly the scale-sensitive part of the dedup/ANN families
+    for k, v in base_doc.get("staging", {}).items():
+        base[f"stage:{k}"] = v
+    for k, v in scaled_doc.get("staging", {}).items():
+        scaled[f"stage:{k}"] = v
     rows = []
     for name in sorted(base):
         b, s = base.get(name, -1), scaled.get(name, -1)
