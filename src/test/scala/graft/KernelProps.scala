@@ -105,4 +105,54 @@ object KernelProps extends Properties("graft.kernels") {
       val trueLog = math.log(n.toDouble / cnt) / math.log(2.0)
       math.abs(bits - trueLog) < 1.0
     }
+
+  // --- phash 5×12-bit banding (mm_phash candidate generation): the
+  // pigeonhole guarantee must hold for ARBITRARY 60-bit hashes, not
+  // just the corpus — ≤ 4 flipped bits cannot touch all 5 bands, so
+  // every pair within the Hamming ≤ 4 candidate radius shares at
+  // least one band bucket (zero false negatives by construction).
+  private val hash60: Gen[Long] = Gen.choose(0L, (1L << 60) - 1)
+
+  private def band(h: Long, k: Int): Long = (h >> (k * 12)) & 0xFFFL
+
+  property("phash 5x12 banding is pigeonhole-exact: hamming <= 4 => some band equal") =
+    Prop.forAll(hash60, Gen.choose(0, 4), Gen.listOfN(4, Gen.choose(0, 59))) { (h, nf, posRaw) =>
+      val flipped = posRaw.distinct.take(nf).foldLeft(h)((acc, p) => acc ^ (1L << p))
+      java.lang.Long.bitCount(h ^ flipped) <= 4 &&
+        (0 until 5).exists(k => band(h, k) == band(flipped, k))
+    }
+
+  property("all 5 bands differing implies hamming >= 5 (the contrapositive, pairwise)") =
+    Prop.forAll(hash60, hash60) { (a, b) =>
+      val allDiffer = (0 until 5).forall(k => band(a, k) != band(b, k))
+      !allDiffer || java.lang.Long.bitCount(a ^ b) >= 5
+    }
+
+  // --- MinHashUnion (the typed mergeable-sketch Aggregator): its
+  // partial merges run in arbitrary association/order across
+  // partitions, so the algebra itself must be proven, not assumed.
+  // reduce/merge mutate their first argument in place — clone.
+  private val sig: Gen[Array[Long]] =
+    Gen.listOfN(graft.functions.MinHashUnion.Slots,
+      Gen.choose(0L, Long.MaxValue)).map(_.toArray)
+
+  private def m(a: Array[Long], b: Array[Long]): Array[Long] =
+    graft.functions.MinHashUnion.merge(a.clone(), b)
+
+  property("MinHashUnion merge is associative") =
+    Prop.forAll(sig, sig, sig) { (a, b, c) =>
+      java.util.Arrays.equals(m(m(a, b), c), m(a, m(b, c)))
+    }
+
+  property("MinHashUnion merge is commutative, idempotent; zero is the identity") =
+    Prop.forAll(sig, sig) { (a, b) =>
+      java.util.Arrays.equals(m(a, b), m(b, a)) &&
+        java.util.Arrays.equals(m(a, a), a) &&
+        java.util.Arrays.equals(m(graft.functions.MinHashUnion.zero, a), a)
+    }
+
+  property("MinHashUnion merge == element-wise min (the union-sketch contract)") =
+    Prop.forAll(sig, sig) { (a, b) =>
+      m(a, b).zip(a.zip(b)).forall { case (got, (x, y)) => got == math.min(x, y) }
+    }
 }
