@@ -29,19 +29,24 @@ object Registry {
   val all: Seq[Op] =
     graft.queries.EtlOps.ops ++
       graft.queries.EtlOps2.ops ++
+      graft.queries.EtlOps3.ops ++
       graft.queries.Analytics.ops ++
       graft.queries.Analytics2.ops ++
       graft.queries.Analytics3.ops ++
       graft.queries.Analytics4.ops ++
       graft.queries.EventOps.ops ++
       graft.queries.EventOps2.ops ++
+      graft.queries.EventOps3.ops ++
       graft.ops.TextOps.ops ++
+      graft.ops.TextOps2.ops ++
       graft.ops.Dedup.ops ++
       graft.ops.Spans.ops ++
       graft.ops.GraphOps.ops ++
+      graft.ops.GraphOps2.ops ++
       graft.ops.Sampling.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Quantize.ops ++
+      graft.ops.EmbOps.ops ++
       graft.ops.Curation.ops ++
       graft.ops.Multimodal.ops ++
       graft.sources.SourceOps.ops ++

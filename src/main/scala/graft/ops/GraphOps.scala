@@ -45,7 +45,7 @@ object GraphOps {
     * because |E| is small, but at 100 TB it is the difference
     * between one fact pass and one per superstep).
     */
-  private def purchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ops] def purchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val co = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.Op
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second graph pack — subgraph-peeling algebra over the same
+  * purchase graph the pagerank family walks.
+  */
+object GraphOps2 {
+
+  // ---------------------------------------------------------------
+  // graph_kcore — k-core peeling on the bipartite customer–supplier
+  // purchase graph (the standard "dense engagement core" extraction:
+  // vertices that survive repeated removal of weakly-connected ones —
+  // fraud rings, power-account clusters and recommendation seeds all
+  // read from the core): each round recomputes degrees on the current
+  // induced subgraph and drops vertices with degree < K. KcoreRounds
+  // rounds are unrolled (the BFS/LPA bounded-audit pattern, not the
+  // converged one — graph_pagerank_converged already proves the
+  // data-bound-loop claim for this family); the final row set carries
+  // each survivor's degree in the last induced subgraph plus
+  // is_stable = (degree ≥ K), so WHETHER the peel has converged is
+  // itself gated data — on the gate corpus round 3 is a fixpoint and
+  // every emitted row has is_stable = 1.
+  //
+  // Plan shape per round: two semi-join filters of the edge list
+  // against the alive set (8-byte-key shuffles, |E|-linear) + one
+  // map-side-combined degree count. The edge relation is
+  // localCheckpoint-materialized once (shared with the pagerank
+  // family's construction); at 100 TB each round is one bounded
+  // shuffle over a shrinking edge set — peeling only ever removes.
+  // ---------------------------------------------------------------
+  private val K = 4
+  private val KcoreRounds = 3
+
+  private def kcore(s: SparkSession, dir: String): DataFrame = {
+    val (edges0, _) = GraphOps.purchaseGraph(s, dir)
+    var edges = edges0
+    var deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to KcoreRounds) {
+      val alive = deg.filter(col("deg") >= K).select(col("src").as("v"))
+      edges = edges
+        .join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+      deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    }
+    deg
+      .select(col("src").as("v"),
+        when(col("src") % 2 === 0, "customer").otherwise("supplier").as("entity"),
+        expr("src DIV 2").as("key"), col("deg"),
+        when(col("deg") >= K, 1).otherwise(0).cast("int").as("is_stable"))
+      .orderBy("v")
+  }
+
+  private val kcoreSql = {
+    def round(i: Int): String =
+      s"""a$i AS (SELECT v FROM d${i - 1} WHERE deg >= $K),
+        |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        |  JOIN a$i s ON e.src = s.v JOIN a$i t ON e.dst = t.v),
+        |d$i AS (SELECT src AS v, count(*) AS deg FROM e$i GROUP BY 1)""".stripMargin
+    s"""WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e0 AS (SELECT c*2 AS src, sp*2+1 AS dst FROM co
+      |       UNION ALL SELECT sp*2+1, c*2 FROM co),
+      |d0 AS (SELECT src AS v, count(*) AS deg FROM e0 GROUP BY 1),
+      |${(1 to KcoreRounds).map(round).mkString(",\n")}
+      |SELECT v, CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+      |  v // 2 AS key, CAST(deg AS BIGINT) AS deg,
+      |  CAST(CASE WHEN deg >= $K THEN 1 ELSE 0 END AS INT) AS is_stable
+      |FROM d$KcoreRounds
+      |ORDER BY v""".stripMargin
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("graph_kcore", kcore, Some(kcoreSql)))
+}

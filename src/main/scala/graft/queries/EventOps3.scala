@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third events pack — sequence-model and regime-shift analyses over
+  * the event stream: the per-user ORDER of events (Markov transition
+  * structure) and the per-day LEVEL of activity (CUSUM change-point),
+  * neither of which the windows/cohorts/funnel packs look at.
+  */
+object EventOps3 {
+
+  private def withEs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("es", expr("ts DIV 1000000000"))
+
+  // ---------------------------------------------------------------
+  // ev_markov_transitions — first-order Markov transition matrix of
+  // event types (the sequence model behind next-action prediction
+  // and journey simulation; ev_top_paths ranks whole 3-step paths,
+  // this estimates the per-step transition KERNEL): for every
+  // consecutive event pair within a user's timeline, count
+  // (prev_type → cur_type), then normalize each row of the matrix to
+  // an exact integer transition probability
+  //   p_ppm = n · 10⁶ DIV Σ_out(prev_type)
+  // (truncating div over positive integers — engine-identical, no
+  // float normalization to hash-drift).
+  //
+  // Plan shape: ONE user-keyed shuffle for the lag window (partition
+  // BY user, never global), then a |types|²-sized aggregate with
+  // map-side combine; the row-normalizing window runs over the
+  // |types|²-row matrix, not the fact table. At 100 TB: fact scan →
+  // user-partitioned sort (AQE-sized) → tiny matrix algebra. Ties in
+  // event time are broken by event_id so the sequence — and hence
+  // the gated counts — is total-order deterministic.
+  // ---------------------------------------------------------------
+  private def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val seq = withEs(s, dir)
+      .select(col("user_id"), col("es"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val matrix = seq.groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    matrix
+      .withColumn("out_total", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("cur_type"), col("n"),
+        expr("CAST(n * 1000000 DIV out_total AS BIGINT)").as("p_ppm"))
+      .orderBy("prev_type", "cur_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000000000, event_id) AS prev_type
+      |  FROM events),
+      |m AS (
+      |  SELECT prev_type, event_type AS cur_type, count(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, cur_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+      |FROM m
+      |ORDER BY prev_type, cur_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ev_changepoint — CUSUM change-point detection on the daily event
+  // count series (the regime-shift alarm behind incident detection
+  // and launch-impact reads; ev_anomaly_days flags single outlier
+  // days against a global σ band, CUSUM instead accumulates small
+  // sustained shifts until they cross — the standard Page (1954)
+  // statistic). Exact integer algebra throughout: with D observed
+  // days and T total events, each day's deviation from the global
+  // mean is scaled by D to stay integral
+  //   dev(d) = cnt(d)·D − T        (= D·(cnt − mean), exact)
+  //   cusum(d) = Σ_{d' ≤ d} dev(d')
+  // and the change-point is the day of max |cusum| (earliest day on
+  // ties). Both engines sum the same integers in a prefix window —
+  // bit-identical, so the argmax row is gate-stable.
+  //
+  // Plan shape: one fact-scan aggregate to |days| rows, a 1-row
+  // total joined back as a broadcast scalar, then prefix-sum +
+  // argmax windows over the |days|-row series (unpartitioned windows
+  // over a pre-aggregated bounded input — PlanGuardSpec's allowed
+  // shape). At 100 TB the series is still |days| rows; the fact scan
+  // is the only data-sized stage.
+  // ---------------------------------------------------------------
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = withEs(s, dir)
+      .select(expr("es DIV 86400").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(sum(col("cnt")).as("t_total"),
+      count(lit(1)).as("n_days"))
+    val series = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("cnt"),
+        (col("cnt") * col("n_days") - col("t_total")).as("dev"))
+    val byD = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCusum = series.withColumn("cusum", sum(col("dev")).over(byD))
+    val rank = Window.orderBy(abs(col("cusum")).desc, col("d"))
+    withCusum
+      .withColumn("rn", row_number().over(rank))
+      .select(col("d"), col("cnt"), col("dev"), col("cusum"),
+        when(col("rn") === 1, 1).otherwise(0).cast("int").as("is_changepoint"))
+      .orderBy("d")
+  }
+
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 1000000000 // 86400 AS d, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS t_total, count(*) AS n_days FROM daily),
+      |series AS (
+      |  SELECT d, CAST(cnt AS BIGINT) AS cnt,
+      |    CAST(cnt * n_days - t_total AS BIGINT) AS dev
+      |  FROM daily CROSS JOIN tot),
+      |c AS (
+      |  SELECT d, cnt, dev,
+      |    CAST(sum(dev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+      |  FROM series),
+      |r AS (
+      |  SELECT c.*, row_number() OVER (ORDER BY abs(cusum) DESC, d) AS rn FROM c)
+      |SELECT d, cnt, dev, cusum,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_changepoint
+      |FROM r
+      |ORDER BY d""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("ev_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
+    Op("ev_changepoint", changepoint, Some(changepointSql)))
+}
