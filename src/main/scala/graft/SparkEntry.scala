@@ -48,6 +48,7 @@ object Registry {
       graft.ops.Quantize.ops ++
       graft.ops.EmbOps.ops ++
       graft.ops.Curation.ops ++
+      graft.ops.Leakage.ops ++
       graft.ops.Multimodal.ops ++
       graft.sources.SourceOps.ops ++
       graft.streaming.StreamOps.ops

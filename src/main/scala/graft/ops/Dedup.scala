@@ -373,7 +373,7 @@ object Dedup {
     * corpus snapshot either. Derived FROM the staged pairs (one
     * lineage: pairs stage → labels stage → consumers).
     */
-  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     stagedBySnapshot(s, dir, labelStageMemo, labelStageLatest,
       "graft_cluster_labels", "near-dup cluster labels",
       clustersComputed(s, dir),

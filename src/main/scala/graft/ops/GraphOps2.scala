@@ -73,6 +73,50 @@ object GraphOps2 {
       |ORDER BY v""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // graph_degree_dist — log-binned degree distribution of the
+  // purchase graph (the power-law audit that decides salting and
+  // skew-join strategy BEFORE a workload hits the long tail: a
+  // heavy-tailed degree histogram means the vanilla edge joins of
+  // every downstream graph op need AQE skew handling): degrees bucket
+  // by WHOLE-BIT magnitude — bits = length(bin(deg)), the repo's
+  // established engine-exact log2 (txt_surprisal's idiom; float log
+  // would hash-drift) — each bucket carrying vertex count, degree
+  // range, total degree mass, and the customer/supplier split of the
+  // bipartite graph.
+  //
+  // Plan shape: one degree count off the checkpointed edge list, one
+  // ~word-size-bounded-row aggregate (≤64 buckets by construction).
+  // ---------------------------------------------------------------
+  private def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = GraphOps.purchaseGraph(s, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    deg
+      .select(col("src"), col("deg"), expr("length(bin(deg))").as("bits"))
+      .groupBy("bits")
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("degree_mass"),
+        sum(when(col("src") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("src") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy("bits")
+  }
+
+  private val degreeDistSql =
+    """WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT c*2 AS src, sp*2+1 AS dst FROM co
+      |      UNION ALL SELECT sp*2+1, c*2 FROM co),
+      |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+      |SELECT CAST(length(bin(deg)) AS INT) AS bits, count(*) AS n_vertices,
+      |  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg,
+      |  CAST(sum(deg) AS BIGINT) AS degree_mass,
+      |  CAST(sum(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+      |FROM d GROUP BY 1
+      |ORDER BY bits""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("graph_kcore", kcore, Some(kcoreSql)))
+    Op("graph_kcore", kcore, Some(kcoreSql)),
+    Op("graph_degree_dist", degreeDist, Some(degreeDistSql)))
 }

@@ -29,9 +29,9 @@ object Sampling {
   /** Portable deterministic per-doc hash in [0, 10000) (basis
     * points): first 8 md5 hex chars of the id string, mod 10⁴.
     */
-  private val bpSpark =
+  private[ops] val bpSpark =
     "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"
-  private val bpDuck =
+  private[ops] val bpDuck =
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000"
 
   // ---------------------------------------------------------------
@@ -203,8 +203,8 @@ object Sampling {
   // random-split pipelines hit on every refresh). Pure map over the
   // scan; the downstream writer partitions by the derived column.
   // ---------------------------------------------------------------
-  private val TrainBp = 9000L // 90.00%
-  private val ValBp = 500L    // 5.00%; test = remainder
+  private[ops] val TrainBp = 9000L // 90.00%
+  private[ops] val ValBp = 500L    // 5.00%; test = remainder
 
   private def tvtSplit(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")

@@ -98,6 +98,82 @@ object TextOps2 {
       |FROM r WHERE rank <= $TopCollocations
       |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_vocab_growth — Heaps'-law vocabulary growth curve: how many
+  // NEW word types each successive tenth of the corpus contributes
+  // (the saturation read behind tokenizer-vocab sizing and
+  // more-data-vs-more-epochs calls). Each type is attributed to the
+  // FIRST document (by corpus order = doc_id) that contains it:
+  // first_doc = min(doc_id) per type — a single map-side-combined
+  // aggregate, NO cumulative-distinct scan (the naive prefix-distinct
+  // is quadratic; min-per-type + a decile histogram + prefix sum is
+  // the linear equivalent). Docs are decile-bucketed by rank over the
+  // doc dimension, and the 10-row curve carries per-decile new types,
+  // cumulative vocabulary, and cumulative token mass.
+  //
+  // Corpus-order deciles are ID-RANGE tenths ((doc_id − min_id)·10
+  // DIV span) against two broadcast scalars — NOT a global
+  // row_number, which would funnel the whole doc dimension through
+  // one sort task at 100 TB (and is exactly the unpartitioned-window
+  // shape PlanGuardSpec rejects over raw inputs). With dense ids the
+  // two are identical; with sparse ids range-tenths is still a
+  // well-defined "corpus order" and stays map-only.
+  //
+  // Plan shape: token explode → min-per-type aggregate (vocab-keyed,
+  // map-combinable) → join against the doc-decile dimension (doc-id
+  // keyed, dim-sized) → 10-row histogram + prefix windows. Linear in
+  // corpus tokens, one pass.
+  // ---------------------------------------------------------------
+  private def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val ids = docs.agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    val buckets = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(ids))
+      .select(col("doc_id"), col("n_toks"),
+        expr("(doc_id - min_id) * 10 DIV (max_id - min_id + 1)").as("decile"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+    val newTypes = firstDoc
+      .join(buckets.select(col("doc_id").as("first_doc"), col("decile")), "first_doc")
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val docStats = buckets.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docStats.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_cum", sum(col("new_types")).over(cum))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(cum))
+      .orderBy("decile")
+  }
+
+  private val vocabGrowthSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |ids AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM d),
+      |buckets AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST((doc_id - min_id) * 10 // (max_id - min_id + 1) AS BIGINT) AS decile
+      |  FROM d CROSS JOIN ids),
+      |fd AS (
+      |  SELECT w, min(doc_id) AS first_doc
+      |  FROM (SELECT doc_id, unnest(toks) AS w FROM d) u GROUP BY w),
+      |nt AS (
+      |  SELECT b.decile, count(*) AS new_types
+      |  FROM fd JOIN buckets b ON fd.first_doc = b.doc_id GROUP BY 1),
+      |ds AS (
+      |  SELECT decile, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |  FROM buckets GROUP BY decile)
+      |SELECT ds.decile, ds.n_docs, ds.n_tokens,
+      |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY ds.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+      |  CAST(sum(ds.n_tokens) OVER (ORDER BY ds.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum
+      |FROM ds LEFT JOIN nt ON ds.decile = nt.decile
+      |ORDER BY ds.decile""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("txt_collocations", collocations, Some(collocationsSql)))
+    Op("txt_collocations", collocations, Some(collocationsSql)),
+    Op("txt_vocab_growth", vocabGrowth, Some(vocabGrowthSql)))
 }

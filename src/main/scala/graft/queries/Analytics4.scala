@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fourth analytics pack — operator classes the TPC-H shapes don't
@@ -230,9 +231,85 @@ object Analytics4 {
       |FROM cells c JOIN smooth s ON c.cla = s.cla AND c.clo = s.clo
       |ORDER BY c.cla, c.clo""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_market_basket — association rules over order baskets (the
+  // retail classic: which part PAIRS co-occur in the same order more
+  // than their solo popularity predicts): within-order part pairs
+  // (a < b), support / confidence / lift in exact truncating ppm —
+  // lift's cross-multiplication runs in DECIMAL(38,0) (n_ab·N·10⁶
+  // over n_a·n_b) so the rule ranking is engine-identical —
+  // MinSupport-floored, deterministic top-25 by (lift, a, b).
+  //
+  // Scale shape: the pair generator is a SELF-JOIN ON ORDER KEY —
+  // fan-out is C(k,2) per order with k = basket size (bounded small
+  // by the domain), so pair volume is linear in orders, never
+  // all-pairs over parts. Item counts join back on the part key
+  // (vocab-sized, map-combinable); the rank window runs over the
+  // ≥MinSupport survivors, above an Aggregate.
+  // ---------------------------------------------------------------
+  private val BasketMinSupport = 3
+  private val BasketTop = 25
+
+  private def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey")).distinct()
+    val nOrders = items.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val itemCnt = items.groupBy("pkey").agg(count(lit(1)).as("n_solo"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+      .select(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinSupport)
+    val scored = pairs
+      .join(itemCnt.select(col("pkey").as("part_a"), col("n_solo").as("n_a")), "part_a")
+      .join(itemCnt.select(col("pkey").as("part_b"), col("n_solo").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST(n_ab * 1000000 DIV n_orders AS BIGINT)").as("support_ppm"),
+        expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").as("confidence_ppm"),
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))))
+      .filter(col("rank") <= BasketTop)
+      .select(col("rank"), col("part_a"), col("part_b"), col("n_ab"),
+        col("support_ppm"), col("confidence_ppm"), col("lift_ppm"))
+      .orderBy("rank")
+  }
+
+  private val marketBasketSql =
+    s"""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+      |ic AS (SELECT pkey, count(*) AS n_solo FROM items GROUP BY pkey),
+      |pairs AS (
+      |  SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS n_ab
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $BasketMinSupport),
+      |scored AS (
+      |  SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+      |    CAST(p.n_ab * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+      |    CAST(p.n_ab * 1000000 // a.n_solo AS BIGINT) AS confidence_ppm,
+      |    CAST(CAST(p.n_ab AS HUGEINT) * n.n_orders * 1000000
+      |      // (CAST(a.n_solo AS HUGEINT) * b.n_solo) AS BIGINT) AS lift_ppm
+      |  FROM pairs p
+      |  JOIN ic a ON a.pkey = p.part_a
+      |  JOIN ic b ON b.pkey = p.part_b
+      |  CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, part_a, part_b) AS rank
+      |  FROM scored)
+      |SELECT CAST(rank AS INT) AS rank, part_a, part_b, n_ab,
+      |  support_ppm, confidence_ppm, lift_ppm
+      |FROM r WHERE rank <= $BasketTop
+      |ORDER BY rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_skyline", skyline, Some(skylineSql)),
     Op("q_hierarchy_flatten", hierarchyFlatten, Some(hierarchyFlattenSql)),
+    Op("q_market_basket", marketBasket, Some(marketBasketSql)),
     Op("geo_cell_join", geoCellJoin, Some(geoCellJoinSql)),
     Op("geo_grid_density", geoGridDensity, Some(geoGridDensitySql)))
 }

@@ -127,7 +127,122 @@ object EventOps3 {
       |FROM r
       |ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_ab_lift — A/B experiment readout (the two-sample conversion
+  // comparison every growth team runs): users split by a
+  // deterministic assignment (user_id parity stands in for the
+  // experiment's assignment table), conversion = user ever fired a
+  // purchase event; per-variant exposed/converted counts, exact
+  // truncating ppm rates, and the WINNER decided on the exact
+  // cross-multiplied integers conv_b·n_a vs conv_a·n_b in
+  // DECIMAL(38,0) — never on the truncated rates themselves, whose
+  // rounding could disagree with the true ordering (diff_ppm of the
+  // truncated rates is still emitted, as display data).
+  //
+  // Plan shape: two user-keyed distincts off one fact scan, a
+  // dim-sized left join, then a 1-row conditional aggregate. At
+  // 100 TB the only data-sized stages are the distincts, both
+  // map-side-combinable on user_id.
+  // ---------------------------------------------------------------
+  private def abLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.select("user_id").distinct()
+      .select(col("user_id"), (col("user_id") % 2).as("v"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("c", lit(1L))
+    users.join(conv, Seq("user_id"), "left")
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_users_a"),
+        sum(when(col("v") === 0, coalesce(col("c"), lit(0L))).otherwise(0L)).as("n_conv_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_users_b"),
+        sum(when(col("v") === 1, coalesce(col("c"), lit(0L))).otherwise(0L)).as("n_conv_b"))
+      .select(col("n_users_a"), col("n_conv_a"),
+        expr("CAST(n_conv_a * 1000000 DIV n_users_a AS BIGINT)").as("rate_a_ppm"),
+        col("n_users_b"), col("n_conv_b"),
+        expr("CAST(n_conv_b * 1000000 DIV n_users_b AS BIGINT)").as("rate_b_ppm"),
+        expr("CAST(n_conv_b * 1000000 DIV n_users_b - n_conv_a * 1000000 DIV n_users_a AS BIGINT)")
+          .as("diff_ppm"),
+        expr("CASE WHEN CAST(n_conv_b AS DECIMAL(38,0)) * n_users_a > CAST(n_conv_a AS DECIMAL(38,0)) * n_users_b THEN 'B' " +
+          "WHEN CAST(n_conv_b AS DECIMAL(38,0)) * n_users_a < CAST(n_conv_a AS DECIMAL(38,0)) * n_users_b THEN 'A' " +
+          "ELSE 'tie' END").as("winner"))
+  }
+
+  private val abLiftSql =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+      |conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT u.user_id % 2 AS v,
+      |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS c
+      |  FROM users u LEFT JOIN conv c ON u.user_id = c.user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_a,
+      |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS n_conv_a,
+      |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_b,
+      |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS n_conv_b
+      |  FROM j)
+      |SELECT n_users_a, n_conv_a,
+      |  CAST(n_conv_a * 1000000 // n_users_a AS BIGINT) AS rate_a_ppm,
+      |  n_users_b, n_conv_b,
+      |  CAST(n_conv_b * 1000000 // n_users_b AS BIGINT) AS rate_b_ppm,
+      |  CAST(n_conv_b * 1000000 // n_users_b - n_conv_a * 1000000 // n_users_a AS BIGINT) AS diff_ppm,
+      |  CASE WHEN CAST(n_conv_b AS HUGEINT) * n_users_a > CAST(n_conv_a AS HUGEINT) * n_users_b THEN 'B'
+      |       WHEN CAST(n_conv_b AS HUGEINT) * n_users_a < CAST(n_conv_a AS HUGEINT) * n_users_b THEN 'A'
+      |       ELSE 'tie' END AS winner
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ev_inter_event_time — per-type inter-arrival cadence (the
+  // behavioral-rhythm profile behind engagement scoring and anomaly
+  // baselines; the session/window packs aggregate activity VOLUME,
+  // this profiles the TIME BETWEEN actions): consecutive same-type
+  // gaps within each user's timeline (lag over user×type, event_id
+  // tiebreak), then per type the gap count, exact integer total, max,
+  // and interpolated p50/p90 via Spark `percentile` == DuckDB
+  // `quantile_cont` (the proven q_percentiles parity pair). Like
+  // q_percentiles, exact percentile buffers each group's gaps —
+  // bounded here by types being few; at extreme per-type cardinality
+  // the q_percentiles_hist binned-interpolation pattern swaps in.
+  //
+  // Plan shape: one user×type-keyed window shuffle over the fact
+  // scan, then a |types|-row aggregate. Nothing else.
+  // ---------------------------------------------------------------
+  private def interEventTime(s: SparkSession, dir: String): DataFrame = {
+    val byUT = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    val gaps = withEs(s, dir)
+      .select(col("user_id"), col("event_type"), col("es"), col("event_id"))
+      .withColumn("prev_es", lag(col("es"), 1).over(byUT))
+      .filter(col("prev_es").isNotNull)
+      .select(col("event_type"), (col("es") - col("prev_es")).as("gap_s"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_gap_s"))
+      .orderBy("event_type")
+  }
+
+  private val interEventTimeSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_ns(ts) // 1000000000
+      |      - lag(epoch_ns(ts) // 1000000000) OVER (
+      |          PARTITION BY user_id, event_type
+      |          ORDER BY epoch_ns(ts) // 1000000000, event_id) AS gap_s
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+      |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+      |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+      |  round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
-    Op("ev_changepoint", changepoint, Some(changepointSql)))
+    Op("ev_changepoint", changepoint, Some(changepointSql)),
+    Op("ev_ab_lift", abLift, Some(abLiftSql)),
+    Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)))
 }

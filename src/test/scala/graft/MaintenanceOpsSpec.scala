@@ -117,6 +117,71 @@ class MaintenanceOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ev_inter_event_time: gap counts conserve and quantiles are ordered") {
+    val rows = run("ev_inter_event_time").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      val nEvents = ev.filter(col("event_type") === t).count()
+      val nUsers = ev.filter(col("event_type") === t).select("user_id").distinct().count()
+      assert(r.getAs[Long]("n_gaps") == nEvents - nUsers,
+        s"$t: each user's first event of the type has no gap")
+      assert(r.getAs[Double]("p50_gap_s") <= r.getAs[Double]("p90_gap_s"))
+      assert(r.getAs[Double]("p90_gap_s") <= r.getAs[Long]("max_gap_s").toDouble)
+    }
+  }
+
+  test("txt_vocab_growth: curve telescopes to the exact corpus totals") {
+    val rows = run("txt_vocab_growth").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+    val vocab = docs.select(explode(col("toks")).as("w")).distinct().count()
+    val tokens = docs.select(explode(col("toks")).as("w")).count()
+    assert(rows.map(_.getAs[Long]("new_types")).sum == vocab)
+    assert(rows.last.getAs[Long]("vocab_cum") == vocab)
+    assert(rows.last.getAs[Long]("tokens_cum") == tokens)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.load(spark, sfDir, "documents").count())
+    // cumulative columns are the prefix sums of the per-decile columns
+    assert(rows.map(_.getAs[Long]("vocab_cum")).toSeq ==
+      rows.map(_.getAs[Long]("new_types")).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
+  test("q_market_basket: rules are floored and the top lift recomputes") {
+    val rows = run("q_market_basket").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(rows.forall(_.getAs[Long]("n_ab") >= 3L))
+    val items = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select("l_orderkey").distinct().count()
+    val top = rows.head
+    val na = items.filter(col("l_partkey") === top.getAs[Long]("part_a")).count()
+    val nb = items.filter(col("l_partkey") === top.getAs[Long]("part_b")).count()
+    val expected = (BigInt(top.getAs[Long]("n_ab")) * nOrders * 1000000) / (BigInt(na) * nb)
+    assert(BigInt(top.getAs[Long]("lift_ppm")) == expected)
+    assert(top.getAs[Long]("support_ppm") == top.getAs[Long]("n_ab") * 1000000L / nOrders)
+  }
+
+  test("graph_degree_dist: buckets conserve vertices and mass within bit ranges") {
+    val rows = run("graph_degree_dist").collect()
+    val co = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    assert(rows.map(_.getAs[Long]("degree_mass")).sum == co.count() * 2,
+      "sum of degrees = 2|E| on the symmetrized graph")
+    val nVerts = co.select("c").distinct().count() + co.select("sp").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_vertices")).sum == nVerts)
+    for (r <- rows) {
+      val bits = r.getAs[Int]("bits")
+      assert(r.getAs[Long]("min_deg") >= (1L << (bits - 1)))
+      assert(r.getAs[Long]("max_deg") < (1L << bits))
+      assert(r.getAs[Long]("n_customers") + r.getAs[Long]("n_suppliers") ==
+        r.getAs[Long]("n_vertices"))
+    }
+  }
+
   test("emb_drift: cohorts partition the corpus and exactly 3 dims are flagged") {
     val rows = run("emb_drift").collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()
