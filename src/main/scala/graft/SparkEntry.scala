@@ -44,6 +44,7 @@ object Registry {
       graft.ops.GraphOps.ops ++
       graft.ops.GraphOps2.ops ++
       graft.ops.Sampling.ops ++
+      graft.ops.Sampling2.ops ++
       graft.ops.Similarity.ops ++
       graft.ops.Quantize.ops ++
       graft.ops.EmbOps.ops ++

@@ -87,6 +87,72 @@ object EmbOps {
       |FROM r
       |ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------
+  // emb_diversity — per-label mean pairwise squared L2 distance (the
+  // intra-class spread / collapse monitor: a label whose embeddings
+  // are collapsing to a point stops being separable, one whose spread
+  // explodes is mislabeled or multi-modal) WITHOUT forming any pair:
+  // the moment identity
+  //   Σ_{i,j} ‖xᵢ−xⱼ‖² = 2·( n·Σᵢ‖xᵢ‖² − Σ_d (Σᵢ x_{i,d})² )
+  // turns the O(n²) pairwise sum into two linear aggregates. All
+  // inputs are exact ppm integers; per-dim sums are squared in
+  // DECIMAL(38,0) (sd ≈ n·10⁶ overflows BIGINT when squared beyond
+  // n ≈ 3000), so the pairwise-sum NUMERATOR is exact and both
+  // engines divide the same integer — the emitted mean is one double
+  // division of that exact numerator (the emb_drift idiom), rounded
+  // for display.
+  //
+  // Plan shape: posexplode → (label, dim) map-side-combined
+  // aggregate → |labels|-row aggregate. No join, no pair, no window
+  // over data. At 100 TB: one corpus scan into label×dim cells —
+  // the numerator stays exact while n·Σ‖x‖²_ppm < 10³⁸ (≈ 10¹³
+  // unit-normed vectors per label).
+  // ---------------------------------------------------------------
+  private def diversity(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.load(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("vec_id"), col("dim"), expr(PpmExpr).as("v_ppm"))
+    val byDim = x.groupBy("label", "dim").agg(
+      count(lit(1)).as("n_vec"),
+      sum(col("v_ppm")).as("sd"),
+      sum(expr("v_ppm * v_ppm")).as("s2d"))
+    byDim.groupBy("label").agg(
+        max(col("n_vec")).as("n"),
+        sum(col("s2d")).as("s2"),
+        sum(expr("CAST(sd AS DECIMAL(38,0)) * sd")).as("sum_sd2"))
+      .filter(col("n") >= 2) // pairwise spread is undefined for a singleton label
+      .select(col("label"), col("n"), col("s2"),
+        round(
+          expr("CAST(2 * (CAST(n AS DECIMAL(38,0)) * s2 - sum_sd2) AS DOUBLE)") /
+            (col("n").cast("double") * (col("n") - 1).cast("double") * 1e12), 6)
+          .as("mean_pair_sq_dist"))
+      .orderBy("label")
+  }
+
+  private val diversitySql =
+    """WITH x AS (
+      |  SELECT label, vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS v_ppm
+      |  FROM (SELECT label, vec_id, embedding, unnest(range(0, len(embedding))) AS i FROM embeddings) u),
+      |bydim AS (
+      |  SELECT label, dim, count(*) AS n_vec,
+      |    CAST(sum(v_ppm) AS BIGINT) AS sd,
+      |    CAST(sum(v_ppm * v_ppm) AS BIGINT) AS s2d
+      |  FROM x GROUP BY 1, 2),
+      |a AS (
+      |  SELECT label, CAST(max(n_vec) AS BIGINT) AS n,
+      |    CAST(sum(s2d) AS BIGINT) AS s2,
+      |    sum(CAST(sd AS HUGEINT) * sd) AS sum_sd2
+      |  FROM bydim GROUP BY 1)
+      |SELECT label, n, s2,
+      |  -- pairwise spread is undefined for a singleton label (n < 2 filtered below)
+      |  round(CAST(2 * (CAST(n AS HUGEINT) * s2 - sum_sd2) AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (n - 1) * 1e12), 6) AS mean_pair_sq_dist
+      |FROM a
+      |WHERE n >= 2
+      |ORDER BY label""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("emb_drift", drift, Some(driftSql)))
+    Op("emb_drift", drift, Some(driftSql)),
+    Op("emb_diversity", diversity, Some(diversitySql)))
 }

@@ -131,17 +131,21 @@ object GraphOps {
     var residual = Long.MaxValue
     var rounds = 0
     while (residual > PrTolPpm && rounds < PrMaxRounds) {
+      // the superstep carries the previous round's mass alongside the
+      // new one, so the residual is a map-side scan of the round's
+      // OWN checkpoint blocks — not a second |V|-join job per round
+      // (at sf1 the separate residual job was ~half the op's cost:
+      // 36 rounds × one extra skinny-join stage each)
       val (next, ids) = Rounds.checkpoint(edges
         .join(mass.withColumnRenamed("v", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))
         .groupBy("v").agg(sum(col("contrib")).as("inflow"))
-        .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass")))
-      // the residual reads BOTH rounds — free the old one only after
-      residual = next.join(mass.select(col("v"), col("mass").as("prev")), "v")
-        .agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
+        .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass"))
+        .join(mass.select(col("v"), col("mass").as("prev")), "v"))
+      residual = next.agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
       Rounds.free(mass, massIds)
-      mass = next
+      mass = next.select(col("v"), col("mass"))
       massIds = ids
       rounds += 1
     }

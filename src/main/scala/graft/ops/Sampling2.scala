@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second sampling/export pack — EXACT-CARDINALITY deterministic
+  * selection. The rate-based samplers (Sampling.scala) keep each row
+  * independently, so the sample SIZE is only expected, not exact;
+  * these two give the other contract: exactly-k rows / exactly-K
+  * folds, still hash-deterministic and engine-reproducible.
+  */
+object Sampling2 {
+
+  // ---------------------------------------------------------------
+  // samp_bottomk — exact-size uniform sample via bottom-k min-wise
+  // hashing (the distributed equivalent of reservoir sampling, but
+  // DETERMINISTIC and mergeable: the k smallest md5 draws of a set
+  // are a uniform k-subset, and bottom-k of a union is the bottom-k
+  // of each side's bottom-k — so partitions combine without
+  // coordination and reruns/engines agree row-for-row, which a
+  // random reservoir cannot promise). Draw = md5 of the order key
+  // string; the k smallest draws win.
+  //
+  // Plan shape: Spark compiles orderBy(draw).limit(k) to
+  // TakeOrderedAndProject — per-partition top-k heaps + one
+  // driver-side merge of (#partitions · k) rows, NO global sort.
+  // At 100 TB with 10⁵ tasks and k = 2000 the merge is 2·10⁸ skinny
+  // rows at worst — bounded by k, not by data; push k·partitions
+  // past driver memory and the same plan runs as two chained
+  // takeOrdered stages. The md5 draw is the proven cross-engine
+  // idiom (Sampling.bpSpark).
+  // ---------------------------------------------------------------
+  private val BottomK = 2000
+
+  private def bottomK(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        md5(col("o_orderkey").cast("string")).as("draw"))
+      .orderBy("draw")
+      .limit(BottomK)
+
+  private val bottomKSql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+      |  md5(CAST(o_orderkey AS VARCHAR)) AS draw
+      |FROM orders
+      |ORDER BY draw
+      |LIMIT $BottomK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // exp_kfold — deterministic k-fold cross-validation assignment
+  // with a per-fold stratum-balance report: every document lands in
+  // exactly one of K folds by md5 hash (stable under reruns,
+  // engine-independent, and unchanged when other docs are added —
+  // the property train/eval splits need so fold membership never
+  // leaks across experiment iterations), and the output is the
+  // fold × language contingency table with each cell's exact ppm
+  // share of its fold — the skew check that tells you whether
+  // "hold out fold 3" accidentally holds out a language.
+  //
+  // Plan shape: one map-only hash assignment + a K·|langs|-row
+  // map-side-combined aggregate; the fold-total window runs over
+  // that tiny table. At 100 TB nothing but the scan grows.
+  // ---------------------------------------------------------------
+  private val Folds = 5
+
+  private def kfold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(s, dir, "documents")
+      .select(expr(s"CAST(${Sampling.bpSpark} % $Folds AS INT)").as("fold"), col("lang"))
+      .groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("fold_total", sum(col("n_docs")).over(Window.partitionBy("fold")))
+      .select(col("fold"), col("lang"), col("n_docs"), col("fold_total"),
+        expr("CAST(n_docs * 1000000 DIV fold_total AS BIGINT)").as("share_ppm"))
+      .orderBy("fold", "lang")
+  }
+
+  private val kfoldSql =
+    s"""WITH a AS (
+      |  SELECT CAST(${Sampling.bpDuck} % $Folds AS INT) AS fold, lang
+      |  FROM documents),
+      |c AS (SELECT fold, lang, count(*) AS n_docs FROM a GROUP BY 1, 2)
+      |SELECT fold, lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(sum(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS fold_total,
+      |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS share_ppm
+      |FROM c
+      |ORDER BY fold, lang""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("samp_bottomk", bottomK, Some(bottomKSql)),
+    Op("exp_kfold", kfold, Some(kfoldSql)))
+}

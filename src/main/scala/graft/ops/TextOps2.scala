@@ -173,7 +173,73 @@ object TextOps2 {
       |FROM ds LEFT JOIN nt ON ds.decile = nt.decile
       |ORDER BY ds.decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_dup_coverage — per-document duplicated-shingle coverage, the
+  // RefinedWeb/Gopher-style QUALITY signal the dedup family's pair
+  // ops don't produce: a doc that shares 80% of its word 3-grams
+  // with the rest of the corpus is boilerplate/template even when no
+  // single partner crosses a pair threshold. For each doc,
+  //   coverage_ppm = (#shingles with corpus doc-freq > 1)·10⁶ DIV #shingles
+  // then the corpus-level histogram by coverage decile (full-dup docs
+  // clamp into the top band) — the distribution a curation policy
+  // thresholds on. Same 60-bit md5 shingle ids and ≥3-token scope as
+  // the dedup family, so the signal composes with its pair graph; an
+  // id collision can merge two shingles but both engines derive the
+  // identical ids, so the gate is unaffected.
+  //
+  // Plan shape: postings explode → doc-freq aggregate on the 8-byte
+  // sid (map-side combined) → one sid-keyed join back to postings →
+  // per-doc aggregate → 10-row histogram. Linear inverted index,
+  // never doc×doc. At 100 TB the two sid shuffles are the whole
+  // cost; a df>1000 hot-shingle cap is unnecessary here because df
+  // only feeds the >1 indicator, never a fan-out join.
+  // ---------------------------------------------------------------
+  private def dupCoverage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val postings = TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr("graft_shingles3(toks)"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), expr(Dedup.sid32Spark).as("sid"))
+    val df = postings.groupBy("sid").agg(count(lit(1)).as("df"))
+    val perDoc = postings.join(df, "sid")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"),
+        col("n_sh"), col("n_dup"),
+        expr("CAST(n_dup * 1000000 DIV n_sh AS BIGINT)").as("cov_ppm"))
+    perDoc
+      .select(expr("CAST(least(cov_ppm DIV 100000, 9) AS INT)").as("decile"),
+        col("n_sh"), col("n_dup"))
+      .groupBy("decile").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("shingles_total"),
+        sum(col("n_dup")).as("dup_shingles_total"))
+      .orderBy("decile")
+  }
+
+  private val dupCoverageSql =
+    s"""${Dedup.shinglesDuck},
+      |p AS (
+      |  SELECT doc_id, ${Dedup.sid32Duck} AS sid
+      |  FROM (SELECT doc_id, unnest(sh) AS g FROM s) u),
+      |f AS (SELECT sid, count(*) AS df FROM p GROUP BY 1),
+      |d AS (
+      |  SELECT p.doc_id, count(*) AS n_sh,
+      |    sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup
+      |  FROM p JOIN f ON p.sid = f.sid GROUP BY 1),
+      |c AS (SELECT doc_id, n_sh, n_dup, n_dup * 1000000 // n_sh AS cov_ppm FROM d)
+      |SELECT CAST(least(cov_ppm // 100000, 9) AS INT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_sh) AS BIGINT) AS shingles_total,
+      |  CAST(sum(n_dup) AS BIGINT) AS dup_shingles_total
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY decile""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("txt_collocations", collocations, Some(collocationsSql)),
-    Op("txt_vocab_growth", vocabGrowth, Some(vocabGrowthSql)))
+    Op("txt_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
+    Op("txt_dup_coverage", dupCoverage, Some(dupCoverageSql)))
 }

@@ -306,7 +306,66 @@ object Analytics4 {
       |FROM r WHERE rank <= $BasketTop
       |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q_benford — Benford's-law first-digit audit on line amounts (the
+  // classic fabricated-data / unit-mix-error screen an auditor runs
+  // over any financial fact table): count line items by the first
+  // significant digit of l_extendedprice, compare each digit's exact
+  // observed ppm share against the Benford expectation
+  // log10(1+1/d). The nine expected shares are COMPILE-TIME literals
+  // (floor(log10(1+1/d)·10⁶) — a runtime transcendental would
+  // hash-drift between engines; a constant cannot), and the observed
+  // share is the exact truncating n·10⁶ DIV total. The digit is read
+  // from the decimal string of integer CENTS (round(x·100) — prices
+  // are exact cents, so the float error is ≪ 0.5 and both engines
+  // round to the same integer; first significant digit is invariant
+  // under the ×100 power-of-ten scale), never from a float format.
+  //
+  // Plan shape: one fact-scan map + a 9-row map-side-combined
+  // aggregate, the 1-row total joined back as a broadcast scalar.
+  // At 100 TB nothing but the scan grows.
+  // ---------------------------------------------------------------
+  private val BenfordPpm: Seq[(Int, Long)] =
+    Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    val expCase = BenfordPpm
+      .map { case (d, p) => s"WHEN $d THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    val digits = Tables.load(s, dir, "lineitem")
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("CAST(n * 1000000 DIV total AS BIGINT)").as("obs_ppm"),
+        expr(expCase).as("exp_ppm"),
+        expr(s"CAST(n * 1000000 DIV total - ($expCase) AS BIGINT)").as("dev_ppm"))
+      .orderBy("digit")
+  }
+
+  private val benfordSql = {
+    val expCase = BenfordPpm
+      .map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM c)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+      |  CAST($expCase AS BIGINT) AS exp_ppm,
+      |  CAST(n * 1000000 // total - ($expCase) AS BIGINT) AS dev_ppm
+      |FROM c CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_benford", benford, Some(benfordSql)),
     Op("q_skyline", skyline, Some(skylineSql)),
     Op("q_hierarchy_flatten", hierarchyFlatten, Some(hierarchyFlattenSql)),
     Op("q_market_basket", marketBasket, Some(marketBasketSql)),

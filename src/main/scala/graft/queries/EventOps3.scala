@@ -240,7 +240,65 @@ object EventOps3 {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_survival_hazard — discrete-time survival / hazard curve of
+  // user LIFETIME (days between first and last activity): the
+  // churn-risk profile behind LTV discounting and retention-budget
+  // allocation. ev_retention measures activity AT an offset (users
+  // can return); this measures how long users last at all — for each
+  // offset w, the risk set is users whose lifetime ≥ w, the churn
+  // event is lifetime = w, and
+  //   hazard(d)  = churned(d)·10⁶ DIV at_risk(d)      (exact ppm)
+  //   survival(d) = at_risk(d)·10⁶ DIV total_users
+  // — the Kaplan–Meier estimator specialization for fully-observed
+  // (no censoring) spans, in exact truncating integer ppm so both
+  // engines emit bit-identical curves.
+  //
+  // Plan shape: one fact-scan aggregate keyed by user_id (map-side
+  // combined min/max — the only data-sized stage), a |lifetimes|-row
+  // histogram, then a reverse prefix-sum window + 1-row broadcast
+  // total over that tiny series. At 100 TB: scan → user agg →
+  // constant-size algebra.
+  // ---------------------------------------------------------------
+  private def survivalHazard(s: SparkSession, dir: String): DataFrame = {
+    val spans = withEs(s, dir)
+      .select(col("user_id"), expr("es DIV 86400").as("d"))
+      .groupBy("user_id").agg((max(col("d")) - min(col("d"))).as("lifetime_d"))
+    val hist = spans.groupBy("lifetime_d").agg(count(lit(1)).as("n_churned"))
+    val riskW = Window.orderBy(col("lifetime_d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n_churned")).as("total_users"))
+    hist
+      .withColumn("n_at_risk", sum(col("n_churned")).over(riskW))
+      .crossJoin(broadcast(tot))
+      .select(col("lifetime_d").as("offset_d"), col("n_at_risk"), col("n_churned"),
+        expr("CAST(n_churned * 1000000 DIV n_at_risk AS BIGINT)").as("hazard_ppm"),
+        expr("CAST(n_at_risk * 1000000 DIV total_users AS BIGINT)").as("surv_ppm"))
+      .orderBy("offset_d")
+  }
+
+  private val survivalHazardSql =
+    """WITH spans AS (
+      |  SELECT user_id,
+      |    max(epoch_ns(ts) // 1000000000 // 86400)
+      |      - min(epoch_ns(ts) // 1000000000 // 86400) AS lifetime_d
+      |  FROM events GROUP BY user_id),
+      |h AS (SELECT lifetime_d, count(*) AS n_churned FROM spans GROUP BY 1),
+      |r AS (
+      |  SELECT lifetime_d, n_churned,
+      |    sum(n_churned) OVER (ORDER BY lifetime_d DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      |  FROM h),
+      |t AS (SELECT sum(n_churned) AS total_users FROM h)
+      |SELECT lifetime_d AS offset_d,
+      |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  CAST(n_churned AS BIGINT) AS n_churned,
+      |  CAST(n_churned * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm,
+      |  CAST(n_at_risk * 1000000 // total_users AS BIGINT) AS surv_ppm
+      |FROM r CROSS JOIN t
+      |ORDER BY offset_d""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     Op("ev_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     Op("ev_changepoint", changepoint, Some(changepointSql)),
     Op("ev_ab_lift", abLift, Some(abLiftSql)),

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the round-7 additions (beyond each op's
+  * DuckDB oracle gate): exact-cardinality selection, the pairless
+  * diversity identity against a direct pairwise reference, survival
+  * algebra, and the audit histograms.
+  */
+class R7OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("q_benford: digit domain, exact share algebra, and the constant table") {
+    val rows = run("q_benford").collect()
+    val digits = rows.map(_.getAs[Int]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(totalN == li, "every line item is counted under exactly one digit")
+    rows.foreach { r =>
+      val obs = r.getAs[Long]("obs_ppm")
+      assert(obs == r.getAs[Long]("n") * 1000000L / totalN)
+      assert(r.getAs[Long]("dev_ppm") == obs - r.getAs[Long]("exp_ppm"))
+    }
+    val exp1 = rows.find(_.getAs[Int]("digit") == 1).map(_.getAs[Long]("exp_ppm"))
+    assert(exp1.contains(301029L), "Benford expectation for digit 1 is log10(2) in floor-ppm")
+  }
+
+  test("samp_bottomk: exactly min(k, n) rows and they are THE k smallest draws") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(md5(col("o_orderkey").cast("string")).as("draw"))
+    val n = orders.count()
+    val got = run("samp_bottomk").select("draw").collect().map(_.getString(0))
+    assert(got.length == math.min(2000L, n))
+    assert(got.distinct.length == got.length, "md5 draws are collision-free on the key set")
+    // nothing outside the sample draws below the sample's max draw
+    val cut = got.max
+    assert(orders.filter(col("draw") <= cut).count() == got.length)
+  }
+
+  test("exp_kfold: partition of the corpus, fold domain, share algebra") {
+    val rows = run("exp_kfold").collect()
+    assert(rows.map(_.getAs[Int]("fold")).forall(f => f >= 0 && f < 5))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs, "folds partition the corpus")
+    rows.groupBy(_.getAs[Int]("fold")).foreach { case (_, cells) =>
+      val ft = cells.head.getAs[Long]("fold_total")
+      assert(cells.map(_.getAs[Long]("n_docs")).sum == ft)
+      val shareSum = cells.map(_.getAs[Long]("share_ppm")).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - cells.length,
+        "truncating shares sum to 1e6 within one ulp per cell")
+    }
+  }
+
+  test("emb_diversity matches a direct driver-side pairwise computation") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray))
+      .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2) }
+    val got = run("emb_diversity").collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("mean_pair_sq_dist")).toMap
+    vecs.filter(_._2.length >= 2).foreach { case (label, xs) =>
+      val n = xs.length
+      var sum = BigInt(0)
+      for (i <- xs.indices; j <- xs.indices if i != j) {
+        var d = BigInt(0)
+        for (k <- xs(i).indices) { val t = xs(i)(k) - xs(j)(k); d += BigInt(t) * t }
+        sum += d
+      }
+      val expect = (BigDecimal(sum) / (BigDecimal(n) * (n - 1) * BigDecimal("1e12"))).toDouble
+      assert(math.abs(got(label) - expect) < 1e-5, s"label $label: ${got(label)} vs $expect")
+    }
+  }
+
+  test("ev_survival_hazard: risk-set algebra over the lifetime histogram") {
+    val rows = run("ev_survival_hazard").orderBy("offset_d").collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_at_risk") == users,
+      "everyone is at risk at the smallest observed lifetime")
+    assert(rows.map(_.getAs[Long]("n_churned")).sum == users, "every user churns exactly once")
+    val atRisk = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(atRisk.zip(atRisk.tail).forall { case (a, b) => a > b }, "risk set strictly shrinks")
+    assert(rows.last.getAs[Long]("hazard_ppm") == 1000000L,
+      "the longest-lived cohort churns with certainty")
+    rows.foreach(r => assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_at_risk")))
+  }
+
+  test("txt_dup_coverage: decile histogram covers exactly the in-scope docs") {
+    val rows = run("txt_dup_coverage").collect()
+    assert(rows.map(_.getAs[Int]("decile")).forall(d => d >= 0 && d <= 9))
+    val inScope = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == inScope)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("dup_shingles_total") <= r.getAs[Long]("shingles_total")))
+  }
+}
