@@ -116,7 +116,67 @@ object GraphOps2 {
       |FROM d GROUP BY 1
       |ORDER BY bits""".stripMargin
 
+  // ---------------------------------------------------------------
+  // graph_assortativity — degree assortativity of the purchase graph
+  // (Newman's r: do high-degree vertices attach to high-degree
+  // vertices? positive r = core-periphery engagement, negative r =
+  // hub-and-spoke — the one-number summary that predicts whether the
+  // edge joins of every downstream graph op will skew): the Pearson
+  // correlation of (deg(src), deg(dst)) over directed edges. On a
+  // SYMMETRIZED graph the two marginals are identical (every edge
+  // appears in both directions), so Var(x) = Var(y) and the
+  // correlation needs NO square root:
+  //   r = (E·Σdxdy − (Σdx)²) / (E·Σdx² − (Σdx)²)
+  // Both numerator and denominator are exact DECIMAL(38,0) integers
+  // (deg products overflow BIGINT once E·Σdx² > 9·10¹⁸ — at heavy
+  // hub mass that is reachable, so the cross-multiplies are decimal
+  // from the start); the emitted r is ONE double division of the two
+  // exact integers, rounded for display — engine-identical.
+  //
+  // Plan shape: degree count off the checkpointed edge list, two
+  // 8-byte-key joins decorating each edge with endpoint degrees, one
+  // 1-row aggregate. |E|-linear, no window, no pair explosion.
+  // ---------------------------------------------------------------
+  private def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = GraphOps.purchaseGraph(s, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val decorated = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    decorated.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"),
+        sum(expr("dx * dy")).as("sxy"),
+        sum(expr("dx * dx")).as("sxx"))
+      .select(col("n_edges"), col("sx"), col("sxy"), col("sxx"),
+        round(
+          expr("CAST(CAST(n_edges AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)") /
+            expr("CAST(CAST(n_edges AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"),
+          6).as("assortativity"))
+  }
+
+  private val assortativitySql =
+    """WITH co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT c*2 AS src, sp*2+1 AS dst FROM co
+      |      UNION ALL SELECT sp*2+1, c*2 FROM co),
+      |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |dec AS (
+      |  SELECT dx.deg AS dx, dy.deg AS dy
+      |  FROM e JOIN d dx ON e.src = dx.src JOIN d dy ON e.dst = dy.src),
+      |a AS (
+      |  SELECT count(*) AS n_edges,
+      |    CAST(sum(dx) AS BIGINT) AS sx,
+      |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sxx
+      |  FROM dec)
+      |SELECT CAST(n_edges AS BIGINT) AS n_edges, sx, sxy, sxx,
+      |  round(CAST(CAST(n_edges AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |    / CAST(CAST(n_edges AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS assortativity
+      |FROM a""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_kcore", kcore, Some(kcoreSql)),
-    Op("graph_degree_dist", degreeDist, Some(degreeDistSql)))
+    Op("graph_degree_dist", degreeDist, Some(degreeDistSql)),
+    Op("graph_assortativity", assortativity, Some(assortativitySql)))
 }

@@ -87,7 +87,68 @@ object Sampling2 {
       |FROM c
       |ORDER BY fold, lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // samp_poisson_bootstrap — deterministic Poisson(1) bootstrap
+  // replicates (the standard way to put an error bar on any corpus
+  // statistic without resampling coordination: replicate r includes
+  // each doc with multiplicity ~ Poisson(1), independent per
+  // (doc, r) — the with-replacement bootstrap's distributed
+  // equivalent, and with md5-derived draws it is REPRODUCIBLE: the
+  // same replicate can be re-materialized for any downstream
+  // debugging, which true randomness cannot). The multiplicity comes
+  // from a ppm draw against the COMPILE-TIME Poisson(1) CDF ladder
+  // floor(P(X≤k)·10⁶), k = 0..6 (a runtime exp() would hash-drift;
+  // constants cannot — the q_benford convention), tail capped at 7
+  // with the cap's probability mass ≈ 0.008% absorbed into the last
+  // rung. Output: each replicate's effective doc count and char
+  // mass — the spread ACROSS the 10 rows is the variance estimate.
+  //
+  // Plan shape: documents × 10 replicate explode (map-only, no
+  // shuffle of content — only doc_id/n_chars ride), one 10-row
+  // map-side-combined aggregate. At 100 TB the explode is a 10×
+  // scan of two skinny columns, nothing else.
+  // ---------------------------------------------------------------
+  private val Replicates = 10
+  private val PoissonCdfPpm = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  private def poissonMult(drawExpr: String): String =
+    PoissonCdfPpm.zipWithIndex
+      .map { case (t, k) => s"WHEN $drawExpr < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.length} END")
+
+  private def bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val drawSpark =
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || CAST(r AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0, ${Replicates - 1})")).as("r"))
+      .select(col("r"), col("n_chars"), expr(poissonMult(drawSpark)).as("m"))
+      .groupBy("r").agg(
+        count(lit(1)).as("n_draws"),
+        sum(col("m")).as("eff_docs"),
+        sum(expr("m * n_chars")).as("eff_chars"))
+      .select(col("r").cast("int").as("replicate"), col("n_draws"),
+        col("eff_docs"), col("eff_chars"))
+      .orderBy("replicate")
+  }
+
+  private val bootstrapSql = {
+    val drawDuck =
+      "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8))::BIGINT) % 1000000"
+    s"""WITH x AS (
+      |  SELECT doc_id, n_chars, unnest(range(0, $Replicates)) AS r
+      |  FROM documents),
+      |m AS (SELECT r, n_chars, ${poissonMult(drawDuck)} AS m FROM x)
+      |SELECT CAST(r AS INT) AS replicate, count(*) AS n_draws,
+      |  CAST(sum(m) AS BIGINT) AS eff_docs,
+      |  CAST(sum(m * n_chars) AS BIGINT) AS eff_chars
+      |FROM m
+      |GROUP BY 1
+      |ORDER BY replicate""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("samp_bottomk", bottomK, Some(bottomKSql)),
-    Op("exp_kfold", kfold, Some(kfoldSql)))
+    Op("exp_kfold", kfold, Some(kfoldSql)),
+    Op("samp_poisson_bootstrap", bootstrap, Some(bootstrapSql)))
 }

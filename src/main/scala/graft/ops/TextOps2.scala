@@ -238,8 +238,64 @@ object TextOps2 {
       |GROUP BY 1
       |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // txt_zipf_coverage — head-of-vocabulary mass coverage (the Zipf
+  // read behind tokenizer-vocab sizing: what share of all token
+  // occurrences do the top 10 / 100 / 1000 types absorb? A corpus
+  // whose top-1000 covers 95% rewards a small vocab + byte fallback;
+  // one where it covers 40% doesn't): token-frequency aggregate,
+  // deterministic top-1000 types by (freq DESC, term ASC), exact
+  // cumulative ppm share of total token mass at each head size.
+  //
+  // Plan shape: corpus scan → vocab-keyed frequency aggregate
+  // (map-side combined) → TakeOrdered(1000) — per-partition top-k
+  // heaps, NEVER a global vocab sort (a 100 TB corpus vocabulary is
+  // itself data-sized) → windows/joins over the 1000-row head plus
+  // one broadcast total-mass scalar.
+  // ---------------------------------------------------------------
+  private val ZipfHeads = Seq(10, 100, 1000)
+
+  private def zipfCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(sum(col("freq")).as("t_mass"), count(lit(1)).as("n_types"))
+    val head = freq.orderBy(col("freq").desc, col("term")).limit(ZipfHeads.max)
+    val rn = Window.orderBy(col("freq").desc, col("term"))
+    val ranked = head.withColumn("rn", row_number().over(rn))
+    val heads = ZipfHeads.map { k =>
+      ranked.filter(col("rn") <= k)
+        .agg(lit(k).cast("int").as("head_k"), sum(col("freq")).as("head_mass"))
+    }.reduce(_ unionByName _)
+    heads.crossJoin(broadcast(tot))
+      .select(col("head_k"), col("head_mass"), col("t_mass"), col("n_types"),
+        expr("CAST(head_mass * 1000000 DIV t_mass AS BIGINT)").as("share_ppm"))
+      .orderBy("head_k")
+  }
+
+  private val zipfCoverageSql = {
+    val heads = ZipfHeads.map(k =>
+      s"SELECT $k AS head_k, sum(freq) AS head_mass FROM ranked WHERE rn <= $k")
+      .mkString("", "\nUNION ALL\n", "")
+    s"""WITH f AS (
+      |  SELECT g AS term, count(*) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS g FROM documents) u
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(freq) AS t_mass, count(*) AS n_types FROM f),
+      |ranked AS (
+      |  SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rn
+      |  FROM f ORDER BY freq DESC, term LIMIT ${ZipfHeads.max}),
+      |h AS ($heads)
+      |SELECT CAST(head_k AS INT) AS head_k, CAST(head_mass AS BIGINT) AS head_mass,
+      |  CAST(t_mass AS BIGINT) AS t_mass, CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(head_mass * 1000000 // t_mass AS BIGINT) AS share_ppm
+      |FROM h CROSS JOIN tot
+      |ORDER BY head_k""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("txt_collocations", collocations, Some(collocationsSql)),
     Op("txt_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
-    Op("txt_dup_coverage", dupCoverage, Some(dupCoverageSql)))
+    Op("txt_dup_coverage", dupCoverage, Some(dupCoverageSql)),
+    Op("txt_zipf_coverage", zipfCoverage, Some(zipfCoverageSql)))
 }

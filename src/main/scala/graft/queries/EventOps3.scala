@@ -297,7 +297,51 @@ object EventOps3 {
       |FROM r CROSS JOIN t
       |ORDER BY offset_d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_velocity_burst — per-user peak event velocity (the
+  // fraud/abuse rule primitive: "more than N actions within any
+  // trailing 60 s"): for every event, the count of the same user's
+  // events in [t−60 s, t] via a RANGE-framed window (value-based
+  // frame on the integer epoch-seconds key — peers at equal
+  // timestamps all included, so the count is order-independent and
+  // engine-identical without a tiebreak), then each user's MAX
+  // trailing count, then the user histogram by peak burst size — the
+  // distribution a velocity threshold is calibrated against.
+  //
+  // Plan shape: ONE user-keyed window shuffle over the fact scan
+  // (RANGE frame evaluated in a single sorted pass per user), a
+  // user-keyed max (same partitioning — no second shuffle), and a
+  // burst-size histogram. ev_sliding counts a fixed global window
+  // GRID; this is the per-event trailing frame, the shape grids
+  // cannot express. At 100 TB: one AQE-sized shuffle, nothing else.
+  // ---------------------------------------------------------------
+  private def velocityBurst(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("es").rangeBetween(-60, 0)
+    val peaks = withEs(s, dir)
+      .select(col("user_id"), col("es"))
+      .withColumn("trail_n", count(lit(1)).over(byUser))
+      .groupBy("user_id").agg(max(col("trail_n")).as("peak_burst"))
+    peaks.groupBy("peak_burst").agg(count(lit(1)).as("n_users"))
+      .orderBy("peak_burst")
+  }
+
+  private val velocityBurstSql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    count(*) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000000000
+      |      RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS trail_n
+      |  FROM events),
+      |p AS (SELECT user_id, max(trail_n) AS peak_burst FROM t GROUP BY 1)
+      |SELECT CAST(peak_burst AS BIGINT) AS peak_burst,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM p
+      |GROUP BY 1
+      |ORDER BY peak_burst""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     Op("ev_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     Op("ev_changepoint", changepoint, Some(changepointSql)),

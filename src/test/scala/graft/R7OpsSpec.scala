@@ -87,6 +87,49 @@ class R7OpsSpec extends AnyFunSuite with SparkSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_at_risk")))
   }
 
+  test("txt_zipf_coverage: nested heads, bounded shares, exact total mass") {
+    val rows = run("txt_zipf_coverage").orderBy("head_k").collect()
+    assert(rows.map(_.getAs[Int]("head_k")).toSeq == Seq(10, 100, 1000))
+    val masses = rows.map(_.getAs[Long]("head_mass"))
+    assert(masses.zip(masses.tail).forall { case (a, b) => a <= b }, "larger head covers more mass")
+    val tMass = rows.head.getAs[Long]("t_mass")
+    import org.apache.spark.sql.functions.{explode => ex}
+    val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(ex(split(trim(col("text")), "\\s+"))).count()
+    assert(tMass == tokens, "total mass is the corpus token count")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("head_mass") * 1000000L / tMass)
+    }
+  }
+
+  test("ev_velocity_burst: histogram partitions the user base, bursts positive") {
+    val rows = run("ev_velocity_burst").collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    assert(rows.map(_.getAs[Long]("peak_burst")).forall(_ >= 1),
+      "every user's own event is inside its trailing window")
+  }
+
+  test("graph_assortativity: correlation bounds and symmetric-graph identities") {
+    val r = run("graph_assortativity").head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    assert(r.getAs[Long]("n_edges") % 2 == 0, "symmetrized graph has even directed-edge count")
+    assert(r.getAs[Long]("sxy") <= r.getAs[Long]("sxx"),
+      "Cauchy-Schwarz with equal marginals: cross-moment at most the second moment")
+  }
+
+  test("samp_poisson_bootstrap: replicate frame and unit-mean multiplicities") {
+    val rows = run("samp_poisson_bootstrap").collect()
+    assert(rows.map(_.getAs[Int]("replicate")).sorted.toSeq == (0 until 10))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_draws") == docs, "every doc draws in every replicate")
+      val ratio = r.getAs[Long]("eff_docs").toDouble / docs
+      assert(ratio > 0.8 && ratio < 1.2, s"Poisson(1) keeps expected mass: $ratio")
+    }
+  }
+
   test("txt_dup_coverage: decile histogram covers exactly the in-scope docs") {
     val rows = run("txt_dup_coverage").collect()
     assert(rows.map(_.getAs[Int]("decile")).forall(d => d >= 0 && d <= 9))
