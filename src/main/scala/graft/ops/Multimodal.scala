@@ -362,7 +362,87 @@ object Multimodal {
       |WHERE bit_count(xor(sa, sb)) <= $PhHamMax
       |ORDER BY media_type, doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // mm_shot_boundary — shot/cut detection over the video stream's
+  // sampled frames (the segmentation step every video-training
+  // pipeline runs before captioning or clip selection): consecutive
+  // frames are perceptually hashed and a cut is declared where the
+  // Hamming distance jumps (≥ ShotCutBits of 60 — adjacent frames of
+  // one shot are near-duplicates, a cut is a content break). Frames
+  // are the SAME stub windows as mm_frame_sample (a real build swaps
+  // the codec, everything downstream is codec-agnostic), hashed by
+  // the SAME graft_phash60 kernel mm_phash proves; per video:
+  // frame count, cut count, exact ppm cut ratio, peak distance.
+  //
+  // Plan shape: map-only framing off the scan (bytes never shuffle —
+  // only the 8-byte hashes ride into the window), ONE video-keyed
+  // window shuffle for the lag, one per-video aggregate on the same
+  // partitioning. At 100 TB: linear in total frames, and the shuffle
+  // payload is hashes, not media.
+  // ---------------------------------------------------------------
+  private val ShotCutBits = 24
+
+  private def shotBoundary(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val vids = withPayload(Tables.load(s, dir, "documents"))
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("text"), octet_length(col("text")).as("blen"))
+      .filter(col("blen") >= 48) // ≥ 2 full-width frames
+    val frames = vids
+      .select(col("doc_id"),
+        explode(expr("sequence(0, CAST(blen AS INT) - 16, 32)")).as("off"), col("text"))
+      .select(col("doc_id"), col("off"),
+        expr("graft_phash60(substring(text, off + 1, 16))").as("ph"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("off")
+    frames
+      .withColumn("prev_ph", lag(col("ph"), 1).over(byDoc))
+      .filter(col("prev_ph").isNotNull)
+      .select(col("doc_id"), expr("CAST(bit_count(ph ^ prev_ph) AS INT)").as("hamming"))
+      .groupBy("doc_id").agg(
+        (count(lit(1)) + 1).as("n_frames"),
+        sum(when(col("hamming") >= ShotCutBits, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("hamming")).cast("int").as("max_hamming"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        expr("CAST(n_cuts * 1000000 DIV (n_frames - 1) AS BIGINT)").as("cut_ratio_ppm"),
+        col("max_hamming"))
+      .orderBy("doc_id")
+  }
+
+  private val shotBoundarySql =
+    s"""WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS blen
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 48),
+      |o AS (SELECT doc_id, unnest(range(0, blen - 15, 32)) AS off, text FROM d),
+      |f AS (SELECT doc_id, off, substr(text, CAST(off + 1 AS INT), 16) AS fr FROM o),
+      |h AS (SELECT doc_id, off,
+      |        list_transform(range(1, length(fr) - 2),
+      |          i -> (('0x' || substr(md5(substr(fr, i, 4)), 1, 15))::BIGINT)) AS hs
+      |      FROM f),
+      |sh AS (SELECT doc_id, off,
+      |  CAST(list_sum(list_transform(range(0, $PhBits), j ->
+      |    CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS ph
+      |  FROM h),
+      |l AS (
+      |  SELECT doc_id,
+      |    bit_count(xor(ph, lag(ph) OVER (PARTITION BY doc_id ORDER BY off))) AS hamming
+      |  FROM sh),
+      |g AS (
+      |  SELECT doc_id, count(*) + 1 AS n_frames,
+      |    sum(CASE WHEN hamming >= $ShotCutBits THEN 1 ELSE 0 END) AS n_cuts,
+      |    max(hamming) AS max_hamming
+      |  FROM l WHERE hamming IS NOT NULL GROUP BY 1)
+      |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(n_cuts AS BIGINT) AS n_cuts,
+      |  CAST(n_cuts * 1000000 // (n_frames - 1) AS BIGINT) AS cut_ratio_ppm,
+      |  CAST(max_hamming AS INT) AS max_hamming
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("mm_shot_boundary", shotBoundary, Some(shotBoundarySql)),
     Op("mm_phash", phash, Some(phashSql)),
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),

@@ -147,8 +147,86 @@ object Sampling2 {
       |ORDER BY replicate""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // samp_neyman_alloc — Neyman-optimal stratified sample allocation
+  // (survey-sampling's minimum-variance budget split: stratum h gets
+  // n_h ∝ N_h·S_h, so high-variance strata are oversampled relative
+  // to proportional allocation — the right way to spend a labeling
+  // or eval budget across languages): per-language doc-length
+  // moments give the exact integer
+  //   q_h = (N_h · (N_h·Σx² − (Σx)²)) DIV (N_h − 1)   (= (N_h·S_h)²)
+  // in DECIMAL(38,0) (N·V overflows BIGINT at corpus scale), the
+  // weight is w_h = round(sqrt(q_h)) — IEEE sqrt is correctly
+  // rounded, so the INTEGER weight is engine-identical even though a
+  // root is involved — and the budget splits by exact
+  // largest-remainder apportionment on those integer weights:
+  //   base_h = B·w_h DIV W,  +1 to the (B − Σbase) largest
+  //   remainders B·w_h MOD W (weight-desc, lang-asc ties).
+  // Every allocation decision is integer arithmetic; no float ever
+  // orders anything.
+  //
+  // Plan shape: one corpus-scan aggregate to |langs| rows (map-side
+  // combined), then windows over that tiny relation. At 100 TB
+  // nothing but the scan grows.
+  // ---------------------------------------------------------------
+  private val NeymanBudget = 10000L
+
+  private def neymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = Tables.load(s, dir, "documents")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(expr("n_chars * n_chars")).as("sxx"))
+      .filter(col("n_docs") >= 2) // a singleton stratum has no variance estimate
+      .select(col("lang"), col("n_docs"),
+        expr("CAST(round(sqrt(CAST(" +
+          "(CAST(n_docs AS DECIMAL(38,0)) * (CAST(n_docs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)) DIV (n_docs - 1)" +
+          " AS DOUBLE))) AS BIGINT)").as("w"))
+    val tot = Window.partitionBy(lit(1))
+    val withTot = stats
+      .withColumn("w_total", sum(col("w")).over(tot))
+      .withColumn("base", expr(s"CAST($NeymanBudget * w DIV w_total AS BIGINT)"))
+      .withColumn("rem", expr(s"CAST(($NeymanBudget * w) % w_total AS BIGINT)"))
+      .withColumn("give", lit(NeymanBudget) - sum(col("base")).over(tot))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang"))))
+    withTot
+      .select(col("lang"), col("n_docs"), col("w"),
+        (col("base") + when(col("rk") <= col("give"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("lang")
+  }
+
+  private val neymanAllocSql =
+    s"""WITH stats AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sx,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY 1 HAVING count(*) >= 2),
+      |w AS (
+      |  SELECT lang, n_docs,
+      |    CAST(round(sqrt(CAST(
+      |      (CAST(n_docs AS HUGEINT) * (CAST(n_docs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)) // (n_docs - 1)
+      |      AS DOUBLE))) AS BIGINT) AS w
+      |  FROM stats),
+      |t AS (
+      |  SELECT lang, n_docs, w,
+      |    sum(w) OVER () AS w_total,
+      |    CAST($NeymanBudget * w // sum(w) OVER () AS BIGINT) AS base,
+      |    CAST(($NeymanBudget * w) % (sum(w) OVER ()) AS BIGINT) AS rem
+      |  FROM w),
+      |r AS (
+      |  SELECT t.*, $NeymanBudget - sum(base) OVER () AS give,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      |  FROM t)
+      |SELECT lang, n_docs, w,
+      |  CAST(base + CASE WHEN rk <= give THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r
+      |ORDER BY lang""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("samp_bottomk", bottomK, Some(bottomKSql)),
     Op("exp_kfold", kfold, Some(kfoldSql)),
-    Op("samp_poisson_bootstrap", bootstrap, Some(bootstrapSql)))
+    Op("samp_poisson_bootstrap", bootstrap, Some(bootstrapSql)),
+    Op("samp_neyman_alloc", neymanAlloc, Some(neymanAllocSql)))
 }

@@ -199,8 +199,58 @@ object EtlOps3 {
       |FROM monthly CROSS JOIN newest
       |ORDER BY yr, mo""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_l_diversity — l-diversity audit over the same
+  // quasi-identifier groups etl_k_anonymity sizes: k-anonymity only
+  // counts rows per equivalence class, but a class of 50 rows all
+  // sharing ONE sensitive value still leaks it (the homogeneity
+  // attack) — l-diversity requires each class to span ≥ L distinct
+  // sensitive values. Quasi-identifiers = (nation, market segment);
+  // sensitive attribute = the account-balance band. Each class is
+  // published with its size, its distinct-sensitive-value count l,
+  // the largest single sensitive value's exact ppm share (the
+  // homogeneity risk number itself), and the l ≥ 3 verdict.
+  //
+  // Plan shape: one dimension scan → (QI, sensitive) aggregate →
+  // QI-class aggregate (both map-side combined; the second input is
+  // already tiny). At 100 TB the dimension is still the small side.
+  // ---------------------------------------------------------------
+  private val LDiv = 3
+
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l_distinct"),
+        expr("CAST(top_cnt * 1000000 DIV n AS BIGINT)").as("top_share_ppm"),
+        expr(s"CAST(CASE WHEN l_distinct >= $LDiv THEN 1 ELSE 0 END AS INT)").as("is_diverse"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val lDiversitySql =
+    s"""WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(sum(cnt) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS l_distinct,
+      |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
+      |  CAST(CASE WHEN count(*) >= $LDiv THEN 1 ELSE 0 END AS INT) AS is_diverse
+      |FROM cells
+      |GROUP BY 1, 2
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_entity_resolution", entityResolution, Some(entityResolutionSql)),
     Op("etl_compaction", compaction, Some(compactionSql)),
-    Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)))
+    Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)),
+    Op("etl_l_diversity", lDiversity, Some(lDiversitySql)))
 }

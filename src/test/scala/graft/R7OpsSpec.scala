@@ -130,6 +130,41 @@ class R7OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("etl_l_diversity: classes cover the dimension, homogeneity share is consistent") {
+    val rows = run("etl_l_diversity").collect()
+    val custs = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == custs, "QI classes partition the dimension")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val l = r.getAs[Long]("l_distinct")
+      val top = r.getAs[Long]("top_share_ppm")
+      assert(l >= 1 && l <= n)
+      assert(top <= 1000000L && top >= 1000000L / l - 1,
+        "the largest sensitive value covers at least 1/l of its class")
+      assert((r.getAs[Int]("is_diverse") == 1) == (l >= 3))
+    }
+  }
+
+  test("samp_neyman_alloc: apportionment is exact and weights are positive") {
+    val rows = run("samp_neyman_alloc").collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 10000L,
+      "largest-remainder apportionment spends the budget exactly")
+    assert(rows.map(_.getAs[Long]("w")).forall(_ > 0))
+  }
+
+  test("mm_shot_boundary agrees with mm_frame_sample's framing") {
+    val shots = run("mm_shot_boundary").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"), r.getAs[Long]("cut_ratio_ppm"))).toMap
+    assert(shots.nonEmpty)
+    val frames = run("mm_frame_sample").groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    shots.foreach { case (doc, (nf, nc, ratio)) =>
+      assert(frames(doc) == nf, s"doc $doc: shot framing matches the frame sampler")
+      assert(nc <= nf - 1)
+      assert(ratio == nc * 1000000L / (nf - 1))
+    }
+  }
+
   test("txt_dup_coverage: decile histogram covers exactly the in-scope docs") {
     val rows = run("txt_dup_coverage").collect()
     assert(rows.map(_.getAs[Int]("decile")).forall(d => d >= 0 && d <= 9))
