@@ -152,7 +152,59 @@ object EmbOps {
       |WHERE n >= 2
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // emb_cosine_sample_hist — the corpus's pairwise-cosine DISTRIBUTION
+  // from a deterministic linear pair sample (the calibration read
+  // behind every dedup/ANN threshold choice: dedup_embedding's τ and
+  // sim_range_search's radius are only meaningful relative to where
+  // the background similarity mass sits; the sim_* ops return top-k
+  // neighbors, none of them the distribution): each vector pairs with
+  // its id-successor — N−1 pairs, content-uncorrelated with the id
+  // order, reproducible across engines/reruns, and NEVER the N²
+  // relation a random sample of pairs would need coordination to
+  // avoid — histogrammed by cosine tenth-band with exact ppm shares.
+  // Cosine uses the gate-proven sim-family idiom (native
+  // graft_array_dot, round(dot/sqrt(na·nb), 4) — identical double
+  // ops on both engines).
+  //
+  // Plan shape: one self-join on the 8-byte successor id (shuffle of
+  // id+vector once), a ≤21-row histogram, a 1-row broadcast total.
+  // At 100 TB: linear scan + one keyed shuffle, nothing else.
+  // ---------------------------------------------------------------
+  private def cosineSampleHist(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.withNorm(Tables.load(s, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("pid"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select((col("vec_id") - 1).as("pid"), col("v").as("vb"), col("nrm").as("nb"))
+    val hist = a.join(b, "pid")
+      .withColumn("sim", round(
+        expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
+      .select(floor(col("sim") * 10).cast("int").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(sum(col("n_pairs")).as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_pairs"),
+        expr("CAST(n_pairs * 1000000 DIV total AS BIGINT)").as("share_ppm"))
+      .orderBy("band")
+  }
+
+  private val cosineSampleHistSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |p AS (
+      |  SELECT a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+      |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
+      |s AS (
+      |  SELECT round(list_dot_product(va, vb) / sqrt(na * nb), 4) AS sim
+      |  FROM p),
+      |h AS (SELECT CAST(floor(sim * 10) AS INT) AS band, count(*) AS n_pairs FROM s GROUP BY 1),
+      |t AS (SELECT sum(n_pairs) AS total FROM h)
+      |SELECT band, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(n_pairs * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM h CROSS JOIN t
+      |ORDER BY band""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("emb_drift", drift, Some(driftSql)),
-    Op("emb_diversity", diversity, Some(diversitySql)))
+    Op("emb_diversity", diversity, Some(diversitySql)),
+    Op("emb_cosine_sample_hist", cosineSampleHist, Some(cosineSampleHistSql)))
 }

@@ -340,7 +340,66 @@ object EventOps3 {
       |GROUP BY 1
       |ORDER BY peak_burst""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_time_to_convert — distribution of first-touch → first-purchase
+  // latency (the activation-funnel timing read: ev_funnel counts WHO
+  // converts, this measures HOW LONG conversion takes — the number
+  // nurture-campaign timing and attribution windows are calibrated
+  // against): per converting user, first purchase minus first
+  // activity in seconds, bucketed into an hour histogram with each
+  // bucket's exact cumulative ppm of converters — a CDF in integer
+  // algebra. The histogram (not a percentile) is deliberate: exact
+  // integers end-to-end with NO per-group value buffering, the
+  // q_percentiles_hist discipline, so the shape holds at any user
+  // count.
+  //
+  // Plan shape: one user-keyed conditional-min aggregate off the fact
+  // scan (map-side combined), a |hours|-row histogram, prefix-sum +
+  // broadcast total over that tiny series. At 100 TB: scan → user
+  // agg → constant-size algebra.
+  // ---------------------------------------------------------------
+  private def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val firsts = withEs(s, dir)
+      .groupBy("user_id").agg(
+        min(col("es")).as("first_any"),
+        min(when(col("event_type") === "purchase", col("es"))).as("first_buy"))
+      .filter(col("first_buy").isNotNull)
+      .select(expr("CAST((first_buy - first_any) DIV 3600 AS BIGINT)").as("hour_bucket"))
+    val hist = firsts.groupBy("hour_bucket").agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum(col("n_users")).as("total"))
+    val cdf = Window.orderBy("hour_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_users", sum(col("n_users")).over(cdf))
+      .crossJoin(broadcast(tot))
+      .select(col("hour_bucket"), col("n_users"), col("cum_users"),
+        expr("CAST(cum_users * 1000000 DIV total AS BIGINT)").as("cum_ppm"))
+      .orderBy("hour_bucket")
+  }
+
+  private val timeToConvertSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(epoch_ns(ts) // 1000000000) AS first_any,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000000000 END) AS first_buy
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT CAST((first_buy - first_any) // 3600 AS BIGINT) AS hour_bucket
+      |  FROM f WHERE first_buy IS NOT NULL),
+      |h AS (SELECT hour_bucket, count(*) AS n_users FROM b GROUP BY 1),
+      |t AS (SELECT sum(n_users) AS total FROM h),
+      |c AS (
+      |  SELECT hour_bucket, n_users,
+      |    sum(n_users) OVER (ORDER BY hour_bucket ROWS UNBOUNDED PRECEDING) AS cum_users
+      |  FROM h)
+      |SELECT hour_bucket, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(cum_users AS BIGINT) AS cum_users,
+      |  CAST(cum_users * 1000000 // total AS BIGINT) AS cum_ppm
+      |FROM c CROSS JOIN t
+      |ORDER BY hour_bucket""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     Op("ev_markov_transitions", markovTransitions, Some(markovTransitionsSql)),

@@ -165,6 +165,28 @@ class R7OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ev_time_to_convert: CDF over exactly the converting users") {
+    val rows = run("ev_time_to_convert").orderBy("hour_bucket").collect()
+    val buyers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == buyers, "one latency per converter")
+    assert(rows.last.getAs[Long]("cum_ppm") == 1000000L, "the CDF closes at 1")
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(rows.map(_.getAs[Long]("hour_bucket")).forall(_ >= 0),
+      "first purchase can never precede first activity")
+  }
+
+  test("emb_cosine_sample_hist: one pair per id-successor, bands bounded, shares exact") {
+    val rows = run("emb_cosine_sample_hist").collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(pairs == n - 1, "contiguous ids give exactly N-1 successor pairs")
+    assert(rows.map(_.getAs[Int]("band")).forall(b => b >= -10 && b <= 10))
+    rows.foreach(r =>
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n_pairs") * 1000000L / pairs))
+  }
+
   test("txt_dup_coverage: decile histogram covers exactly the in-scope docs") {
     val rows = run("txt_dup_coverage").collect()
     assert(rows.map(_.getAs[Int]("decile")).forall(d => d >= 0 && d <= 9))
