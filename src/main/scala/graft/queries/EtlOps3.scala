@@ -248,9 +248,113 @@ object EtlOps3 {
       |GROUP BY 1, 2
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_skew_audit — partition-balance audit of the fact table's
+  // physical layout key (the pre-flight read a partitioning strategy
+  // is chosen BY: a partition whose row share is many × the even
+  // share straggles every downstream scan and shuffle, and is the
+  // concrete trigger for salting / AQE skew handling —
+  // graph_degree_dist audits JOIN-key skew, this audits the LAYOUT
+  // key): per ship-month partition, row count, exact ppm share, and
+  // skew = share × #partitions in ppm (10⁶ = perfectly even), with
+  // the ≥ 2× hot-partition verdict.
+  //
+  // Plan shape: one fact-scan aggregate to |months| rows (map-side
+  // combined), a 2-column broadcast total. At 100 TB nothing but the
+  // scan grows — this is the audit you run BEFORE committing to a
+  // layout, so it must never itself need the layout.
+  // ---------------------------------------------------------------
+  private def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(s, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = parts.agg(sum(col("n_rows")).as("total"), count(lit(1)).as("n_parts"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("ym").cast("int").as("ym"), col("n_rows"),
+        expr("CAST(n_rows * 1000000 DIV total AS BIGINT)").as("share_ppm"),
+        expr("CAST(n_rows * n_parts * 1000000 DIV total AS BIGINT)").as("skew_ppm"),
+        expr("CAST(CASE WHEN n_rows * n_parts * 1000000 DIV total >= 2000000 THEN 1 ELSE 0 END AS INT)")
+          .as("is_hot"))
+      .orderBy("ym")
+  }
+
+  private val skewAuditSql =
+    """WITH p AS (
+      |  SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS INT) AS ym,
+      |    count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(n_rows) AS total, count(*) AS n_parts FROM p)
+      |SELECT ym, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(n_rows * n_parts * 1000000 // total AS BIGINT) AS skew_ppm,
+      |  CAST(CASE WHEN n_rows * n_parts * 1000000 // total >= 2000000 THEN 1 ELSE 0 END AS INT) AS is_hot
+      |FROM p CROSS JOIN t
+      |ORDER BY ym""".stripMargin
+
+  // ---------------------------------------------------------------
+  // meta_freshness — per-table staleness audit (the freshness SLA
+  // read a warehouse's monitoring page leads with: how far does each
+  // table's business clock lag the newest fact?): each dated table's
+  // max business timestamp as integer epoch days, its lag in days
+  // behind the NEWEST table (data-relative, so the verdict is
+  // gate-stable — the wall clock never enters), row count, and a
+  // ≤ 7-day freshness verdict. The reference's process-log model
+  // tracks LOAD times per table (etl_process_log); this audits the
+  // DATA's own clock, which is what catches an upstream feed that
+  // loads successfully but ships stale rows.
+  //
+  // Plan shape: one 1-row max/count aggregate per dated table (three
+  // parallel scans of one column each — column pruning makes these
+  // metadata-cheap on parquet), a 3-row union, a broadcast max. At
+  // 100 TB: three single-column scans, nothing else.
+  // ---------------------------------------------------------------
+  private def freshness(s: SparkSession, dir: String): DataFrame = {
+    val perTable = Seq(
+      Tables.load(s, dir, "orders")
+        .agg(lit("orders").as("table_name"),
+          max(expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")).as("max_day"),
+          count(lit(1)).as("n_rows")),
+      Tables.load(s, dir, "lineitem")
+        .agg(lit("lineitem").as("table_name"),
+          max(expr("CAST(unix_timestamp(l_shipdate) AS BIGINT) DIV 86400")).as("max_day"),
+          count(lit(1)).as("n_rows")),
+      Tables.events(s, dir)
+        .agg(lit("events").as("table_name"),
+          max(expr("ts DIV 1000000000 DIV 86400")).as("max_day"),
+          count(lit(1)).as("n_rows"))).reduce(_ unionByName _)
+    val newest = perTable.agg(max(col("max_day")).as("newest_day"))
+    perTable.crossJoin(broadcast(newest))
+      .select(col("table_name"), col("max_day"), col("n_rows"),
+        (col("newest_day") - col("max_day")).as("lag_days"),
+        expr("CAST(CASE WHEN newest_day - max_day <= 7 THEN 1 ELSE 0 END AS INT)").as("is_fresh"))
+      .orderBy("table_name")
+  }
+
+  private val freshnessSql =
+    """WITH per_table AS (
+      |  SELECT 'orders' AS table_name,
+      |    CAST(max(epoch(o_orderdate)) // 86400 AS BIGINT) AS max_day,
+      |    count(*) AS n_rows FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    CAST(max(epoch(l_shipdate)) // 86400 AS BIGINT),
+      |    count(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events',
+      |    CAST(max(epoch_ns(ts) // 1000000000) // 86400 AS BIGINT),
+      |    count(*) FROM events),
+      |t AS (SELECT max(max_day) AS newest_day FROM per_table)
+      |SELECT table_name, max_day, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(newest_day - max_day AS BIGINT) AS lag_days,
+      |  CAST(CASE WHEN newest_day - max_day <= 7 THEN 1 ELSE 0 END AS INT) AS is_fresh
+      |FROM per_table CROSS JOIN t
+      |ORDER BY table_name""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_entity_resolution", entityResolution, Some(entityResolutionSql)),
     Op("etl_compaction", compaction, Some(compactionSql)),
     Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)),
-    Op("etl_l_diversity", lDiversity, Some(lDiversitySql)))
+    Op("etl_l_diversity", lDiversity, Some(lDiversitySql)),
+    Op("etl_skew_audit", skewAudit, Some(skewAuditSql)),
+    Op("meta_freshness", freshness, Some(freshnessSql)))
 }

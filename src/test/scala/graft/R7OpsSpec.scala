@@ -187,6 +187,27 @@ class R7OpsSpec extends AnyFunSuite with SparkSuite {
       assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n_pairs") * 1000000L / pairs))
   }
 
+  test("etl_skew_audit: partitions cover the fact table, skew algebra exact") {
+    val rows = run("etl_skew_audit").collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == li)
+    val p = rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("skew_ppm") == r.getAs[Long]("n_rows") * p * 1000000L / li)
+      assert((r.getAs[Int]("is_hot") == 1) == (r.getAs[Long]("skew_ppm") >= 2000000L))
+    }
+  }
+
+  test("meta_freshness: newest table has zero lag and verdicts follow the lag") {
+    val rows = run("meta_freshness").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("lag_days")).min == 0L, "the newest table defines the clock")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lag_days") >= 0)
+      assert((r.getAs[Int]("is_fresh") == 1) == (r.getAs[Long]("lag_days") <= 7))
+    }
+  }
+
   test("txt_dup_coverage: decile histogram covers exactly the in-scope docs") {
     val rows = run("txt_dup_coverage").collect()
     assert(rows.map(_.getAs[Int]("decile")).forall(d => d >= 0 && d <= 9))
