@@ -90,6 +90,48 @@ object EventStream {
       }
   }
 
+  final case class VelocityState(recent_es: List[Long], peak: Long)
+  final case class UserPeak(user_id: Long, peak_burst: Long)
+
+  /** Streaming per-user peak velocity via flatMapGroupsWithState
+    * (Append): the real-time form of the velocity fraud rule
+    * (EventOps3.ev_velocity_burst) — for each event, the count of the
+    * same user's events in the trailing 60 s; the per-user MAX is
+    * emitted when the user's sentinel (event_id = -1) arrives. State
+    * is a BOUNDED deque: only timestamps within 60 s of the newest
+    * event survive, so the footprint is the user's peak burst size,
+    * never their history.
+    *
+    * Trailing-count semantics match the batch op's RANGE frame
+    * exactly: every peer group (equal es) shares one frame
+    * [es − 60, es], the sequential count at a group's LAST member
+    * equals that frame's count, and earlier members' partial counts
+    * are strictly smaller — so max(sequential) = max(RANGE).
+    */
+  def peakVelocity(events: Dataset[Event]): Dataset[UserPeak] = {
+    import events.sparkSession.implicits._
+    val WindowSeconds = 60L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[VelocityState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(VelocityState(Nil, 0L))
+          val out = Seq.newBuilder[UserPeak]
+          for (e <- sorted) {
+            val es = e.ts.getTime / 1000
+            if (e.event_id == -1L) {
+              out += UserPeak(userId, st.peak)
+            } else {
+              val kept = (st.recent_es :+ es).dropWhile(_ < es - WindowSeconds)
+              st = VelocityState(kept, math.max(st.peak, kept.length.toLong))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Sliding windows (1 hour every 15 minutes): each event lands in 4
     * overlapping windows; same watermark bound.
     */

@@ -607,7 +607,61 @@ object StreamOps {
 
   private val streamWatermarkLateSql = streamTumblingSql
 
+  // ---------------------------------------------------------------
+  // stream_velocity — 12th streaming gate: the per-user trailing-60 s
+  // velocity rule (ev_velocity_burst's real-time form — fraud/abuse
+  // rules fire while the burst is HAPPENING, which is the whole point
+  // of the rule) as flatMapGroupsWithState with a BOUNDED-DEQUE state
+  // (only timestamps within 60 s of the newest survive — state is the
+  // burst size, never the user's history; the sessionize gate's state
+  // is one open aggregate, so this proves a different state shape).
+  // A per-user sentinel flushes the final peak, exactly the
+  // stream_sessionize trailing-flush move; counts are integers, so
+  // the drained rows hash-match the batch RANGE-frame oracle with no
+  // float caveats.
+  // ---------------------------------------------------------------
+  private def streamVelocity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_vel_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"))
+    val maxEs = ev.agg(max(col("es"))).head().getLong(0)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(maxEs + 3600L).as("es"), col("user_id"))
+    ev.unionByName(sentinels)
+      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"), col("user_id"),
+        lit("e").as("event_type"), lit(0.0).as("value"))
+      .repartition(1) // single staged file = single AvailableNow micro-batch
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_velocity_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val peaks = EventStream.peakVelocity(
+      s.readStream.schema(schema).parquet(src).as[EventStream.Event])
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(peaks.toDF(), name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .select(col("user_id"), col("peak_burst"))
+      .orderBy("user_id")
+  }
+
+  private val streamVelocitySql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    count(*) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000000000
+      |      RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS trail_n
+      |  FROM events)
+      |SELECT user_id, CAST(max(trail_n) AS BIGINT) AS peak_burst
+      |FROM t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("stream_velocity", streamVelocity, Some(streamVelocitySql)),
     Op("stream_watermark_late", streamWatermarkLate, Some(streamWatermarkLateSql)),
     Op("stream_enrich", streamEnrich, Some(streamEnrichSql)),
     Op("stream_upsert", streamUpsert, Some(streamUpsertSql)),

@@ -208,6 +208,17 @@ class R7OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("stream_velocity reconciles with the batch velocity histogram") {
+    val streamed = run("stream_velocity")
+      .groupBy("peak_burst").agg(count(lit(1)).as("n_users"))
+      .orderBy("peak_burst").collect()
+      .map(r => r.getAs[Long]("peak_burst") -> r.getAs[Long]("n_users"))
+    val batch = run("ev_velocity_burst").orderBy("peak_burst").collect()
+      .map(r => r.getAs[Long]("peak_burst") -> r.getAs[Long]("n_users"))
+    assert(streamed.toSeq == batch.toSeq,
+      "the streaming deque state computes the same peaks as the batch RANGE frame")
+  }
+
   test("txt_dup_coverage: decile histogram covers exactly the in-scope docs") {
     val rows = run("txt_dup_coverage").collect()
     assert(rows.map(_.getAs[Int]("decile")).forall(d => d >= 0 && d <= 9))
