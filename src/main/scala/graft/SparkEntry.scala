@@ -34,6 +34,7 @@ object Registry {
       graft.queries.Analytics2.ops ++
       graft.queries.Analytics3.ops ++
       graft.queries.Analytics4.ops ++
+      graft.queries.StatOps.ops ++
       graft.queries.EventOps.ops ++
       graft.queries.EventOps2.ops ++
       graft.queries.EventOps3.ops ++
@@ -51,6 +52,7 @@ object Registry {
       graft.ops.Curation.ops ++
       graft.ops.Leakage.ops ++
       graft.ops.Multimodal.ops ++
+      graft.ops.PipelineHealth.ops ++
       graft.sources.SourceOps.ops ++
       graft.streaming.StreamOps.ops
 
