@@ -53,8 +53,11 @@ object Registry {
       graft.ops.Leakage.ops ++
       graft.ops.Multimodal.ops ++
       graft.ops.PipelineHealth.ops ++
+      graft.ops.Reconcile.ops ++
+      graft.ops.Multimodal2.ops ++
       graft.sources.SourceOps.ops ++
-      graft.streaming.StreamOps.ops
+      graft.streaming.StreamOps.ops ++
+      graft.streaming.StreamOps2.ops
 
   private lazy val index: Map[String, Op] = all.map(op => op.name -> op).toMap
   def byName(name: String): Op = index(name)

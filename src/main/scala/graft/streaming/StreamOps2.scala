@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters: a bounded-memory space-saving leaderboard
+  * per event-time hour, the canonical "top talkers per window" stream
+  * job (abuse dashboards, hot-key monitors). The state is a
+  * fixed-capacity counter table — the Metwally/Agrawal/El Abbadi
+  * SpaceSaving sketch — so per-window memory is O(capacity) no matter
+  * how many distinct users an hour sees. At gate cardinality
+  * (capacity ≥ distinct users/hour) the sketch NEVER evicts and is
+  * provably exact, which is what lets a sketch pass a hash gate; at
+  * 100 TB cardinality it degrades to the sketch's classic ε = 1/C
+  * count-error guarantee and the emitted `is_exact` flag says so.
+  */
+object StreamOps2 {
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val Capacity = 256
+  private val TopK = 3
+
+  /** SpaceSaving state for one hour window: parallel user/count
+    * arrays (≤ Capacity entries) + whether any eviction happened
+    * (⇒ counts are upper bounds, not exact).
+    */
+  final case class HHState(users: Array[Long], counts: Array[Long], evicted: Boolean)
+
+  final case class HourRow(hour: Long, user_id: Long)
+  final case class HHOut(hour_epoch: Long, rk: Int, user_id: Long,
+      n_events: Long, is_exact: Int)
+
+  /** Feed one hour's events into the sketch; emit the final top-k
+    * when the hour's CLOSE sentinel (user_id = -1) has arrived —
+    * the same close-out contract as EventStream.closedSessions.
+    * Counting is order-independent while no eviction occurs, so the
+    * group iterator's arrival order cannot move the gate hash.
+    */
+  def heavyHitters(rows: org.apache.spark.sql.Dataset[HourRow])
+      : org.apache.spark.sql.Dataset[HHOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.hour)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (hour: Long, it: Iterator[HourRow], state: GroupState[HHState]) =>
+          var st = state.getOption.getOrElse(
+            HHState(Array.empty[Long], Array.empty[Long], evicted = false))
+          var users = st.users.toBuffer
+          var counts = st.counts.toBuffer
+          var evicted = st.evicted
+          var sawClose = false
+          for (r <- it) {
+            if (r.user_id == -1L) sawClose = true
+            else {
+              val i = users.indexOf(r.user_id)
+              if (i >= 0) counts(i) += 1L
+              else if (users.length < Capacity) { users += r.user_id; counts += 1L }
+              else { // SpaceSaving eviction: overwrite the min-count slot
+                var mi = 0
+                var j = 1
+                while (j < counts.length) { if (counts(j) < counts(mi)) mi = j; j += 1 }
+                users(mi) = r.user_id
+                counts(mi) += 1L
+                evicted = true
+              }
+            }
+          }
+          if (sawClose) {
+            state.remove()
+            val top = users.zip(counts).sortBy { case (u, c) => (-c, u) }.take(TopK)
+            top.iterator.zipWithIndex.map { case ((u, c), i) =>
+              HHOut(hour * 3600L, i + 1, u, c, if (evicted) 0 else 1)
+            }
+          } else {
+            state.update(HHState(users.toArray, counts.toArray, evicted))
+            Iterator.empty
+          }
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // stream_heavy_hitters — the sketch above driven through a real
+  // Structured Streaming query (file source → flatMapGroupsWithState
+  // → AvailableNow → memory sink) and the DuckDB hash gate. Staging:
+  // one file (one deterministic micro-batch; multi-batch resume is
+  // StreamingSpec territory) carrying each event's hour key plus one
+  // CLOSE sentinel per observed hour, so every window emits exactly
+  // once and nothing is left in state. The batch oracle is the plain
+  // top-3-per-hour window rank — sketch == SQL because no eviction
+  // fires at gate cardinality.
+  // ---------------------------------------------------------------
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_hh_src")
+    val ev = Tables.events(s, dir)
+      .select(expr("ts DIV 1000000000 DIV 3600").as("hour"), col("user_id"))
+    val closes = ev.select(col("hour")).distinct()
+      .select(col("hour"), lit(-1L).as("user_id"))
+    ev.unionByName(closes)
+      .repartition(1)
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_hh_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val out = heavyHitters(s.readStream.schema(schema).parquet(src).as[HourRow])
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(out.toDF(), name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy("hour_epoch", "rk")
+  }
+
+  private val streamHeavyHittersSql =
+    s"""WITH e AS (
+      |  SELECT epoch_ns(ts) // 1000000000 // 3600 AS hr, user_id FROM events),
+      |h AS (SELECT hr, user_id, count(*) AS n FROM e GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT hr, user_id, n,
+      |         row_number() OVER (PARTITION BY hr ORDER BY n DESC, user_id) AS rk
+      |  FROM h)
+      |SELECT hr * 3600 AS hour_epoch, CAST(rk AS INT) AS rk, user_id,
+      |       CAST(n AS BIGINT) AS n_events, CAST(1 AS INT) AS is_exact
+      |FROM rk WHERE rk <= $TopK
+      |ORDER BY hour_epoch, rk""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersSql)))
+}
