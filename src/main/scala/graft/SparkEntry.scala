@@ -35,6 +35,7 @@ object Registry {
       graft.queries.Analytics3.ops ++
       graft.queries.Analytics4.ops ++
       graft.queries.StatOps.ops ++
+      graft.queries.GrowthOps.ops ++
       graft.queries.EventOps.ops ++
       graft.queries.EventOps2.ops ++
       graft.queries.EventOps3.ops ++
