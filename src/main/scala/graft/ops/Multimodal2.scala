@@ -113,17 +113,20 @@ object Multimodal2 {
   // read by.
   //
   // Plan shape: one scan → 15-group map-side-combined aggregate;
-  // modality totals and the corpus total ride back as two broadcast
-  // joins of constant-size relations.
+  // modality totals and the corpus total are keyed/unpartitioned
+  // window sums over the 15-row cell relation — separate aggregate
+  // branches would each rescan the corpus (no exchange reuse across
+  // aggregate shapes), tripling a 100 TB read.
   // ---------------------------------------------------------------
   private def modalityMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cell = Multimodal.withPayload(Tables.load(s, dir, "documents"))
       .groupBy(col("media_type"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("payload")).cast("long")).as("bytes"))
-    val byType = cell.groupBy("media_type").agg(sum("n_docs").as("type_docs"))
-    val tot = cell.agg(sum("n_docs").as("all_docs"))
-    cell.join(broadcast(byType), "media_type").crossJoin(broadcast(tot))
+    cell
+      .withColumn("type_docs", sum(col("n_docs")).over(Window.partitionBy("media_type")))
+      .withColumn("all_docs", sum(col("n_docs")).over(Window.partitionBy()))
       .select(col("media_type"), col("lang"), col("n_docs"), col("bytes"),
         expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV type_docs AS BIGINT)")
           .as("share_of_type_ppm"),

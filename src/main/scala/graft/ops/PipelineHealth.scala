@@ -34,8 +34,10 @@ object PipelineHealth {
   // Scale bounds: n·N ≤ N², ×10⁶ → DECIMAL(38,0)-safe to 10¹⁵ rows.
   //
   // Plan shape: one fact scan → 20-group map-side-combined
-  // aggregate; totals ride as a 1-row broadcast. A 100 TB orders
-  // table costs exactly one scan, no shuffle beyond 20 groups.
+  // aggregate; per-period totals are unpartitioned window sums over
+  // the 20-row band relation (a re-aggregate-and-join would rescan
+  // the fact — no exchange reuse across aggregate shapes). A 100 TB
+  // orders table costs exactly one scan, no shuffle beyond 20 groups.
   // ---------------------------------------------------------------
   private val DriftPivot = "1998-01-01"
   private val BandCents = 2500000L // $25k bands
@@ -51,8 +53,9 @@ object PipelineHealth {
         when(col("o_orderdate").cast("date") >= lit(DriftPivot).cast("date"), 1L)
           .otherwise(0L).as("b"))
       .groupBy("band").agg(sum("a").as("n_a"), sum("b").as("n_b"))
-    val tot = banded.agg(sum("n_a").as("na"), sum("n_b").as("nb"))
-    banded.crossJoin(broadcast(tot))
+    banded
+      .withColumn("na", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("nb", sum(col("n_b")).over(Window.partitionBy()))
       .select(col("band"), col("n_a"), col("n_b"),
         expr("CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000 DIV na AS BIGINT)").as("share_a_ppm"),
         expr("CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000 DIV nb AS BIGINT)").as("share_b_ppm"),

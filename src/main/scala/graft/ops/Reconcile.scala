@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reconciliation / affinity pack: the subledger-to-header balance
@@ -109,29 +110,45 @@ object Reconcile {
   // Scale bounds: Σaᵤbᵤ ≤ users·maxCount²; squared ≤ 10³⁸ holds to
   // ~10¹⁵ user-count mass per type — DECIMAL(38,0) throughout.
   //
-  // Plan shape: one map-side-combined groupBy to (user, type)
-  // counts, one user-keyed self-join with t1 < t2 (each user
-  // contributes C(types,2) ≈ 10 pairs — linear fan-out, the same
-  // bounded-basket shape as q_market_basket), then a |pairs|-row
-  // aggregate joined to the tiny per-type norms.
+  // Plan shape — ONE scan of the event fact: (user, type) counts,
+  // then a user-keyed rollup to a sorted per-user type vector (≤
+  // |types| entries, bounded), from which each user emits its
+  // C(types,2) cross terms AND its |types| diagonal squares in one
+  // explode — linear fan-out, the q_market_basket bounded-basket
+  // shape, with NO self-join (a self-join materializes the
+  // users×types relation twice because Spark cannot reuse one
+  // exchange across both join inputs). Over the |types|²-row term
+  // aggregate the diagonal rows ARE the norms — fetched into each
+  // off-diagonal row by two keyed windows (max of the diagonal per
+  // t1 / per t2 partition), so the whole op is one join-free
+  // pipeline ending in a constant-size window.
   // ---------------------------------------------------------------
   private def typeAffinity(s: SparkSession, dir: String): DataFrame = {
     val uc = Tables.load(s, dir, "events")
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
-    val norms = uc.groupBy(col("event_type"))
-      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("nrm2"))
-    val l = uc.select(col("user_id"), col("event_type").as("t1"), col("c").as("c1"))
-    val r = uc.select(col("user_id").as("uid2"), col("event_type").as("t2"), col("c").as("c2"))
-    val pairs = l.join(r, col("user_id") === col("uid2") && col("t1") < col("t2"))
+    val terms = uc.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_type").as("t"), col("c"))))
+        .as("v"))
+      .select(explode(expr(
+        """concat(
+          |  flatten(transform(v, (x, i) ->
+          |    transform(slice(v, i + 2, size(v)),
+          |      y -> struct(x.t AS t1, y.t AS t2,
+          |                  CAST(x.c AS DECIMAL(38,0)) * y.c AS term)))),
+          |  transform(v, x -> struct(x.t AS t1, x.t AS t2,
+          |                           CAST(x.c AS DECIMAL(38,0)) * x.c AS term)))"""
+          .stripMargin)).as("p"))
+      .select(col("p.t1"), col("p.t2"), col("p.term"))
       .groupBy("t1", "t2")
-      .agg(count(lit(1)).as("n_co_users"),
-        sum(expr("CAST(c1 AS DECIMAL(38,0)) * c2")).as("dot"))
-    pairs
-      .join(broadcast(norms.select(col("event_type").as("t1"), col("nrm2").as("na"))), "t1")
-      .join(broadcast(norms.select(col("event_type").as("t2"), col("nrm2").as("nb"))), "t2")
-      .select(col("t1"), col("t2"), col("n_co_users"),
-        expr("CAST(dot * dot * 1000000 DIV (na * nb) AS BIGINT)").as("cos2_ppm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("term")).as("s"))
+    val diag = max(when(col("t1") === col("t2"), col("s")))
+    terms
+      .withColumn("na", diag.over(Window.partitionBy("t1")))
+      .withColumn("nb", diag.over(Window.partitionBy("t2")))
+      .filter(col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("n_users").as("n_co_users"),
+        expr("CAST(s * s * 1000000 DIV (na * nb) AS BIGINT)").as("cos2_ppm"))
       .orderBy("t1", "t2")
   }
 

@@ -34,18 +34,21 @@ object GrowthOps {
       .groupBy(col("l_partkey"))
       .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
         .as("rev"))
-    val tot = perPart.agg(sum(expr("CAST(rev AS DECIMAL(38,0))")).as("t"))
+    // catalog total as an unpartitioned window over the part-grain
+    // aggregate (same bounded-input justification as the cumsum
+    // window) — two 1-row-aggregate joins would rescan lineitem twice
     perPart
       .withColumn("cum", sum(expr("CAST(rev AS DECIMAL(38,0))"))
         .over(Window.orderBy(col("rev").desc, col("l_partkey"))))
-      .crossJoin(broadcast(tot))
+      .withColumn("t", sum(expr("CAST(rev AS DECIMAL(38,0))"))
+        .over(Window.partitionBy()))
       .withColumn("abc_class",
         expr("CASE WHEN cum * 100 <= t * 80 THEN 'A' " +
           "WHEN cum * 100 <= t * 95 THEN 'B' ELSE 'C' END"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
-        sum(expr("CAST(rev AS DECIMAL(38,0))")).as("class_rev"))
-      .crossJoin(broadcast(tot))
+        sum(expr("CAST(rev AS DECIMAL(38,0))")).as("class_rev"),
+        max(col("t")).as("t")) // t is constant; max is a deterministic carry
       .select(col("abc_class"), col("n_parts"),
         expr("CAST(class_rev AS BIGINT)").as("revenue_cents"),
         expr("CAST(class_rev * 1000000 DIV t AS BIGINT)").as("share_ppm"))
@@ -147,9 +150,14 @@ object GrowthOps {
   // signals with a MIX signal).
   //
   // Plan shape: one (user, type) map-side-combined aggregate, a
-  // user-keyed rollup (same partitioning — exchange reuse), then a
-  // ≤ ~30-row band aggregate + 1-row broadcast total. The event fact
-  // is scanned once.
+  // user-keyed rollup (a second keyed shuffle over the users×types
+  // relation, |types|× smaller than the fact), then a ≤ ~30-row band
+  // aggregate. The corpus total comes from an UNPARTITIONED WINDOW
+  // over the band relation — legal because the window input is the
+  // bounded aggregate (PlanGuardSpec's rule), and it keeps the plan
+  // ONE pipeline: a 1-row-aggregate-and-rejoin would duplicate the
+  // whole fact subtree when exchange reuse fails on computed
+  // grouping expressions. The event fact is scanned exactly once.
   // ---------------------------------------------------------------
   private def entropyProfile(s: SparkSession, dir: String): DataFrame = {
     val ut = Tables.load(s, dir, "events")
@@ -162,11 +170,10 @@ object GrowthOps {
       .select(col("user_id"),
         expr("CAST((n * length(bin(n)) - sbits) * 1000 DIV n AS BIGINT)")
           .as("h_milli"))
-    val bands = perUser
+    perUser
       .groupBy(expr("h_milli DIV 500").as("band"))
       .agg(count(lit(1)).as("n_users"))
-    val tot = bands.agg(sum("n_users").as("t"))
-    bands.crossJoin(broadcast(tot))
+      .withColumn("t", sum(col("n_users")).over(Window.partitionBy()))
       .select(col("band"), (col("band") * 500).as("band_lo_milli"), col("n_users"),
         expr("CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)")
           .as("user_share_ppm"))
@@ -186,11 +193,11 @@ object GrowthOps {
       |  FROM ut GROUP BY 1),
       |bands AS (
       |  SELECT h_milli // 500 AS band, CAST(count(*) AS BIGINT) AS n_users
-      |  FROM pu GROUP BY 1),
-      |tot AS (SELECT sum(n_users) AS t FROM bands)
+      |  FROM pu GROUP BY 1)
       |SELECT band, band * 500 AS band_lo_milli, n_users,
-      |       CAST(n_users * 1000000 // t AS BIGINT) AS user_share_ppm
-      |FROM bands CROSS JOIN tot
+      |       CAST(n_users * 1000000 // sum(n_users) OVER () AS BIGINT)
+      |         AS user_share_ppm
+      |FROM bands
       |ORDER BY band""".stripMargin
 
   val ops: Seq[Op] = Seq(

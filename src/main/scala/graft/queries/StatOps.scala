@@ -44,21 +44,24 @@ object StatOps {
   // floor in practice (expected ≈ N/25).
   //
   // Plan shape: the fact join broadcasts nothing (orders⨝customer is
-  // the big shuffle join, AQE-planned); the 25-cell contingency and
-  // its two marginals are map-side-combined aggregates over ≤25
-  // groups; marginal joins and the N scalar are broadcasts of
-  // constant-size relations. One big shuffle total.
+  // the big shuffle join, AQE-planned) and is executed ONCE: the
+  // marginals and the N total are UNPARTITIONED/keyed WINDOW sums
+  // over the 25-row contingency aggregate, not separate aggregate
+  // branches — a re-aggregate-and-join-back would recompute the
+  // whole fact join per marginal (Spark cannot reuse exchanges
+  // across differently-keyed aggregates), i.e. 4 scans of a 100 TB
+  // fact instead of 1. Windows over a bounded aggregate are the
+  // PlanGuardSpec-sanctioned way to carry group totals.
   // ---------------------------------------------------------------
   private def chiSquare(s: SparkSession, dir: String): DataFrame = {
     val cell = Tables.load(s, dir, "orders")
       .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
       .agg(count(lit(1)).as("observed"))
-    val rowt = cell.groupBy("seg").agg(sum("observed").as("rt"))
-    val colt = cell.groupBy("pri").agg(sum("observed").as("ct"))
-    val tot = cell.agg(sum("observed").as("n"))
-    cell.join(broadcast(rowt), "seg").join(broadcast(colt), "pri")
-      .crossJoin(broadcast(tot))
+    cell
+      .withColumn("rt", sum(col("observed")).over(Window.partitionBy("seg")))
+      .withColumn("ct", sum(col("observed")).over(Window.partitionBy("pri")))
+      .withColumn("n", sum(col("observed")).over(Window.partitionBy()))
       .withColumn("expected_milli",
         expr("CAST((CAST(rt AS DECIMAL(38,0)) * ct * 1000) DIV n AS BIGINT)"))
       .select(col("seg"), col("pri"), col("observed"), col("expected_milli"),
@@ -169,7 +172,8 @@ object StatOps {
   // running-CDF window is a GLOBAL sort over DISTINCT price points —
   // bounded by the value domain (≤ ~10⁸ distinct cents), not the
   // row count, which is what makes a global window acceptable here
-  // (SURVEY §4 global-window rule); n₁/n₂ ride as a 1-row broadcast.
+  // (SURVEY §4 global-window rule); n₁/n₂ are unpartitioned window
+  // sums over the same bounded relation, so the fact join runs once.
   // ---------------------------------------------------------------
   private val KsSegA = "BUILDING"
   private val KsSegB = "MACHINERY"
@@ -182,11 +186,14 @@ object StatOps {
         when(col("c_mktsegment") === KsSegA, 1L).otherwise(0L).as("a"),
         when(col("c_mktsegment") === KsSegB, 1L).otherwise(0L).as("b"))
     val pts = fact.groupBy("v").agg(sum("a").as("ca"), sum("b").as("cb"))
-    val tot = pts.agg(sum("ca").as("n1"), sum("cb").as("n2"))
+    // n1/n2 as unpartitioned window sums over the distinct-value
+    // aggregate — a separate 1-row aggregate joined back would rerun
+    // the fact join (no exchange reuse across aggregate shapes)
     val cum = pts
       .withColumn("cum1", sum(col("ca")).over(Window.orderBy("v")))
       .withColumn("cum2", sum(col("cb")).over(Window.orderBy("v")))
-      .crossJoin(broadcast(tot))
+      .withColumn("n1", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("n2", sum(col("cb")).over(Window.partitionBy()))
       .select(col("v"), col("n1"), col("n2"),
         expr("""CAST(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
                |        - CAST(cum2 AS DECIMAL(38,0)) * n1) * 1000000
