@@ -180,8 +180,12 @@ object EmbOps {
         expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
       .select(floor(col("sim") * 10).cast("int").as("band"))
       .groupBy("band").agg(count(lit(1)).as("n_pairs"))
-    val tot = hist.agg(sum(col("n_pairs")).as("total"))
-    hist.crossJoin(broadcast(tot))
+    // total as an unpartitioned window over the ~20-row band
+    // aggregate — a 1-row aggregate joined back would recompute the
+    // whole vector join (no exchange reuse across aggregate shapes)
+    hist
+      .withColumn("total", sum(col("n_pairs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("band"), col("n_pairs"),
         expr("CAST(n_pairs * 1000000 DIV total AS BIGINT)").as("share_ppm"))
       .orderBy("band")

@@ -48,8 +48,10 @@ object Leakage {
       .select(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))
     val g = pairs.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
-    val tot = g.agg(sum(col("n_pairs")).as("total"))
-    g.crossJoin(broadcast(tot))
+    // total via unpartitioned window over the ≤9-row aggregate — a
+    // re-aggregated 1-row join would rebuild the whole pair graph
+    g.withColumn("total", sum(col("n_pairs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         when(col("split_a") =!= col("split_b"), 1).otherwise(0).cast("int").as("is_leak"),
         expr("CAST(n_pairs * 1000000 DIV total AS BIGINT)").as("share_ppm"))

@@ -541,7 +541,12 @@ object TextOps {
   // token-counts aggregation (the "LM training" pass), one keyed
   // join of postings to counts, one per-doc aggregation — all
   // equality-keyed, linear in corpus tokens; total tokens and
-  // corpus-mean are 1-row broadcast metadata.
+  // corpus-mean are 1-row broadcast metadata. The vocab-sized count
+  // relation and the doc-grain score relation are BOTH multi-
+  // consumer, so both localCheckpoint (the Similarity/boilerplate
+  // convention): without truncation every scalar branch re-runs the
+  // corpus tokenization — 6 FileScans of the 100 TB fact instead of
+  // the semantic two (train pass + score pass).
   // ---------------------------------------------------------------
   private val SurprisalBandMille = 20L // low/high beyond ±2% of corpus mean
 
@@ -549,7 +554,7 @@ object TextOps {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok0"))
       .select(col("doc_id"), lower(col("tok0")).as("tok"))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).localCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     val perDoc = toks.join(counts, "tok")
       .join(broadcast(total))
@@ -559,6 +564,7 @@ object TextOps {
         sum(col("bits")).cast("bigint").as("total_bits"))
       .withColumn("mean_bits_ppm",
         expr("total_bits * CAST(1000000 AS BIGINT) DIV n_tokens"))
+      .localCheckpoint()
     val corpus = perDoc.agg(
       expr("CAST((CAST(sum(total_bits) AS DECIMAL(38,0)) * 1000000)" +
         " DIV CAST(sum(n_tokens) AS DECIMAL(38,0)) AS BIGINT)").as("corpus_ppm"))
@@ -656,7 +662,10 @@ object TextOps {
   // never the corpus. The top-V set is a TakeOrdered over the vocab
   // relation (V·partials reduce, broadcast back), so the final TVD
   // algebra runs on ≤ |sources|·(V+1) rows. At 100 TB: linear scan,
-  // bounded everything else.
+  // bounded everything else. The "ONE corpus scan" is enforced by
+  // localCheckpointing the two multi-consumer relations — without
+  // truncation, Catalyst inlines the (source, term) aggregate into
+  // every one of its four consumers and the corpus is scanned 8×.
   // ---------------------------------------------------------------
   private val TvdTopV = 200
 
@@ -664,6 +673,7 @@ object TextOps {
     val st = docs(s, dir)
       .select(col("source"), explode(col("toks")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val corpus = st.groupBy("term").agg(sum(col("n")).as("cn"))
     val top = corpus.orderBy(col("cn").desc, col("term")).limit(TvdTopV)
       .select(col("term"))
@@ -674,7 +684,7 @@ object TextOps {
     // on the DuckDB side)
     val stB = st.join(broadcast(top.withColumn("keep", lit(1))), Seq("term"), "left")
       .withColumn("bucket", when(col("keep").isNotNull, col("term")).otherwise(lit("\u0001other")))
-      .groupBy("source", "bucket").agg(sum(col("n")).as("n"))
+      .groupBy("source", "bucket").agg(sum(col("n")).as("n")).localCheckpoint() // ≤ |sources|·(V+1) rows, three consumers
     val srcTot = stB.groupBy("source").agg(sum(col("n")).as("src_tot"))
     val corpB = stB.groupBy("bucket").agg(sum(col("n")).as("cn"))
     val corpTot = corpB.agg(sum(col("cn")).as("corp_tot"))

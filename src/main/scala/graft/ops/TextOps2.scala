@@ -41,8 +41,13 @@ object TextOps2 {
   private def collocations(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(split(trim(col("text")), "\\s+").as("toks"))
+    // uni/bi are each three-consumer (their own total scalar + the
+    // two unigram join legs / the scored filter) — localCheckpoint
+    // truncation keeps the corpus tokenization at ONE scan per grain
+    // instead of Catalyst inlining it into every branch (5 FileScans)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .localCheckpoint()
     val tu = uni.agg(sum(col("n_w")).as("t_uni"))
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -50,6 +55,7 @@ object TextOps2 {
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     val tb = bi.agg(sum(col("n_ab")).as("t_bi"))
     val scored = bi.filter(col("n_ab") >= MinCount)
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
@@ -132,6 +138,7 @@ object TextOps2 {
       .crossJoin(broadcast(ids))
       .select(col("doc_id"), col("n_toks"),
         expr("(doc_id - min_id) * 10 DIV (max_id - min_id + 1)").as("decile"))
+      .localCheckpoint() // doc-grain, two consumers (type-attribution join + decile stats)
     val firstDoc = docs
       .select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
@@ -259,6 +266,7 @@ object TextOps2 {
     val freq = TextOps.withTokens(Tables.load(s, dir, "documents"))
       .select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // vocab-sized; consumed by the mass scalar + every head branch
     val tot = freq.agg(sum(col("freq")).as("t_mass"), count(lit(1)).as("n_types"))
     val head = freq.orderBy(col("freq").desc, col("term")).limit(ZipfHeads.max)
     val rn = Window.orderBy(col("freq").desc, col("term"))

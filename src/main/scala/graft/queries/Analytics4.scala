@@ -251,8 +251,12 @@ object Analytics4 {
   private val BasketTop = 25
 
   private def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    // the distinct basket relation feeds four consumers (basket
+    // count, per-item counts, both self-join legs) — truncate so the
+    // fact scan + distinct shuffle run ONCE, not once per consumer
     val items = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey")).distinct()
+      .localCheckpoint()
     val nOrders = items.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
     val itemCnt = items.groupBy("pkey").agg(count(lit(1)).as("n_solo"))
     val pairs = items.as("a")

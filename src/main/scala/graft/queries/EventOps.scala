@@ -535,7 +535,10 @@ object EventOps {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
-    val cells = qsketchCells(Tables.events(s, dir))
+    // sketch-sized (|types|·64 rows) and multi-consumer: truncate so
+    // the totals branch, the cumulative window, and the est→exact
+    // audit chain never re-scan the event fact (5 FileScans without)
+    val cells = qsketchCells(Tables.events(s, dir)).localCheckpoint()
     val totals = cells.groupBy("event_type").agg(sum(col("cnt")).as("n"))
     val ranks = totals
       .join(broadcast(QsQuantiles.toDF("q")))
@@ -909,9 +912,12 @@ object EventOps {
   // medians broadcast as 1-row scalars.
   // ---------------------------------------------------------------
   private def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    // day-grain and four-consumer (both median passes + both
+    // deviation joins) — truncate so the fact aggregates once, not 4×
     val daily = withEs(s, dir)
       .groupBy(expr("es DIV 86400").as("day"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     def med2Of(df: DataFrame, valueCol: String): DataFrame = {
       val w = Window.orderBy(col(valueCol), col("day"))
       df.withColumn("rn", row_number().over(w).cast("bigint"))

@@ -22,8 +22,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanGuardSpec extends AnyFunSuite with SparkSuite {
 
+  /** Bounded input = an Aggregate in the lineage, or a localCheckpoint
+    * barrier (surfaced as LogicalRDD): lineage truncation hides the
+    * Aggregate the checkpoint materialized, and by repo convention
+    * ONLY grain-reduced relations (vocab / day / band aggregates) are
+    * checkpointed — a raw-fact checkpoint would defeat the very scan
+    * dedup the checkpoint exists for. Raw scans and joins without
+    * either still fail the guard.
+    */
   private def subtreeHasAggregate(p: LogicalPlan): Boolean =
-    p.collectFirst { case _: Aggregate => () }.isDefined
+    p.collectFirst {
+      case _: Aggregate => ()
+      case r if r.getClass.getSimpleName == "LogicalRDD" => ()
+    }.isDefined
 
   /** Every plan the guards cover: each registered op's surfaced plan
     * PLUS the staging subplans that execute behind a staged-parquet
