@@ -323,12 +323,17 @@ object Sampling {
     val d = Tables.load(s, dir, "documents")
     val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
-    val totals = counts.agg(sum(col("n_docs")).as("total_docs"), sum(col("w")).as("sum_w"))
     // rate numerator budget·w·10000 can pass 2^63 near 1e10 docs
     // (Spark would wrap silently where DuckDB raises — ADVICE r5), so
     // the products run in DECIMAL(38,0)/HUGEINT on both engines; the
-    // QUOTIENT is bounded by total_docs·10000 and lands back in BIGINT
-    val rates = counts.crossJoin(broadcast(totals))
+    // QUOTIENT is bounded by total_docs·10000 and lands back in BIGINT.
+    // Totals ride unpartitioned windows over the |sources|-row
+    // aggregate (a 1-row-agg join-back would re-scan the corpus).
+    val rates = counts
+      .withColumn("total_docs", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("sum_w", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("rate_bp", least(lit(10000L),
         expr("(CAST(total_docs DIV 4 AS DECIMAL(38,0)) * w * 10000) " +
           "DIV (CAST(sum_w AS DECIMAL(38,0)) * n_docs)")))

@@ -51,11 +51,13 @@ class BroadcastShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("samp_temperature: 1-row totals and derived rates both broadcast") {
+  test("samp_temperature: totals ride the source-aggregate window; rates broadcast") {
     val p = plan("samp_temperature")
-    assert(p.contains("BroadcastNestedLoopJoin"), "1-row totals should BNL-join")
+    // totals were a 1-row BNL join; they now ride an unpartitioned
+    // window over the |sources|-row aggregate so the corpus is not
+    // re-scanned per totals branch (the r7 scan-dedup sweep)
     assert(p.contains("BroadcastExchange"), "per-source rates should broadcast onto the scan")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
   test("etl_late_arriving: every post-count join is dim-sized and broadcasts") {
