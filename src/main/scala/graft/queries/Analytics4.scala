@@ -240,10 +240,18 @@ object Analytics4 {
   // over n_a·n_b) so the rule ranking is engine-identical —
   // MinSupport-floored, deterministic top-25 by (lift, a, b).
   //
-  // Scale shape: the pair generator is a SELF-JOIN ON ORDER KEY —
-  // fan-out is C(k,2) per order with k = basket size (bounded small
-  // by the domain), so pair volume is linear in orders, never
-  // all-pairs over parts. Item counts join back on the part key
+  // Scale shape: baskets are aggregated ONCE to order grain
+  // (sort_array(collect_set) — state bounded by basket size, small
+  // by domain) and the pair generator is an ARRAY COMBINATION over
+  // each basket — fan-out is C(k,2) per order, linear in orders,
+  // never all-pairs over parts and never a self-join. The basket
+  // relation is NOT checkpointed: it is order-grain (fact-sized),
+  // and the repo convention reserves localCheckpoint for
+  // grain-reduced relations — the three consumers (order count,
+  // item counts, pair counts) re-derive it with at most one extra
+  // linear scan each (the itemCnt and pairs branches share a
+  // canonically identical aggregate subtree, so ReuseExchange runs
+  // that scan+shuffle once). Item counts join back on the part key
   // (vocab-sized, map-combinable); the rank window runs over the
   // ≥MinSupport survivors, above an Aggregate.
   // ---------------------------------------------------------------
@@ -251,17 +259,22 @@ object Analytics4 {
   private val BasketTop = 25
 
   private def marketBasket(s: SparkSession, dir: String): DataFrame = {
-    // the distinct basket relation feeds four consumers (basket
-    // count, per-item counts, both self-join legs) — truncate so the
-    // fact scan + distinct shuffle run ONCE, not once per consumer
-    val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey")).distinct()
+    val baskets = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    // part-grain (vocab-sized) and consumed by BOTH join legs below —
+    // the grain-reduced multi-consumer case the checkpoint convention
+    // is FOR (unlike the order-grain basket relation, which stays
+    // lazy and costs one linear re-scan per consumer)
+    val itemCnt = baskets.select(explode(col("ps")).as("pkey"))
+      .groupBy("pkey").agg(count(lit(1)).as("n_solo"))
       .localCheckpoint()
-    val nOrders = items.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
-    val itemCnt = items.groupBy("pkey").agg(count(lit(1)).as("n_solo"))
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
-      .select(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+    val pairs = baskets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS part_a, y AS part_b))))"))
+        .as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= BasketMinSupport)
     val scored = pairs
