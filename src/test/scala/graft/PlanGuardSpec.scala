@@ -22,18 +22,31 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanGuardSpec extends AnyFunSuite with SparkSuite {
 
-  /** Bounded input = an Aggregate in the lineage, or a localCheckpoint
-    * barrier (surfaced as LogicalRDD): lineage truncation hides the
-    * Aggregate the checkpoint materialized, and by repo convention
-    * ONLY grain-reduced relations (vocab / day / band aggregates) are
-    * checkpointed — a raw-fact checkpoint would defeat the very scan
-    * dedup the checkpoint exists for. Raw scans and joins without
-    * either still fail the guard.
+  /** A checkpoint barrier (LogicalRDD) below an unpartitioned window
+    * must be MEASURABLY bounded, not trusted by convention: lineage
+    * truncation hides whatever the checkpoint materialized, so a
+    * raw-fact checkpoint would otherwise satisfy this guard silently
+    * (round-8 verdict finding). The two sanctioned sites (MAD's
+    * day-grain relation, zipf's rank relation) are ≤31 rows at the
+    * gate SF; the smallest fact table is ~6k rows — the ceiling
+    * separates them by ~6×. Counting is cheap here: localCheckpoint
+    * blocks are already materialized by plan construction.
+    */
+  private val CkptWindowRowCeiling = 1000L
+
+  private def rddRows(p: LogicalPlan): Long =
+    p.getClass.getMethod("rdd").invoke(p)
+      .asInstanceOf[org.apache.spark.rdd.RDD[_]].count()
+
+  /** Bounded input = an Aggregate in the lineage, or a checkpoint
+    * barrier whose materialized row count is under the ceiling. Raw
+    * scans, joins, and fact-sized checkpoints all fail the guard.
     */
   private def subtreeHasAggregate(p: LogicalPlan): Boolean =
     p.collectFirst {
       case _: Aggregate => ()
-      case r if r.getClass.getSimpleName == "LogicalRDD" => ()
+      case r if r.getClass.getSimpleName == "LogicalRDD" &&
+        rddRows(r) <= CkptWindowRowCeiling => ()
     }.isDefined
 
   /** Every plan the guards cover: each registered op's surfaced plan
