@@ -12,19 +12,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * SpaceSaving sketch — so per-window memory is O(capacity) no matter
   * how many distinct users an hour sees. At gate cardinality
   * (capacity ≥ distinct users/hour) the sketch NEVER evicts and is
-  * provably exact, which is what lets a sketch pass a hash gate; at
-  * 100 TB cardinality it degrades to the sketch's classic ε = 1/C
-  * count-error guarantee and the emitted `is_exact` flag says so.
+  * provably exact, which is what lets a sketch pass a hash gate — and
+  * the op ASSERTS that precondition after the run (any is_exact=0 row
+  * fails loudly) so a bigger gate corpus can never silently turn the
+  * exact oracle into an apples-to-oranges hash mismatch. At 100 TB
+  * cardinality the sketch degrades to its classic ε = 1/C count-error
+  * guarantee; that eviction path is driven through the SAME streaming
+  * pipeline by HeavyHittersSpec at a reduced capacity.
   */
 object StreamOps2 {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private val Capacity = 256
+  private[graft] val Capacity = 256
   private val TopK = 3
 
   /** SpaceSaving state for one hour window: parallel user/count
-    * arrays (≤ Capacity entries) + whether any eviction happened
+    * arrays (≤ capacity entries) + whether any eviction happened
     * (⇒ counts are upper bounds, not exact).
     */
   final case class HHState(users: Array[Long], counts: Array[Long], evicted: Boolean)
@@ -33,49 +37,64 @@ object StreamOps2 {
   final case class HHOut(hour_epoch: Long, rk: Int, user_id: Long,
       n_events: Long, is_exact: Int)
 
+  /** Feed one batch of user ids into the SpaceSaving counter table.
+    * Pure (returns fresh state), order-independent while no eviction
+    * occurs, and exposed so the spec can assert TOTAL MASS
+    * CONSERVATION over the FULL table — sum(counts) equals the number
+    * of ingested events on every path, because an eviction reassigns
+    * the min slot's mass rather than dropping it. The top-k output
+    * alone cannot prove that invariant.
+    */
+  private[graft] def sketchIngest(st: HHState, ids: Iterator[Long],
+      capacity: Int): HHState = {
+    val users = scala.collection.mutable.ArrayBuffer(st.users.toSeq: _*)
+    val counts = scala.collection.mutable.ArrayBuffer(st.counts.toSeq: _*)
+    var evicted = st.evicted
+    for (u <- ids) {
+      val i = users.indexOf(u)
+      if (i >= 0) counts(i) += 1L
+      else if (users.length < capacity) { users += u; counts += 1L }
+      else { // SpaceSaving eviction: overwrite the min-count slot
+        var mi = 0
+        var j = 1
+        while (j < counts.length) { if (counts(j) < counts(mi)) mi = j; j += 1 }
+        users(mi) = u
+        counts(mi) += 1L
+        evicted = true
+      }
+    }
+    HHState(users.toArray, counts.toArray, evicted)
+  }
+
   /** Feed one hour's events into the sketch; emit the final top-k
     * when the hour's CLOSE sentinel (user_id = -1) has arrived —
     * the same close-out contract as EventStream.closedSessions.
     * Counting is order-independent while no eviction occurs, so the
     * group iterator's arrival order cannot move the gate hash.
     */
-  def heavyHitters(rows: org.apache.spark.sql.Dataset[HourRow])
-      : org.apache.spark.sql.Dataset[HHOut] = {
+  def heavyHitters(rows: org.apache.spark.sql.Dataset[HourRow],
+      capacity: Int = Capacity): org.apache.spark.sql.Dataset[HHOut] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.hour)
       .flatMapGroupsWithState[HHState, HHOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (hour: Long, it: Iterator[HourRow], state: GroupState[HHState]) =>
-          var st = state.getOption.getOrElse(
+          val st = state.getOption.getOrElse(
             HHState(Array.empty[Long], Array.empty[Long], evicted = false))
-          var users = st.users.toBuffer
-          var counts = st.counts.toBuffer
-          var evicted = st.evicted
           var sawClose = false
-          for (r <- it) {
-            if (r.user_id == -1L) sawClose = true
-            else {
-              val i = users.indexOf(r.user_id)
-              if (i >= 0) counts(i) += 1L
-              else if (users.length < Capacity) { users += r.user_id; counts += 1L }
-              else { // SpaceSaving eviction: overwrite the min-count slot
-                var mi = 0
-                var j = 1
-                while (j < counts.length) { if (counts(j) < counts(mi)) mi = j; j += 1 }
-                users(mi) = r.user_id
-                counts(mi) += 1L
-                evicted = true
-              }
-            }
+          val ids = it.flatMap { r =>
+            if (r.user_id == -1L) { sawClose = true; None } else Some(r.user_id)
           }
+          val fed = sketchIngest(st, ids, capacity) // consumes `ids` fully
           if (sawClose) {
             state.remove()
-            val top = users.zip(counts).sortBy { case (u, c) => (-c, u) }.take(TopK)
+            val top = fed.users.zip(fed.counts)
+              .sortBy { case (u, c) => (-c, u) }.take(TopK)
             top.iterator.zipWithIndex.map { case ((u, c), i) =>
-              HHOut(hour * 3600L, i + 1, u, c, if (evicted) 0 else 1)
+              HHOut(hour * 3600L, i + 1, u, c, if (fed.evicted) 0 else 1)
             }
           } else {
-            state.update(HHState(users.toArray, counts.toArray, evicted))
+            state.update(fed)
             Iterator.empty
           }
       }
@@ -90,9 +109,13 @@ object StreamOps2 {
   // CLOSE sentinel per observed hour, so every window emits exactly
   // once and nothing is left in state. The batch oracle is the plain
   // top-3-per-hour window rank — sketch == SQL because no eviction
-  // fires at gate cardinality.
+  // fires at gate cardinality, and streamHeavyHitters REQUIRES that
+  // (is_exact=0 anywhere ⇒ loud failure, never an opaque hash
+  // mismatch). The eviction path itself is exercised by
+  // HeavyHittersSpec through this same pipeline at capacity 8.
   // ---------------------------------------------------------------
-  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def streamHeavyHittersAt(s: SparkSession, dir: String,
+      capacity: Int): DataFrame = {
     import s.implicits._
     val src = graft.sources.SourceOps.tmpDir("graft_stream_hh_src")
     val ev = Tables.events(s, dir)
@@ -105,13 +128,33 @@ object StreamOps2 {
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_hh_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
-    val out = heavyHitters(s.readStream.schema(schema).parquet(src).as[HourRow])
+    val out = heavyHitters(s.readStream.schema(schema).parquet(src).as[HourRow], capacity)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try EventStream.runAvailableNow(out.toDF(), name, OutputMode.Append(), ckpt)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name).orderBy("hour_epoch", "rk")
   }
+
+  /** The registered gate = pipeline + exact-gate precondition,
+    * asserted, not assumed: the oracle below hardcodes is_exact=1,
+    * which is only the sketch's output while capacity ≥ distinct
+    * users/hour. Memory-sink sized scan, fails loudly instead of
+    * letting a bigger gate corpus surface as an opaque hash mismatch.
+    */
+  private[graft] def guardedHeavyHitters(s: SparkSession, dir: String,
+      capacity: Int): DataFrame = {
+    val res = streamHeavyHittersAt(s, dir, capacity)
+    val evictedRows = res.filter(col("is_exact") === 0).count()
+    require(evictedRows == 0L,
+      s"stream_heavy_hitters: $evictedRows top-k rows carry is_exact=0 — " +
+        s"the sketch evicted at gate cardinality (capacity $capacity < " +
+        "distinct users in some hour); the exact SQL oracle no longer applies")
+    res
+  }
+
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    guardedHeavyHitters(s, dir, Capacity)
 
   private val streamHeavyHittersSql =
     s"""WITH e AS (

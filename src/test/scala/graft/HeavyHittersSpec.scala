@@ -36,10 +36,45 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(_.is_exact == 0), "eviction must clear the exact flag")
     assert(got.head.user_id == 999999L, "dominant key must survive eviction")
     assert(got.head.n_events >= 500L, "SpaceSaving counts are upper bounds")
-    // total mass conservation: the sketch's total count equals the
-    // true event count (SpaceSaving never loses mass, it reassigns it)
-    // — checked on the full capacity table via the top-k's bound:
-    assert(got.forall(_.n_events <= 800L))
+    // every count is bounded by true_count + ε·N with ε = 1/capacity:
+    // N = 800 events, capacity 256 ⇒ error ≤ 3 per counter
+    assert(got.forall(_.n_events <= 500L + 800L / 256 + 1))
+  }
+
+  test("total mass is conserved exactly across eviction (full counter table)") {
+    // SpaceSaving never loses mass — an eviction reassigns the min
+    // slot's count, so sum(counts) over the FULL table equals the
+    // ingested event count on both the exact and the eviction path.
+    val empty = StreamOps2.HHState(Array.empty, Array.empty, evicted = false)
+    val exact = StreamOps2.sketchIngest(empty,
+      (1 to 100).iterator.map(i => (i % 7).toLong), capacity = 16)
+    assert(!exact.evicted && exact.counts.sum == 100L)
+    val evicting = StreamOps2.sketchIngest(empty,
+      (1 to 1000).iterator.map(i => (i % 37).toLong), capacity = 8)
+    assert(evicting.evicted, "37 distinct keys must overflow capacity 8")
+    assert(evicting.counts.length == 8)
+    assert(evicting.counts.sum == 1000L, "eviction must reassign, never drop, mass")
+    // incremental ingest across state round-trips conserves too
+    val resumed = StreamOps2.sketchIngest(evicting,
+      (1 to 250).iterator.map(i => (i % 41).toLong), capacity = 8)
+    assert(resumed.counts.sum == 1250L)
+  }
+
+  test("the gate op fails loudly (never an opaque hash mismatch) when capacity is below gate cardinality") {
+    // same staging + streaming pipeline as the registered op, at
+    // capacity 2 — sf0.001's busiest hour has 6 distinct users, so
+    // this drives the ε=1/C degradation path end to end
+    val res = StreamOps2.streamHeavyHittersAt(spark, sfDir, capacity = 2).collect()
+    assert(res.nonEmpty)
+    assert(res.exists(_.getAs[Int]("is_exact") == 0),
+      "sf0.001's busiest hour carries 6 distinct users; capacity 2 must evict")
+    // and the registered gate (guardedHeavyHitters IS the op body,
+    // parameterized) throws instead of letting the hardcoded
+    // is_exact=1 oracle surface as an opaque hash mismatch
+    val e = intercept[IllegalArgumentException] {
+      StreamOps2.guardedHeavyHitters(spark, sfDir, capacity = 2)
+    }
+    assert(e.getMessage.contains("is_exact=0"))
   }
 
   test("ties break to the smaller user id at equal counts") {
