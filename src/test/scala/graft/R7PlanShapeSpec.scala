@@ -23,13 +23,32 @@ class R7PlanShapeSpec extends AnyFunSuite with SparkSuite {
     p.linesIterator.count(l => l.contains("Exchange hashpartitioning") ||
       l.contains("Exchange SinglePartition"))
 
-  test("q_chi_square: marginals and total ride as broadcasts, never a shuffle join") {
+  test("q_chi_square: one broadcast fact join, marginals as windows over the 25-row contingency aggregate") {
     val p = plan("q_chi_square")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"), "marginals should broadcast")
-    assert(!p.contains("SortMergeJoin") ||
-      p.linesIterator.count(_.trim.startsWith("+- SortMergeJoin")) <= 1,
-      "only the orders⨝customer fact join may shuffle")
+    // the ONLY join: orders ⨝ broadcast(customer) — pinned exactly,
+    // not "no more than one SMJ" (which passed vacuously pre-round-9)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1,
+      s"expected exactly the orders⨝broadcast(customer) join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join belongs in this plan:\n$p")
+    // each base table is scanned exactly once
+    for (t <- Seq("customer", "orders")) {
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains(t))
+      assert(scans == 1, s"$t scanned $scans times (want 1):\n$p")
+    }
+    // marginals + total = THREE windows (per-segment, per-priority,
+    // global), all above the (seg, pri) contingency HashAggregate —
+    // never re-aggregated branches joined back
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) == 3,
+      s"expected 3 marginal windows:\n$p")
+    assert(p.contains("HashAggregate"), "contingency table should hash-agg")
+    // exactly one data shuffle (the (seg, pri) aggregate exchange) +
+    // one SinglePartition funnel for the bounded 25-row window input
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one aggregate exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      s"expected one bounded-input window funnel:\n$p")
   }
 
   test("q_gini / q_pearson_corr: the per-nation window/aggregate is partitioned (streams per nation)") {
