@@ -229,6 +229,7 @@ object Dedup {
     cellStageMemo.clear()
     cellStageLatest.clear()
     Similarity.resetKnnStage(deleteDirQuietly)
+    GraphOps.resetStage()
   }
 
   /** Build every snapshot-staged corpus artifact in dependency order
@@ -254,7 +255,8 @@ object Dedup {
       timed("knn_graph") { Similarity.knnGraphStaged(s, dir) },
       timed("pair_graph") { stagedCandidateStats(s, dir) },
       timed("band_index") { bandIndex(s, dir) },
-      timed("cluster_labels") { clusterLabels(s, dir) })
+      timed("cluster_labels") { clusterLabels(s, dir) },
+      timed("purchase_graph") { GraphOps.purchaseGraph(s, dir)._1 })
   }
 
   /** Plans that execute INSIDE staging and are therefore invisible to
@@ -275,7 +277,8 @@ object Dedup {
       // constructing this plan RUNS the CC loop (it is iterative);
       // the guarded plan is the final labels+sizes join it returns
       "dedup_label_stage(unstaged)" -> clustersComputed(s, dir),
-      "sim_knn_graph_stage(unstaged)" -> Similarity.knnGraphUnsorted(s, dir))
+      "sim_knn_graph_stage(unstaged)" -> Similarity.knnGraphUnsorted(s, dir),
+      "graph_edge_stage(unstaged)" -> GraphOps.purchaseGraphEdgesPlan(s, dir))
 
   /** Candidate pair stats passing ANY consumer threshold — what the
     * stage persists (see header above).

@@ -37,25 +37,127 @@ object GraphOps {
   private val Iters = 3
 
   /** Symmetrized bipartite purchase graph (customer 2c ↔ supplier
-    * 2sp+1), materialized ONCE: the pagerank variants reference the
-    * edge relation many times (outdeg + 2 joins × rounds) and
-    * Catalyst does not dedupe common subplans, so without the
-    * checkpoint the fact-table join would execute once per reference
-    * (A/B at sf0.1: 3.0 s → 2.76 s for the 3-round unroll — modest
-    * because |E| is small, but at 100 TB it is the difference
-    * between one fact pass and one per superstep).
+    * 2sp+1) — the edge relation every op in this family (pagerank ×2,
+    * kcore, degree_dist, assortativity) walks, and the pagerank loops
+    * walk once PER SUPERSTEP.
+    *
+    * Staged as a SRC-BUCKETED TABLE, built once per corpus snapshot
+    * (repo lesson 26 / round-8 verdict item 2): a bucketed scan
+    * surfaces HashPartitioning(src, PgBuckets), so every
+    * edges⨝mass-on-src superstep join plans with NO exchange on the
+    * |E|-sized side — only the skinny |V|-sized mass relation
+    * shuffles per round (BucketingSpec proves the no-shuffle shape).
+    * Bucket count matches the session's shuffle parallelism: when
+    * both superstep join children satisfy the clustered distribution,
+    * EnsureRequirements keeps the child with MORE partitions and
+    * re-exchanges the other — a bucket count below
+    * spark.sql.shuffle.partitions would put the |E| side on the
+    * losing end of that rule and re-shuffle it every round (observed
+    * at 8 buckets vs 32 shuffle partitions). At cluster scale, size
+    * buckets to |E| and keep them ≥ the shuffle parallelism.
+    * The previous localCheckpoint staging materialized edges with
+    * arbitrary partitioning, so at cluster scale every round paid a
+    * full |E| exchange; it also rebuilt the fact join once per
+    * CONSUMER OP (5× per bench pass), where the bucketed table is
+    * built once per corpus. outdeg is bucketed identically so the
+    * superstep's second src join is exchange-free too. A non-local
+    * dir (no snapshot ⇒ no safe memo) falls back to the inline
+    * localCheckpoint staging — correct, never stale.
     */
-  private[ops] def purchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ops] val PgBuckets = 32
+  private val pgStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private val pgStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pgStageLock = new Object
+
+  /** The raw (unstaged) edge plan — what the stage writes, and what
+    * PlanGuardSpec audits (the registered ops only ever see a
+    * bucketed-table scan).
+    */
+  private[ops] def purchaseGraphEdgesPlan(s: SparkSession, dir: String): DataFrame = {
     val co = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
-    val edges = co.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+    co.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
       .unionByName(co.select((col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-      .localCheckpoint()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    (edges, outdeg)
+  }
+
+  private def pgSnapshot(dir: String): Option[String] =
+    for {
+      a <- Dedup.corpusSnapshot(dir, "orders")
+      b <- Dedup.corpusSnapshot(dir, "lineitem")
+    } yield java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$a|$b".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  private[ops] def purchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pgSnapshot(dir) match {
+      case None =>
+        val edges = purchaseGraphEdgesPlan(s, dir).localCheckpoint()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint()
+        (edges, outdeg)
+      case Some(h) =>
+        val key = s"$dir@$h"
+        val (et, ot, _) = pgStageLock.synchronized {
+          Option(pgStageMemo.get(key))
+            .filter(t => s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2))
+            .getOrElse {
+              // a rewritten corpus supersedes this dir's previous stage
+              Option(pgStageLatest.get(dir)).filterNot(_ == key)
+                .flatMap(old => Option(pgStageMemo.remove(old)))
+                .foreach { case (e, o, p) =>
+                  try { s.sql(s"DROP TABLE IF EXISTS $e"); s.sql(s"DROP TABLE IF EXISTS $o") }
+                  catch { case _: Exception => () }
+                  deleteDirQuietly(p)
+                }
+              val edgesTable = s"graft_pg_edges_$h"
+              val outdegTable = s"graft_pg_outdeg_$h"
+              val path = graft.sources.SourceOps.tmpDir("graft_pg_stage")
+              s.sql(s"DROP TABLE IF EXISTS $edgesTable")
+              s.sql(s"DROP TABLE IF EXISTS $outdegTable")
+              // repartition on the bucket key first ⇒ one file per
+              // bucket, so bucket-sorted reads stay sorted
+              purchaseGraphEdgesPlan(s, dir)
+                .repartition(PgBuckets, col("src"))
+                .write.mode("overwrite").option("path", s"$path/edges")
+                .bucketBy(PgBuckets, "src").sortBy("src").saveAsTable(edgesTable)
+              s.table(edgesTable).groupBy("src").agg(count(lit(1)).as("outdeg"))
+                .repartition(PgBuckets, col("src"))
+                .write.mode("overwrite").option("path", s"$path/outdeg")
+                .bucketBy(PgBuckets, "src").sortBy("src").saveAsTable(outdegTable)
+              val entry = (edgesTable, outdegTable, path)
+              pgStageMemo.put(key, entry)
+              pgStageLatest.put(dir, key)
+              entry
+            }
+        }
+        (s.table(et), s.table(ot))
+    }
+
+  private def deleteDirQuietly(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally walk.close()
+    }
+  }
+
+  /** Drop staged purchase-graph tables and dirs (Bench's explicit
+    * staging phase re-times the build; stale catalog entries are
+    * dropped by the next restage).
+    */
+  private[ops] def resetStage(): Unit = {
+    import scala.jdk.CollectionConverters._
+    pgStageMemo.values.asScala.foreach { case (_, _, p) => deleteDirQuietly(p) }
+    pgStageMemo.clear()
+    pgStageLatest.clear()
   }
 
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
@@ -111,8 +213,9 @@ object GraphOps {
   // engines stopped after the SAME data-bound round count.
   //
   // Plan shape per round: identical to graph_pagerank's superstep
-  // (two bounded 8-byte-key shuffles over the once-checkpointed edge
-  // relation), plus ONE driver-read scalar (the residual max — an
+  // (the src-bucketed edge table scans exchange-free; only the
+  // skinny mass relation and the dst aggregate shuffle), plus ONE
+  // driver-read scalar (the residual max — an
   // aggregate of a |V|-sized join, the same config-sized action the
   // CC engine's convergence test does). localCheckpoint truncation
   // per round keeps the plan O(1) across an unbounded round count,

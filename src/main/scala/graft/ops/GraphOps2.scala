@@ -26,10 +26,12 @@ object GraphOps2 {
   //
   // Plan shape per round: two semi-join filters of the edge list
   // against the alive set (8-byte-key shuffles, |E|-linear) + one
-  // map-side-combined degree count. The edge relation is
-  // localCheckpoint-materialized once (shared with the pagerank
-  // family's construction); at 100 TB each round is one bounded
-  // shuffle over a shrinking edge set — peeling only ever removes.
+  // map-side-combined degree count. The edge relation is a
+  // src-bucketed staged table built once per corpus (shared with the
+  // pagerank family), so round 1's src-side semi-join starts from
+  // HashPartitioning(src) without an exchange; at 100 TB each round
+  // is one bounded shuffle over a shrinking edge set — peeling only
+  // ever removes.
   // ---------------------------------------------------------------
   private val K = 4
   private val KcoreRounds = 3
@@ -85,7 +87,7 @@ object GraphOps2 {
   // range, total degree mass, and the customer/supplier split of the
   // bipartite graph.
   //
-  // Plan shape: one degree count off the checkpointed edge list, one
+  // Plan shape: one degree count off the bucketed edge table, one
   // ~word-size-bounded-row aggregate (≤64 buckets by construction).
   // ---------------------------------------------------------------
   private def degreeDist(s: SparkSession, dir: String): DataFrame = {
@@ -133,7 +135,7 @@ object GraphOps2 {
   // from the start); the emitted r is ONE double division of the two
   // exact integers, rounded for display — engine-identical.
   //
-  // Plan shape: degree count off the checkpointed edge list, two
+  // Plan shape: degree count off the bucketed edge table, two
   // 8-byte-key joins decorating each edge with endpoint degrees, one
   // 1-row aggregate. |E|-linear, no window, no pair explosion.
   // ---------------------------------------------------------------
