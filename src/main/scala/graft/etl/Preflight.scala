@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.meta.{ExtractSpec, ZoneConfig}
+import graft.meta.{ExtractSpec, TunnelConfig, ZoneConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Connection / config preflight — the reference ships a dedicated
@@ -38,8 +38,30 @@ object Preflight {
       nMissing: Int, // configured source columns absent from the schema
       nRows: Long)
 
+  /** Field-shape validation of an SSH tunnel config (ref:
+    * "1.1 TestConnectionSSH.py" — every rule here is one its tunnel
+    * open would fail on: empty bastion host/user/key, out-of-range
+    * ports, local bind colliding with the ssh port). n_missing
+    * carries the invalid-field count so a bad config is diagnosable
+    * from the gated relation itself. No live SSH in this sandbox —
+    * config validation is the portable half; see
+    * [[graft.meta.TunnelConfig]].
+    */
+  def tunnelCheck(tunnel: TunnelConfig, checkId: Int): Check = {
+    def bad(cond: Boolean) = if (cond) 1 else 0
+    def badPort(p: Int) = bad(p <= 0 || p > 65535)
+    def badStr(v: String) = bad(v == null || v.trim.isEmpty)
+    val invalid =
+      badStr(tunnel.sshHost) + badPort(tunnel.sshPort) +
+        badStr(tunnel.sshUser) + badStr(tunnel.keyPath) +
+        badStr(tunnel.remoteHost) + badPort(tunnel.remotePort) +
+        badPort(tunnel.localPort) + bad(tunnel.localPort == tunnel.sshPort)
+    Check(checkId, "tunnel_config", tunnel.env,
+      if (invalid == 0) "OK" else "INVALID", -1, invalid, -1L)
+  }
+
   def run(spark: SparkSession, dir: String, specs: Seq[ExtractSpec],
-      zones: ZoneConfig): Seq[Check] = {
+      zones: ZoneConfig, tunnel: Option[TunnelConfig] = None): Seq[Check] = {
     val zoneChecks = Seq(
       ("raw_zone", zones.rawZone),
       ("staging_zone", zones.stagingZone),
@@ -64,14 +86,15 @@ object Preflight {
           Check(zoneChecks.size + i + 1, "source_probe", t, "UNREACHABLE", -1, -1, -1L)
       }
     }
-    zoneChecks ++ probes
+    zoneChecks ++ probes ++
+      tunnel.map(t => tunnelCheck(t, zoneChecks.size + probes.size + 1)).toSeq
   }
 
   /** The check list as a relation (the op surface). */
   def report(spark: SparkSession, dir: String, specs: Seq[ExtractSpec],
-      zones: ZoneConfig): DataFrame = {
+      zones: ZoneConfig, tunnel: Option[TunnelConfig] = None): DataFrame = {
     import spark.implicits._
-    run(spark, dir, specs, zones)
+    run(spark, dir, specs, zones, tunnel)
       .map(c => (c.checkId, c.checkType, c.name, c.status, c.nCols, c.nMissing, c.nRows))
       .toDF("check_id", "check_type", "name", "status", "n_cols", "n_missing", "n_rows")
       .orderBy("check_id")

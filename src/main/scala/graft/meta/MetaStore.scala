@@ -68,4 +68,11 @@ object MetaStore {
     */
   def sampleZones: ZoneConfig =
     ZoneConfig("DEV", "raw_zone", "staging_zone", "curated_zone", "logs")
+
+  /** Fictional sample tunnel config (placeholder endpoints, like the
+    * sample zones — deployments substitute real bastion/DB hosts).
+    */
+  def sampleTunnel: TunnelConfig =
+    TunnelConfig("DEV", "bastion.example.internal", 22, "etl_svc",
+      "/keys/etl_svc_ed25519", "db.example.internal", 3306, 13306)
 }

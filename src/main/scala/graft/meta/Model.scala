@@ -98,3 +98,22 @@ final case class ZoneConfig(
   def stagingPathFor(table: String): String = s"$stagingZone/$table"
   def curatedPathFor(table: String): String = s"$curatedZone/$table"
 }
+
+/** SSH-tunnel config for a firewalled source (ref: /root/reference/
+  * source_code/python/local_utility/"1.1 TestConnectionSSH.py", which
+  * builds its tunnel forwarder from exactly these fields: bastion
+  * host/port/user/key plus the forwarded DB endpoint and the local
+  * bind port). No live SSH runs in this library's posture —
+  * [[graft.etl.Preflight]] validates the CONFIG SHAPE, which is the
+  * half of TestConnectionSSH that fails fast before any socket opens;
+  * a deployment wires the validated config into its own forwarder.
+  */
+final case class TunnelConfig(
+    env: String,
+    sshHost: String,
+    sshPort: Int,
+    sshUser: String,
+    keyPath: String,
+    remoteHost: String,
+    remotePort: Int,
+    localPort: Int)

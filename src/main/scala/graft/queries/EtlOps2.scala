@@ -341,7 +341,7 @@ object EtlOps2 {
   // ---------------------------------------------------------------
   private def connPreflight(s: SparkSession, dir: String): DataFrame =
     graft.etl.Preflight.report(s, dir, graft.meta.SampleCatalog.all,
-      graft.meta.MetaStore.sampleZones)
+      graft.meta.MetaStore.sampleZones, Some(graft.meta.MetaStore.sampleTunnel))
 
   private val connPreflightSql =
     """SELECT CAST(1 AS INT) AS check_id, 'config' AS check_type, 'raw_zone' AS name,
@@ -354,6 +354,7 @@ object EtlOps2 {
       |UNION ALL SELECT 6, 'source_probe', 'orders', 'REACHABLE', 6, 0, (SELECT count(*) FROM orders)
       |UNION ALL SELECT 7, 'source_probe', 'customer', 'REACHABLE', 5, 0, (SELECT count(*) FROM customer)
       |UNION ALL SELECT 8, 'source_probe', 'part', 'REACHABLE', 6, 0, (SELECT count(*) FROM part)
+      |UNION ALL SELECT 9, 'tunnel_config', 'DEV', 'OK', -1, 0, -1
       |ORDER BY check_id""".stripMargin
 
   val ops: Seq[Op] = Seq(

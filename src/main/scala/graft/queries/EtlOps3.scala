@@ -350,11 +350,100 @@ object EtlOps3 {
       |FROM per_table CROSS JOIN t
       |ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------
+  // meta_update_roundtrip — the reference's consolidation contract:
+  // a pipeline stage UPDATEs the metadata (StagingZonePath + load
+  // config) and LATER STAGES READ THE UPDATED CATALOG (ref:
+  // staging_data_extraction.py:300-329 in-place UPDATE of
+  // StagingZonePath after chunk consolidation; 1. Metadata
+  // Creation.sql:169-230 grants exactly that UPDATE). Lake-idiomatic
+  // re-expression: config is parquet DATA, an UPDATE is an
+  // engine-side Dataset transform persisted as a NEW CATALOG VERSION
+  // (immutable zones — the WAP convention), and the typed MetaStore
+  // reload is the only consumer path. The gate proves the full
+  // mutate → persist → typed-reload → re-extract cycle:
+  //   (1) seed catalog saved to the lake;
+  //   (2) stage-1 extraction runs off the SEEDED catalog into its
+  //       configured staging zone (read back; row count emitted);
+  //   (3) the consolidation UPDATE rewrites lineitem's
+  //       stagingZonePath to the consolidated zone and flips the
+  //       table INCREMENTAL with a ship-date filter — as a DataFrame
+  //       transform over the config table, written as catalog v2;
+  //   (4) catalog v2 is MetaStore-reloaded (typed) and stage 2
+  //       re-extracts through it, writing to the UPDATED zone path
+  //       and reading back from that path.
+  // The emitted relation aggregates the stage-2 read-back and
+  // carries the mutated config fields as columns; the oracle
+  // hardcodes the post-mutation values, so a failed round-trip
+  // (stale path, lost filter, untyped reload drift) hash-fails
+  // instead of passing on rows. Config relations are config-sized;
+  // the two extractions are single linear scans at any SF.
+  // ---------------------------------------------------------------
+  private def metaUpdateRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.SourceOps.tmpDir("graft_meta_rt")
+    val v1 = s"$root/catalog_v1"
+    val v2 = s"$root/catalog_v2"
+    graft.meta.MetaStore.save(s, graft.meta.MetaStore.sample, v1)
+    // stage 1: extraction off the seeded catalog → its staging zone
+    val spec0 = graft.meta.MetaStore.load(s, v1)
+      .specFor(graft.meta.SampleCatalog.lineitem.table.tableId)
+    val zone0 = spec0.table.stagingZonePath.getOrElse("staging_zone")
+    graft.etl.ExtractionPlanner.extract(s, dir, spec0)
+      .write.mode("overwrite").parquet(s"$root/zones/$zone0/lineitem")
+    val stage1Rows = s.read.parquet(s"$root/zones/$zone0/lineitem")
+      .agg(count(lit(1)).as("n_stage1_rows"))
+    // consolidation UPDATE, persisted as catalog v2
+    s.read.parquet(s"$v1/table_config")
+      .withColumn("stagingZonePath",
+        when(col("tableName") === "lineitem", lit("staging_zone/consolidated"))
+          .otherwise(col("stagingZonePath")))
+      .withColumn("loadType",
+        when(col("tableName") === "lineitem", lit("INCREMENTAL"))
+          .otherwise(col("loadType")))
+      .withColumn("incrementalFilter",
+        when(col("tableName") === "lineitem",
+          lit("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"))
+          .otherwise(col("incrementalFilter")))
+      .write.mode("overwrite").parquet(s"$v2/table_config")
+    s.read.parquet(s"$v1/column_config")
+      .write.mode("overwrite").parquet(s"$v2/column_config")
+    s.read.parquet(s"$v1/output_column_config")
+      .write.mode("overwrite").parquet(s"$v2/output_column_config")
+    // stage 2: typed reload of the MUTATED catalog drives the
+    // re-extraction into (and back out of) the updated zone path
+    val spec1 = graft.meta.MetaStore.load(s, v2)
+      .specFor(graft.meta.SampleCatalog.lineitem.table.tableId)
+    val zone1 = spec1.table.stagingZonePath
+      .getOrElse(sys.error("consolidation update failed to persist stagingZonePath"))
+    graft.etl.ExtractionPlanner.extract(s, dir, spec1)
+      .write.mode("overwrite").parquet(s"$root/zones/$zone1/lineitem")
+    s.read.parquet(s"$root/zones/$zone1/lineitem")
+      .groupBy("Return_Flag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(Quantity) AS BIGINT)").as("sum_qty"))
+      .crossJoin(broadcast(stage1Rows))
+      .withColumn("staging_path", lit(zone1))
+      .withColumn("load_type", lit(spec1.table.loadType))
+      .orderBy("Return_Flag")
+  }
+
+  private val metaUpdateRoundtripSql =
+    """SELECT l_returnflag AS Return_Flag, count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  (SELECT count(*) FROM lineitem) AS n_stage1_rows,
+      |  'staging_zone/consolidated' AS staging_path,
+      |  'INCREMENTAL' AS load_type
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_entity_resolution", entityResolution, Some(entityResolutionSql)),
     Op("etl_compaction", compaction, Some(compactionSql)),
     Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)),
     Op("etl_l_diversity", lDiversity, Some(lDiversitySql)),
     Op("etl_skew_audit", skewAudit, Some(skewAuditSql)),
-    Op("meta_freshness", freshness, Some(freshnessSql)))
+    Op("meta_freshness", freshness, Some(freshnessSql)),
+    Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)))
 }

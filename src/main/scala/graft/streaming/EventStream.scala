@@ -181,6 +181,30 @@ object EventStream {
       .select("user_id", "purchase_id", "purchase_ts", "signup_ts", "value")
   }
 
+  /** LEFT OUTER variant of [[purchaseAttribution]]: every purchase
+    * emits — matched rows carry their signup(s), unmatched rows are
+    * NULL-padded once the watermark proves no in-window signup can
+    * still arrive. The outer row is watermark-GATED output (Spark
+    * holds the unmatched purchase in state until the signup side's
+    * watermark passes its match window), which is exactly the
+    * semantics the inner-join gate cannot prove.
+    */
+  def purchaseAttributionOuter(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("user_id", "purchase_id", "purchase_ts", "signup_ts", "value")
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink (used by specs
     * and local smoke; production would use a parquet/Kafka sink).
     */

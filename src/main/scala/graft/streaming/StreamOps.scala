@@ -142,7 +142,24 @@ object StreamOps {
   //    emitted sessions on start time — a deterministic rename, the
   //    sessionization itself all happened in streaming state.
   // ---------------------------------------------------------------
-  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeOn(s, dir, rocksDb = false)
+
+  /** stream_sessionize_rocksdb — the SAME sessionizer pipeline and
+    * the SAME oracle, with the state store swapped to the RocksDB
+    * provider (+ changelog checkpointing): the at-scale backend
+    * SURVEY §4 claims, now hash-gated instead of spec-only. A
+    * provider that lost/duplicated state rows would move the session
+    * set and fail the oracle; matching hashes prove backend-
+    * independent state semantics. Provider is a session conf (no
+    * per-query override in Spark), so it is scoped set → run →
+    * restore exactly like the shuffle-partition override.
+    */
+  private def streamSessionizeRocksDb(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeOn(s, dir, rocksDb = true)
+
+  private def streamSessionizeOn(s: SparkSession, dir: String,
+      rocksDb: Boolean): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val src = graft.sources.SourceOps.tmpDir("graft_stream_sess_src")
@@ -167,8 +184,12 @@ object StreamOps {
     // stream_attribution: store init/checkpoint overhead dominates)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    if (rocksDb) EventStream.enableRocksDbState(s)
     try EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (rocksDb) EventStream.disableRocksDbState(s)
+    }
     val w = Window.partitionBy("user_id").orderBy("session_start")
     s.table(name)
       .withColumn("session_no", row_number().over(w).cast("bigint"))
@@ -231,6 +252,102 @@ object StreamOps {
         col("value"))
       .orderBy("user_id", "purchase_id", "signup_es")
   }
+
+  // ---------------------------------------------------------------
+  // stream_attribution_outer — STREAM-STREAM LEFT OUTER interval
+  // join through the hash gate: the null-padded-unmatched-side
+  // semantics stream_attribution's inner join cannot prove. An outer
+  // result is WATERMARK-GATED output — Spark may only emit an
+  // unmatched purchase once the signup watermark has passed its
+  // match window — so the staging drives three mtime-ordered
+  // micro-batches (the stream_watermark_late machinery):
+  //  - batch 1: the real signup/purchase events (second precision);
+  //  - batch 2: a far-future sentinel signup (max + 2 h, user -999 —
+  //    matches nothing, and as a RIGHT-side row can never emit in a
+  //    left outer join) that advances the watermark past every
+  //    purchase's match window at batch end;
+  //  - batch 3: a second sentinel, guaranteeing a batch RUNS with
+  //    the advanced watermark applied, which is when the expired
+  //    unmatched purchases flush as null-padded rows.
+  // The gate compares the FULL outer row set (matched rows identical
+  // to the inner gate; unmatched rows null-padded) against DuckDB's
+  // batch LEFT JOIN; signup_es is coalesced to -1 on both engines
+  // (integer compare, no cross-engine null-stringification risk) and
+  // is_attributed carries the null test explicitly.
+  // ---------------------------------------------------------------
+  private def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_attro_src")
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // one sentinel row PER SIDE: the global watermark is the MIN of
+    // both streams' watermarks (multipleWatermarkPolicy=min), so a
+    // signup-only sentinel leaves the purchase watermark at its last
+    // real row and the newest unmatched purchase never expires
+    // (observed: exactly one row short). The sentinel purchase is a
+    // LEFT-side row, so it could itself flush null-padded — the
+    // user_id filter below drops sentinels from the gated output.
+    def sentinel(id: Long, offsetSec: Long) = {
+      val ts = lit(new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L))
+      s.range(1).select(lit(id).as("event_id"), ts.as("ts"),
+          lit(-999L).as("user_id"), lit("signup").as("event_type"), lit(0.0).as("value"))
+        .unionByName(s.range(1).select(lit(id - 100L).as("event_id"), ts.as("ts"),
+          lit(-999L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value")))
+    }
+    def stampNewFiles(seen: Set[String], mtimeMs: Long): Set[String] = {
+      val dir0 = new java.io.File(src)
+      val parts = dir0.listFiles().filter(f => f.getName.startsWith("part-"))
+      parts.filterNot(f => seen.contains(f.getName))
+        .foreach(f => f.setLastModified(mtimeMs))
+      parts.map(_.getName).toSet
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    ev.repartition(1).write.mode("overwrite").parquet(src)
+    var seen = stampNewFiles(Set.empty, t0)
+    sentinel(-1L, 7200L).repartition(1).write.mode("append").parquet(src)
+    seen = stampNewFiles(seen, t0 + 10000)
+    // watermark advancement commits ONE PLANNING CYCLE after the
+    // batch that observed the max event time (the watermark_late
+    // lesson): without this middle sentinel the final batch still
+    // evicts against the batch-1 watermark and the newest unmatched
+    // purchase never flushes (observed: exactly one row short)
+    sentinel(-2L, 7300L).repartition(1).write.mode("append").parquet(src)
+    seen = stampNewFiles(seen, t0 + 20000)
+    sentinel(-3L, 7400L).repartition(1).write.mode("append").parquet(src)
+    stampNewFiles(seen, t0 + 30000)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_attro_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    def stream(eventType: String): DataFrame =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === eventType)
+    val joined = EventStream.purchaseAttributionOuter(stream("signup"), stream("purchase"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(joined, name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("user_id") =!= -999L)
+      .select(col("user_id"), col("purchase_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_es"),
+        coalesce(unix_timestamp(col("signup_ts")), lit(-1L)).as("signup_es"),
+        col("value"),
+        when(col("signup_ts").isNull, 0).otherwise(1).cast("int").as("is_attributed"))
+      .orderBy("user_id", "purchase_id", "signup_es")
+  }
+
+  private val streamAttributionOuterSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, event_type, value FROM events),
+      |s AS (SELECT user_id, es AS signup_es FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, event_id AS purchase_id, es AS purchase_es, value FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id AS user_id, p.purchase_id, p.purchase_es,
+      |  coalesce(s.signup_es, -1) AS signup_es, p.value,
+      |  CAST(CASE WHEN s.signup_es IS NULL THEN 0 ELSE 1 END AS INT) AS is_attributed
+      |FROM p LEFT JOIN s ON p.user_id = s.user_id
+      |  AND p.purchase_es >= s.signup_es AND p.purchase_es <= s.signup_es + 3600
+      |ORDER BY p.user_id, purchase_id, signup_es""".stripMargin
 
   private val streamAttributionSql =
     """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, event_type, value FROM events),
@@ -672,6 +789,8 @@ object StreamOps {
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Op("stream_sliding", streamSliding, Some(streamSlidingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
+    Op("stream_sessionize_rocksdb", streamSessionizeRocksDb, Some(streamSessionizeSql)),
     Op("stream_attribution", streamAttribution, Some(streamAttributionSql)),
+    Op("stream_attribution_outer", streamAttributionOuter, Some(streamAttributionOuterSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)))
 }

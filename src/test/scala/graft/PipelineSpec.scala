@@ -140,6 +140,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(blank.find(_.name == "logs_path").get.status == "MISSING")
   }
 
+  test("tunnel config validation: OK shape, and each broken field counts as invalid") {
+    val good = graft.meta.MetaStore.sampleTunnel
+    assert(graft.etl.Preflight.tunnelCheck(good, 9).status == "OK")
+    assert(graft.etl.Preflight.tunnelCheck(good, 9).nMissing == 0)
+    val broken = good.copy(sshHost = " ", sshPort = 0, keyPath = "",
+      remotePort = 70000)
+    val c = graft.etl.Preflight.tunnelCheck(broken, 9)
+    assert(c.status == "INVALID" && c.nMissing == 4)
+    // local bind colliding with the ssh port is its own rule
+    val collide = good.copy(localPort = good.sshPort)
+    assert(graft.etl.Preflight.tunnelCheck(collide, 9).nMissing == 1)
+    // the gated op carries the tunnel row
+    val run = graft.etl.Preflight.run(spark, sfDir, Nil, zones = graft.meta.MetaStore.sampleZones,
+      tunnel = Some(good))
+    assert(run.last.checkType == "tunnel_config" && run.last.status == "OK")
+  }
+
   test("rerunFailed keeps the FAILED row when the current catalog can't retry it") {
     val first = Pipeline.runStagingExtract(spark, sfDir, Seq(SampleCatalog.customer, broken))
     val rerun = Pipeline.rerunFailed(spark, sfDir, Seq(SampleCatalog.customer), first)
