@@ -64,7 +64,7 @@ object GraphOps {
     * dir (no snapshot ⇒ no safe memo) falls back to the inline
     * localCheckpoint staging — correct, never stale.
     */
-  private[ops] val PgBuckets = 32
+  private[graft] val PgBuckets = 32
   private val pgStageMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private val pgStageLatest =

@@ -24,7 +24,12 @@ object StreamOps2 {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private[graft] val Capacity = 256
+  // sized to the gate corpora with headroom (sf0.1 busiest hour: 166
+  // distinct users; the 10× scale corpus: 1660 — the exactness guard
+  // in guardedHeavyHitters turns an undersized capacity into a loud
+  // error, which is how 256 was caught at sf1), while staying a
+  // BOUNDED per-window state no matter the true cardinality
+  private[graft] val Capacity = 4096
   private val TopK = 3
 
   /** SpaceSaving state for one hour window: parallel user/count
@@ -49,18 +54,30 @@ object StreamOps2 {
       capacity: Int): HHState = {
     val users = scala.collection.mutable.ArrayBuffer(st.users.toSeq: _*)
     val counts = scala.collection.mutable.ArrayBuffer(st.counts.toSeq: _*)
+    // hash index makes the hot path O(1) per arrival (a linear
+    // indexOf scan is O(capacity) per event — measurable once
+    // capacity reaches thousands); eviction's min-slot scan stays
+    // O(capacity) but only runs on the over-cardinality path (a
+    // production sketch would pair the map with a min-heap)
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    users.indices.foreach(i => idx(users(i)) = i)
     var evicted = st.evicted
     for (u <- ids) {
-      val i = users.indexOf(u)
-      if (i >= 0) counts(i) += 1L
-      else if (users.length < capacity) { users += u; counts += 1L }
-      else { // SpaceSaving eviction: overwrite the min-count slot
-        var mi = 0
-        var j = 1
-        while (j < counts.length) { if (counts(j) < counts(mi)) mi = j; j += 1 }
-        users(mi) = u
-        counts(mi) += 1L
-        evicted = true
+      idx.get(u) match {
+        case Some(i) => counts(i) += 1L
+        case None if users.length < capacity =>
+          idx(u) = users.length
+          users += u
+          counts += 1L
+        case None => // SpaceSaving eviction: overwrite the min-count slot
+          var mi = 0
+          var j = 1
+          while (j < counts.length) { if (counts(j) < counts(mi)) mi = j; j += 1 }
+          idx.remove(users(mi))
+          idx(u) = mi
+          users(mi) = u
+          counts(mi) += 1L
+          evicted = true
       }
     }
     HHState(users.toArray, counts.toArray, evicted)

@@ -6,15 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** SpaceSaving sketch invariants for stream_heavy_hitters — in
   * particular the EVICTION path the exact gate corpus never takes
-  * (capacity 256 > gate cardinality): over-capacity streams must
+  * (gate capacity > gate cardinality): over-capacity streams must
   * still surface a dominant key, flag themselves inexact, and only
   * ever OVER-estimate (the SpaceSaving guarantee).
   */
 class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
 
-  private def sketch(rows: Seq[HourRow]) = {
+  private def sketch(rows: Seq[HourRow], capacity: Int = StreamOps2.Capacity) = {
     import spark.implicits._
-    StreamOps2.heavyHitters(rows.toDS()).collect().sortBy(r => (r.hour_epoch, r.rk))
+    StreamOps2.heavyHitters(rows.toDS(), capacity).collect()
+      .sortBy(r => (r.hour_epoch, r.rk))
   }
 
   test("below capacity the sketch is exact and flags it") {
@@ -32,7 +33,8 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     // 300 distinct one-hit users (> capacity 256) + one user with 500 hits
     val heavy = Seq.fill(500)(HourRow(2L, 999999L))
     val noise = (1 to 300).map(u => HourRow(2L, u.toLong))
-    val got = sketch(new scala.util.Random(42).shuffle(noise).toList ++ heavy :+ HourRow(2L, -1L))
+    val got = sketch(new scala.util.Random(42).shuffle(noise).toList ++ heavy :+ HourRow(2L, -1L),
+      capacity = 256)
     assert(got.forall(_.is_exact == 0), "eviction must clear the exact flag")
     assert(got.head.user_id == 999999L, "dominant key must survive eviction")
     assert(got.head.n_events >= 500L, "SpaceSaving counts are upper bounds")
