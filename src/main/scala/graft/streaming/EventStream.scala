@@ -248,13 +248,14 @@ object EventStream {
     * checkpoint exactly-once). Blocks until the query drains.
     */
   def runAvailableNow(df: DataFrame, name: String, outputMode: OutputMode,
-      checkpointDir: String): Unit = {
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val q = df.writeStream
       .format("memory").queryName(name).outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 
   /** One stateful operator's state-store footprint in one micro-batch

@@ -158,10 +158,12 @@ object StreamOps {
   private def streamSessionizeRocksDb(s: SparkSession, dir: String): DataFrame =
     streamSessionizeOn(s, dir, rocksDb = true)
 
-  private def streamSessionizeOn(s: SparkSession, dir: String,
-      rocksDb: Boolean): DataFrame = {
+  /** Stage + drain the sessionizer; returns the finished query (for
+    * state metrics) and the memory-sink table name.
+    */
+  private[streaming] def sessionizeDrain(s: SparkSession, dir: String,
+      rocksDb: Boolean): (org.apache.spark.sql.streaming.StreamingQuery, String) = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val src = graft.sources.SourceOps.tmpDir("graft_stream_sess_src")
     val ev = Tables.events(s, dir)
       .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"),
@@ -185,11 +187,19 @@ object StreamOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     if (rocksDb) EventStream.enableRocksDbState(s)
-    try EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      if (rocksDb) EventStream.disableRocksDbState(s)
-    }
+    val q =
+      try EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        if (rocksDb) EventStream.disableRocksDbState(s)
+      }
+    (q, name)
+  }
+
+  private def streamSessionizeOn(s: SparkSession, dir: String,
+      rocksDb: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, name) = sessionizeDrain(s, dir, rocksDb)
     val w = Window.partitionBy("user_id").orderBy("session_start")
     s.table(name)
       .withColumn("session_no", row_number().over(w).cast("bigint"))
@@ -197,6 +207,44 @@ object StreamOps {
         col("n_events"), (col("sum_value") / lit(100.0)).as("sum_value"))
       .orderBy("user_id", "session_no")
   }
+
+  // ---------------------------------------------------------------
+  // stream_state_metrics — STATE BOUNDEDNESS AS GATED DATA: the
+  // number a production streaming job lives or dies by is its state
+  // store's live row count (unbounded state = the job that OOMs or
+  // fills SSD three weeks in — SURVEY §4's alerting claim). This op
+  // drains the sessionizer and gates its
+  // StreamingQueryProgress.stateOperators numbers against the batch
+  // world: live state keys must equal live entities EXACTLY — one
+  // open session per distinct user (the sentinel session each user
+  // keeps after close-out) — in the data batch, at the end, and at
+  // the MAX across every micro-batch (so a leak in ANY batch fails,
+  // not just the last), with zero removals on this corpus.
+  // memoryBytes is provider-dependent and deliberately excluded.
+  // ---------------------------------------------------------------
+  private def streamStateMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (q, _) = sessionizeDrain(s, dir, rocksDb = false)
+    val m = EventStream.stateMetrics(q)
+    require(m.nonEmpty, "drained query reported no state operators")
+    val b0 = m.filter(_.batchId == 0L)
+    val finalTotal = m.maxBy(_.batchId).rowsTotal
+    val maxTotal = m.map(_.rowsTotal).max
+    b0.map(x => (x.operator, x.rowsTotal, x.rowsUpdated, x.rowsRemoved,
+        finalTotal, maxTotal))
+      .toDF("operator", "rows_total_b0", "rows_updated_b0", "rows_removed_b0",
+        "final_rows_total", "max_rows_total")
+      .orderBy("operator")
+  }
+
+  private val streamStateMetricsSql =
+    """SELECT 'flatMapGroupsWithState' AS operator,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS rows_total_b0,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS rows_updated_b0,
+      |  CAST(0 AS BIGINT) AS rows_removed_b0,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS final_rows_total,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS max_rows_total
+      |FROM events""".stripMargin
 
   private val streamSessionizeSql =
     """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es, value FROM events),
@@ -790,6 +838,7 @@ object StreamOps {
     Op("stream_sliding", streamSliding, Some(streamSlidingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Op("stream_sessionize_rocksdb", streamSessionizeRocksDb, Some(streamSessionizeSql)),
+    Op("stream_state_metrics", streamStateMetrics, Some(streamStateMetricsSql)),
     Op("stream_attribution", streamAttribution, Some(streamAttributionSql)),
     Op("stream_attribution_outer", streamAttributionOuter, Some(streamAttributionOuterSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)))

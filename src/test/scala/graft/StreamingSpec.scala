@@ -190,6 +190,93 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       Seq("user_id", "purchase_id", "purchase_ts", "signup_ts"), "left_anti").count() == 0)
   }
 
+  test("LEFT OUTER interval join state survives a checkpointed restart (exactly-once outer emission)") {
+    // run 1 sees only the real events: matched rows emit, outer rows
+    // flush for everything older than the post-run watermark, and
+    // purchases NEWER than it are HELD IN STATE; the query then
+    // stops. The sentinel files land, run 2 resumes FROM THE
+    // CHECKPOINT and must flush exactly the held purchases as
+    // null-padded rows — no loss (state recovered), no duplicates
+    // (offsets recovered). A synthetic unmatched purchase AT the
+    // stream max (user -777, no signups) is guaranteed held across
+    // the restart, so the state-recovery path provably executes.
+    val src = Files.createTempDirectory("graft_outer_resume_src").toString
+    val ckpt = Files.createTempDirectory("graft_outer_resume_ckpt").toString
+    val ev0 = spark.read.parquet(eventsDir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), expr("timestamp_seconds(CAST(unix_timestamp(ts) AS BIGINT))").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTs = ev0.agg(max(col("ts"))).head().getTimestamp(0)
+    val ev = ev0.unionByName(spark.range(1).select(
+      lit(-50L).as("event_id"), lit(maxTs).as("ts"), lit(-777L).as("user_id"),
+      lit("purchase").as("event_type"), lit(0.0).as("value")))
+    def stampNew(seen: Set[String], mtime: Long): Set[String] = {
+      val fs = new java.io.File(src).listFiles().filter(_.getName.startsWith("part-"))
+      fs.filterNot(f => seen.contains(f.getName)).foreach(_.setLastModified(mtime))
+      fs.map(_.getName).toSet
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    ev.repartition(1).write.mode("overwrite").parquet(src)
+    var seen = stampNew(Set.empty, t0)
+    val schema = spark.read.parquet(src).schema
+    def joined() = {
+      def s(t: String) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === t)
+      EventStream.purchaseAttributionOuter(s("signup"), s("purchase"))
+    }
+    // memory sinks cannot recover a checkpoint — the restart story
+    // needs the fault-tolerant file sink (same as stream_file_sink)
+    val out = Files.createTempDirectory("graft_outer_resume_out").toString
+    def runToParquet(): Unit = {
+      val q = joined().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runToParquet()
+    val run1 = spark.read.parquet(out).collect()
+    assert(run1.nonEmpty)
+    assert(!run1.exists(_.getAs[Long]("user_id") == -777L),
+      "the at-watermark purchase must still be held in state when run 1 stops")
+    // sentinels arrive (both sides — the global watermark is a min)
+    def sentinel(id: Long, off: Long) = {
+      val ts = lit(new java.sql.Timestamp(maxTs.getTime + off * 1000L))
+      spark.range(1).select(lit(id).as("event_id"), ts.as("ts"), lit(-999L).as("user_id"),
+          lit("signup").as("event_type"), lit(0.0).as("value"))
+        .unionByName(spark.range(1).select(lit(id - 100L).as("event_id"), ts.as("ts"),
+          lit(-999L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value")))
+    }
+    for ((off, i) <- Seq(7200L, 7300L, 7400L).zipWithIndex) {
+      sentinel(-1L - i, off).repartition(1).write.mode("append").parquet(src)
+      seen = stampNew(seen, t0 + (i + 1) * 10000)
+    }
+    runToParquet()
+    val all = spark.read.parquet(out).filter(col("user_id") =!= -999L).collect()
+    val run1Keys = run1.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+      Option(r.getAs[java.sql.Timestamp]("signup_ts")))).toSet
+    val run2 = all.filterNot(r => run1Keys.contains((r.getAs[Long]("user_id"),
+      r.getAs[Long]("purchase_id"), Option(r.getAs[java.sql.Timestamp]("signup_ts")))))
+    assert(run2.forall(_.getAs[java.sql.Timestamp]("signup_ts") == null),
+      "run 2 may only flush held UNMATCHED purchases (all matches emitted in run 1)")
+    assert(run2.exists(_.getAs[Long]("user_id") == -777L),
+      "the held purchase must flush null-padded after the restart — state recovered")
+    // union == batch LEFT JOIN truth: nothing lost, nothing doubled
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val st = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    val wantRows = p.join(st,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer").count()
+    assert(all.length == wantRows,
+      s"run1=${run1.length} + run2=${run2.length} != batch outer join $wantRows")
+  }
+
   test("watermark visibility lags one planning cycle: immediate replay LEAKS, post-commit replay drops") {
     // Encodes the measurement behind stream_watermark_late's 3-file
     // staging: a replay in the batch RIGHT AFTER the watermark-
