@@ -193,7 +193,7 @@ object Dedup {
   private val cellStageLatest =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  private def deleteDirQuietly(path: String): Unit = {
+  private[ops] def deleteDirQuietly(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)

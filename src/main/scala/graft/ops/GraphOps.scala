@@ -101,9 +101,24 @@ object GraphOps {
       case Some(h) =>
         val key = s"$dir@$h"
         val (et, ot, _) = pgStageLock.synchronized {
+          // resetStage has no session: it queues its table names here
+          // and the next staged access (this one) drops them, so dead
+          // catalog entries pointing at deleted dirs never accumulate
+          var pending = pgPendingDrop.poll()
+          while (pending != null) {
+            try s.sql(s"DROP TABLE IF EXISTS $pending")
+            catch { case _: Exception => () }
+            pending = pgPendingDrop.poll()
+          }
           Option(pgStageMemo.get(key))
             .filter(t => s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2))
             .getOrElse {
+              // a memo entry whose tables vanished (dropped externally
+              // or a different session) still owns a backing dir —
+              // reclaim it before rebuilding into a fresh one
+              Option(pgStageMemo.remove(key)).foreach { case (_, _, p) =>
+                deleteDirQuietly(p)
+              }
               // a rewritten corpus supersedes this dir's previous stage
               Option(pgStageLatest.get(dir)).filterNot(_ == key)
                 .flatMap(old => Option(pgStageMemo.remove(old)))
@@ -136,26 +151,24 @@ object GraphOps {
         (s.table(et), s.table(ot))
     }
 
-  private def deleteDirQuietly(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p =>
-          try Files.deleteIfExists(p) catch { case _: Exception => () })
-      finally walk.close()
-    }
-  }
+  private def deleteDirQuietly(path: String): Unit = Dedup.deleteDirQuietly(path)
 
-  /** Drop staged purchase-graph tables and dirs (Bench's explicit
-    * staging phase re-times the build; stale catalog entries are
-    * dropped by the next restage).
+  private val pgPendingDrop =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Drop staged purchase-graph dirs and queue the catalog-table
+    * drops (Bench's explicit staging phase re-times the build). No
+    * SparkSession is available here, so the table names go on
+    * [[pgPendingDrop]] and the next [[purchaseGraph]] call — which
+    * has one — executes the DROPs before serving anything.
     */
   private[ops] def resetStage(): Unit = {
     import scala.jdk.CollectionConverters._
-    pgStageMemo.values.asScala.foreach { case (_, _, p) => deleteDirQuietly(p) }
+    pgStageMemo.values.asScala.foreach { case (e, o, p) =>
+      pgPendingDrop.add(e)
+      pgPendingDrop.add(o)
+      deleteDirQuietly(p)
+    }
     pgStageMemo.clear()
     pgStageLatest.clear()
   }

@@ -222,23 +222,38 @@ object EventStream {
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  private val StateStoreConfKeys = Seq(
+    "spark.sql.streaming.stateStore.providerClass",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+
   /** Session-level conf enabling RocksDB state + changelog
     * checkpointing (call once before starting stateful queries; per-
     * query override is not supported by Spark — the provider is a
-    * session conf by design).
+    * session conf by design). Returns the PRIOR values of the confs
+    * it touches — pass them to [[restoreStateStoreConf]] rather than
+    * unsetting: a deployment that configured its provider in
+    * spark-defaults must get that provider back, not the default
+    * (an unset would silently flip every later checkpointed stateful
+    * query to the heap store).
     */
-  def enableRocksDbState(spark: SparkSession): Unit = {
+  def enableRocksDbState(spark: SparkSession): Map[String, Option[String]] = {
+    val prior = StateStoreConfKeys.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     // checkpoint deltas instead of full SST uploads per batch
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    prior
   }
 
-  def disableRocksDbState(spark: SparkSession): Unit = {
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.unset(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-  }
+  /** Put the state-store confs back exactly as [[enableRocksDbState]]
+    * found them (set-or-unset per key).
+    */
+  def restoreStateStoreConf(spark: SparkSession,
+      prior: Map[String, Option[String]]): Unit =
+    prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
 
   /** Run a streaming query with Trigger.AvailableNow against a real
     * checkpoint: process EVERYTHING currently in the source across as

@@ -22,6 +22,22 @@ object StreamOps {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** FileStreamSource orders files by (mtime, path); stamp each staged
+    * batch's newly-written part files with an explicit increasing
+    * mtime so multi-file staging forms deterministic micro-batches
+    * without sleeping between writes. LOAD-BEARING for the watermark
+    * choreography of the late-drop and outer-join gates (and their
+    * specs) — keep the one copy.
+    */
+  private[graft] def stampNewFiles(dir: String, seen: Set[String],
+      mtimeMs: Long): Set[String] = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    parts.filterNot(f => seen.contains(f.getName))
+      .foreach(_.setLastModified(mtimeMs))
+    parts.map(_.getName).toSet
+  }
+
   /** PRODUCTION entry point: stream a real landing directory (any
     * parquet dir whose rows carry `ts` TIMESTAMP, `event_type`,
     * `value`) through the watermarked tumbling aggregate — no corpus
@@ -186,12 +202,13 @@ object StreamOps {
     // stream_attribution: store init/checkpoint overhead dominates)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    if (rocksDb) EventStream.enableRocksDbState(s)
+    val priorState =
+      if (rocksDb) Some(EventStream.enableRocksDbState(s)) else None
     val q =
       try EventStream.runAvailableNow(sessions.toDF(), name, OutputMode.Append(), ckpt)
       finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        if (rocksDb) EventStream.disableRocksDbState(s)
+        priorState.foreach(EventStream.restoreStateStoreConf(s, _))
       }
     (q, name)
   }
@@ -344,27 +361,20 @@ object StreamOps {
         .unionByName(s.range(1).select(lit(id - 100L).as("event_id"), ts.as("ts"),
           lit(-999L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value")))
     }
-    def stampNewFiles(seen: Set[String], mtimeMs: Long): Set[String] = {
-      val dir0 = new java.io.File(src)
-      val parts = dir0.listFiles().filter(f => f.getName.startsWith("part-"))
-      parts.filterNot(f => seen.contains(f.getName))
-        .foreach(f => f.setLastModified(mtimeMs))
-      parts.map(_.getName).toSet
-    }
     val t0 = System.currentTimeMillis() - 60000
     ev.repartition(1).write.mode("overwrite").parquet(src)
-    var seen = stampNewFiles(Set.empty, t0)
+    var seen = stampNewFiles(src, Set.empty, t0)
     sentinel(-1L, 7200L).repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(seen, t0 + 10000)
+    seen = stampNewFiles(src, seen, t0 + 10000)
     // watermark advancement commits ONE PLANNING CYCLE after the
     // batch that observed the max event time (the watermark_late
     // lesson): without this middle sentinel the final batch still
     // evicts against the batch-1 watermark and the newest unmatched
     // purchase never flushes (observed: exactly one row short)
     sentinel(-2L, 7300L).repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(seen, t0 + 20000)
+    seen = stampNewFiles(src, seen, t0 + 20000)
     sentinel(-3L, 7400L).repartition(1).write.mode("append").parquet(src)
-    stampNewFiles(seen, t0 + 30000)
+    stampNewFiles(src, seen, t0 + 30000)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_attro_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -723,19 +733,9 @@ object StreamOps {
     val sentinel = s.range(1).select(lit(-1L).as("event_id"),
       lit(new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)).as("ts"),
       lit("sentinel").as("event_type"), lit(0.0).as("value"))
-    // FileStreamSource orders files by (mtime, path); set mtimes
-    // EXPLICITLY after each write so the three files form three
-    // deterministic micro-batches without sleeping between writes
-    def stampNewFiles(seen: Set[String], mtimeMs: Long): Set[String] = {
-      val dir0 = new java.io.File(src)
-      val parts = dir0.listFiles().filter(f => f.getName.startsWith("part-"))
-      parts.filterNot(f => seen.contains(f.getName))
-        .foreach(f => f.setLastModified(mtimeMs))
-      parts.map(_.getName).toSet
-    }
     val t0 = System.currentTimeMillis() - 60000
     ev.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(src)
-    var seen = stampNewFiles(Set.empty, t0)
+    var seen = stampNewFiles(src, Set.empty, t0)
     // middle batch: watermark advancement COMMITS one planning cycle
     // after the batch that observed the max event time — a batch must
     // pass between the sentinel and the replay, or the replay is
@@ -745,11 +745,11 @@ object StreamOps {
         lit(new java.sql.Timestamp(maxTs.getTime + 7300 * 1000L)).as("ts"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"))
       .repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(seen, t0 + 10000)
+    seen = stampNewFiles(src, seen, t0 + 10000)
     ev.select((col("event_id") + 1000000000L).as("event_id"), col("ts"),
         col("event_type"), col("value"))
       .repartition(1).write.mode("append").parquet(src)
-    stampNewFiles(seen, t0 + 20000)
+    stampNewFiles(src, seen, t0 + 20000)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")

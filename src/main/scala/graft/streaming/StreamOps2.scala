@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exact oracle into an apples-to-oranges hash mismatch. At 100 TB
   * cardinality the sketch degrades to its classic ε = 1/C count-error
   * guarantee; that eviction path is driven through the SAME streaming
-  * pipeline by HeavyHittersSpec at a reduced capacity.
+  * pipeline by HeavyHittersSpec at a reduced capacity (2).
   */
 object StreamOps2 {
 
@@ -129,7 +129,7 @@ object StreamOps2 {
   // fires at gate cardinality, and streamHeavyHitters REQUIRES that
   // (is_exact=0 anywhere ⇒ loud failure, never an opaque hash
   // mismatch). The eviction path itself is exercised by
-  // HeavyHittersSpec through this same pipeline at capacity 8.
+  // HeavyHittersSpec through this same pipeline at capacity 2.
   // ---------------------------------------------------------------
   private[graft] def streamHeavyHittersAt(s: SparkSession, dir: String,
       capacity: Int): DataFrame = {

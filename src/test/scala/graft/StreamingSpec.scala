@@ -26,7 +26,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   test("RocksDB state store + AvailableNow: stateful agg matches batch, resumes exactly-once") {
     val schema = spark.read.parquet(eventsDir).schema
     val ckpt = Files.createTempDirectory("graft_rocksdb_ckpt").toString
-    EventStream.enableRocksDbState(spark)
+    val priorState = EventStream.enableRocksDbState(spark)
     try {
       val stream = spark.readStream.schema(schema).parquet(eventsDir)
       EventStream.runAvailableNow(
@@ -47,7 +47,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       EventStream.runAvailableNow(
         EventStream.tumblingCounts(again), "rocksdb_test2", OutputMode.Complete(), ckpt)
       assert(spark.table("rocksdb_test2").count() == 0)
-    } finally EventStream.disableRocksDbState(spark)
+    } finally EventStream.restoreStateStoreConf(spark, priorState)
   }
 
   test("streaming tumbling window agg matches batch") {
@@ -121,7 +121,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
 
   test("state-store instrumentation: sessionizer state stays bounded by live users") {
     val schema = spark.read.parquet(eventsDir).schema
-    EventStream.enableRocksDbState(spark)
+    val priorState = EventStream.enableRocksDbState(spark)
     try {
       // multi-file source (time-ordered files) + single-file trigger so
       // state evolves across several micro-batches
@@ -147,7 +147,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         s"sessionizer state $peak exceeds user population $users")
       // RocksDB reports resident state bytes — the instrumentation is live
       assert(m.exists(_.memoryBytes > 0))
-    } finally EventStream.disableRocksDbState(spark)
+    } finally EventStream.restoreStateStoreConf(spark, priorState)
   }
 
   test("watermarked stream dedup collapses replayed events exactly") {
@@ -210,14 +210,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val ev = ev0.unionByName(spark.range(1).select(
       lit(-50L).as("event_id"), lit(maxTs).as("ts"), lit(-777L).as("user_id"),
       lit("purchase").as("event_type"), lit(0.0).as("value")))
-    def stampNew(seen: Set[String], mtime: Long): Set[String] = {
-      val fs = new java.io.File(src).listFiles().filter(_.getName.startsWith("part-"))
-      fs.filterNot(f => seen.contains(f.getName)).foreach(_.setLastModified(mtime))
-      fs.map(_.getName).toSet
-    }
     val t0 = System.currentTimeMillis() - 60000
     ev.repartition(1).write.mode("overwrite").parquet(src)
-    var seen = stampNew(Set.empty, t0)
+    var seen = graft.streaming.StreamOps.stampNewFiles(src, Set.empty, t0)
     val schema = spark.read.parquet(src).schema
     def joined() = {
       def s(t: String) = spark.readStream.schema(schema)
@@ -251,7 +246,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
     for ((off, i) <- Seq(7200L, 7300L, 7400L).zipWithIndex) {
       sentinel(-1L - i, off).repartition(1).write.mode("append").parquet(src)
-      seen = stampNew(seen, t0 + (i + 1) * 10000)
+      seen = graft.streaming.StreamOps.stampNewFiles(src, seen, t0 + (i + 1) * 10000)
     }
     runToParquet()
     val all = spark.read.parquet(out).filter(col("user_id") =!= -999L).collect()
