@@ -438,7 +438,91 @@ object EtlOps3 {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // meta_dag_critical_path — the reference DAG's BARRIER STRUCTURE
+  // as an analyzable relation (ref: dag/SMFG_DW_ETL_DAG.py: INIT →
+  // per-table extract tasks fanned out under a concurrency pool →
+  // complete_extraction barrier → whole-batch TRANSFORMATION →
+  // LOAD). Scheduling CLOCKS are out of library scope (README), but
+  // the dependency analysis a capacity planner runs over that DAG is
+  // not: per-task cost estimates derived from the DATA (row counts —
+  // the same statistic the reference chunks by), barrier-aware
+  // earliest-start times, per-task SLACK inside the extract fan-out
+  // (how much a table could slow before it moves the barrier), and
+  // the critical path. The answer a platform team reads off this
+  // relation: which table's extract gates the batch window.
+  //
+  // Exact integer cost model, same in both engines: extract(t) =
+  // rows(t); transform = Σrows DIV 2; load = Σrows DIV 4; init =
+  // #active tables (config-sized constant). earliest_start(EXTRACT)
+  // = d_init for every table (parallel fan-out); the barrier makes
+  // earliest_start(TRANSFORM) = d_init + max_t rows(t).
+  //
+  // Plan shape: one stats-only count per configured table (4 1-row
+  // aggregates), unioned config-sized algebra — metadata-cheap at
+  // any SF; the relation size is #tables + 3, never data-sized.
+  // ---------------------------------------------------------------
+  private def dagCriticalPath(s: SparkSession, dir: String): DataFrame = {
+    val specs = graft.meta.SampleCatalog.all
+    val rc = specs.map { spec =>
+      Tables.load(s, dir, spec.table.tableName)
+        .agg(lit(spec.table.tableName).as("table_name"),
+          count(lit(1)).as("n_rows"))
+    }.reduce(_ unionByName _)
+    val tot = rc.agg(sum(col("n_rows")).as("total_rows"),
+      max(col("n_rows")).as("max_rows"), count(lit(1)).as("n_tables"))
+    val x = rc.crossJoin(broadcast(tot))
+    val init = tot.select(lit("INIT").as("node"), lit("-").as("table_name"),
+      lit(0).cast("int").as("depth"), col("n_tables").as("duration_units"),
+      lit(0L).as("earliest_start"), lit(0L).as("slack_units"),
+      lit(1).cast("int").as("is_critical"))
+    val extracts = x.select(lit("EXTRACT").as("node"), col("table_name"),
+      lit(1).cast("int").as("depth"), col("n_rows").as("duration_units"),
+      col("n_tables").cast("bigint").as("earliest_start"),
+      (col("max_rows") - col("n_rows")).as("slack_units"),
+      when(col("n_rows") === col("max_rows"), 1).otherwise(0).cast("int").as("is_critical"))
+    val transform = tot.select(lit("TRANSFORM").as("node"), lit("-").as("table_name"),
+      lit(2).cast("int").as("depth"),
+      expr("total_rows DIV 2").as("duration_units"),
+      (col("n_tables") + col("max_rows")).cast("bigint").as("earliest_start"),
+      lit(0L).as("slack_units"), lit(1).cast("int").as("is_critical"))
+    val load = tot.select(lit("LOAD").as("node"), lit("-").as("table_name"),
+      lit(3).cast("int").as("depth"),
+      expr("total_rows DIV 4").as("duration_units"),
+      (col("n_tables") + col("max_rows") + expr("total_rows DIV 2"))
+        .cast("bigint").as("earliest_start"),
+      lit(0L).as("slack_units"), lit(1).cast("int").as("is_critical"))
+    init.unionByName(extracts).unionByName(transform).unionByName(load)
+      .orderBy("depth", "table_name")
+  }
+
+  private val dagCriticalPathSql =
+    """WITH rc AS (
+      |  SELECT 'lineitem' AS table_name, count(*) AS n_rows FROM lineitem
+      |  UNION ALL SELECT 'orders', count(*) FROM orders
+      |  UNION ALL SELECT 'customer', count(*) FROM customer
+      |  UNION ALL SELECT 'part', count(*) FROM part),
+      |tot AS (SELECT sum(n_rows) AS total_rows, max(n_rows) AS max_rows,
+      |  count(*) AS n_tables FROM rc)
+      |SELECT 'INIT' AS node, '-' AS table_name, CAST(0 AS INT) AS depth,
+      |  CAST(n_tables AS BIGINT) AS duration_units, CAST(0 AS BIGINT) AS earliest_start,
+      |  CAST(0 AS BIGINT) AS slack_units, CAST(1 AS INT) AS is_critical
+      |FROM tot
+      |UNION ALL
+      |SELECT 'EXTRACT', rc.table_name, 1, CAST(rc.n_rows AS BIGINT),
+      |  CAST(t.n_tables AS BIGINT), CAST(t.max_rows - rc.n_rows AS BIGINT),
+      |  CAST(CASE WHEN rc.n_rows = t.max_rows THEN 1 ELSE 0 END AS INT)
+      |FROM rc CROSS JOIN tot t
+      |UNION ALL
+      |SELECT 'TRANSFORM', '-', 2, CAST(total_rows // 2 AS BIGINT),
+      |  CAST(n_tables + max_rows AS BIGINT), 0, 1 FROM tot
+      |UNION ALL
+      |SELECT 'LOAD', '-', 3, CAST(total_rows // 4 AS BIGINT),
+      |  CAST(n_tables + max_rows + total_rows // 2 AS BIGINT), 0, 1 FROM tot
+      |ORDER BY depth, table_name""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("meta_dag_critical_path", dagCriticalPath, Some(dagCriticalPathSql)),
     Op("etl_entity_resolution", entityResolution, Some(entityResolutionSql)),
     Op("etl_compaction", compaction, Some(compactionSql)),
     Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)),
