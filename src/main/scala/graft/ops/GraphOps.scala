@@ -251,8 +251,12 @@ object GraphOps {
       // new one, so the residual is a map-side scan of the round's
       // OWN checkpoint blocks — not a second |V|-join job per round
       // (at sf1 the separate residual job was ~half the op's cost:
-      // 36 rounds × one extra skinny-join stage each)
-      val (next, ids) = Rounds.checkpoint(edges
+      // 36 rounds × one extra skinny-join stage each). The checkpoint
+      // is LAZY: the residual action below materializes the blocks,
+      // so each round is ONE job, not a checkpoint job + an agg job
+      // (scheduler work only — wall-clock is exchange-bound at sf0.1,
+      // measured no change; the freeing contract is in Rounds).
+      val (next, ids) = Rounds.checkpoint(eager = false, df = edges
         .join(mass.withColumnRenamed("v", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))

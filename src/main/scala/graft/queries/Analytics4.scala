@@ -117,36 +117,88 @@ object Analytics4 {
       |ORDER BY depth""".stripMargin
 
   // ---------------------------------------------------------------
-  // geo_cell_join — spatial proximity join via GRID-CELL BUCKETING
-  // (the geohash-class technique: a radius join compiles to an
-  // equality join on cell ids, never an all-pairs distance filter).
-  // Positions are deterministic md5-derived integer microdegrees on
-  // a 10°×10° region (the corpus has no geo columns; the synthesized
-  // ones are engine-portable like every other md5-derived value
-  // here). One side explodes to its 3×3 neighbor cells, the other
-  // stays in its own cell — every qualifying pair meets in EXACTLY
-  // one cell (the right point's own), so no distinct is needed; the
-  // residual predicate is an exact integer squared-distance test at
-  // radius 0.5° (flat-grid metric, the honest small-cell
-  // approximation). At 100 TB this is the standard spatial-join
-  // plan: cells partition the shuffle, the 9× fan-out is bounded,
-  // and skewed cells fall to AQE like any hot join key.
+  // geo_cell_join — spatial proximity join via DENSITY-ADAPTIVE
+  // GRID-CELL BUCKETING (the geohash-class technique: a radius join
+  // compiles to an equality join on cell ids, never an all-pairs
+  // distance filter). Positions are deterministic md5-derived
+  // integer microdegrees on a 10°×10° region (the corpus has no geo
+  // columns; the synthesized ones are engine-portable like every
+  // other md5-derived value here). One side explodes to its 3×3
+  // neighbor cells, the other stays in its own cell — every
+  // qualifying pair meets in EXACTLY one cell (the right point's
+  // own), so no distinct is needed; the residual predicate is an
+  // exact integer squared-distance test (flat-grid metric, the
+  // honest small-cell approximation).
+  //
+  // Scale shape: a FIXED radius over a fixed region is quadratic in
+  // the point count — 10× points ⇒ ~100× true radius pairs, no plan
+  // can beat its own output (this op's measured 11× slope in
+  // SCALING_r09 before this change). The honest contract is a
+  // PAIR BUDGET: r² = GeoPairBudget / N, so the expected neighbor
+  // count per point (π·r²·N/area) is a CONSTANT (~11.8) and output,
+  // join work, and shuffle all stay LINEAR in N. The grid tracks the
+  // radius: cell = the smallest power of two ≥ r, chosen by an
+  // integer CASE ladder on N (N ≥ ceil(budget/4^p) ⇔ 2^p ≥ r) —
+  // zero floating point anywhere, so both engines pick bit-identical
+  // cells and radii. The 3×3 cover stays complete because cell ≥ r.
+  // Cell occupancy is bounded by 4·budget/area ≈ 15 points whatever
+  // N is: at 100 TB the cells partition the shuffle at constant
+  // per-cell work, and skewed cells fall to AQE like any hot key.
+  // The budget anchors r to 0.5° at N = 1500 (the sf0.01 gate).
   // ---------------------------------------------------------------
-  private val GeoRadiusMicro = 500000L // 0.5 degrees in microdegrees
+  private[graft] val GeoPairBudget = 375000000000000L // r²·N: 0.5° at N=1500
+
+  /** Ladder branches as data, in CASE evaluation order: (nMin, cell).
+    * Shared by the SQL text and the pure reference [[geoCellFor]] so
+    * the property suite tests the SAME branch list the ops run.
+    */
+  private[graft] val geoLadderBranches: Seq[(Long, Long)] =
+    (6 to 23).map { p =>
+      val cell = 1L << p
+      ((GeoPairBudget + cell * cell - 1) / (cell * cell), cell)
+    }
+
+  /** Pure-Scala semantics of [[geoCellLadder]]: first true branch. */
+  private[graft] def geoCellFor(n: Long): Long =
+    geoLadderBranches.collectFirst { case (nMin, c) if n >= nMin => c }
+      .getOrElse(1L << 24)
+
+  /** Smallest power-of-two cell ≥ the adaptive radius, as a CASE
+    * ladder on the point count `n` — the SAME text is valid Spark
+    * and DuckDB SQL (thresholds are ceil(GeoPairBudget / 4^p),
+    * integer-exact; plain integer literals, no suffixes). Branch
+    * order matters: CASE takes the FIRST true branch, so the
+    * TIGHTEST condition (largest n threshold ⇒ smallest cell) must
+    * come first — the loosest-first ordering silently degrades every
+    * corpus to one giant cell and the join to a quadratic
+    * (correctness survives, the plan does not; pinned by
+    * GeoLadderProps' minimality property).
+    */
+  private[graft] val geoCellLadder: String = {
+    val branches = geoLadderBranches.map { case (nMin, cell) =>
+      s"WHEN n >= $nMin THEN $cell"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE ${1L << 24} END"
+  }
 
   private def geoCellJoin(s: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.load(s, dir, "customer").select(
+    val raw = Tables.load(s, dir, "customer").select(
       col("c_custkey").as("key"),
       expr("CAST(conv(substr(md5(concat('lat', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 10000000")
         .as("lat"),
       expr("CAST(conv(substr(md5(concat('lon', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 10000000")
         .as("lon"))
-      .withColumn("cla", expr("lat DIV 1000000"))
-      .withColumn("clo", expr("lon DIV 1000000"))
+    val pts = raw
+      .crossJoin(broadcast(raw.agg(count(lit(1)).as("n"))))
+      .withColumn("r2", expr(s"$GeoPairBudget DIV n"))
+      .withColumn("cell", expr(geoCellLadder))
+      .withColumn("cla", expr("lat DIV cell"))
+      .withColumn("clo", expr("lon DIV cell"))
     val probe = pts
       .withColumn("di", explode(expr("sequence(-1, 1)")))
       .withColumn("dj", explode(expr("sequence(-1, 1)")))
       .select(col("key").as("a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+        col("r2"),
         (col("cla") + col("di")).as("jcla"), (col("clo") + col("dj")).as("jclo"))
     probe.join(pts.select(col("key").as("b"), col("lat").as("lat_b"),
         col("lon").as("lon_b"), col("cla").as("jcla"), col("clo").as("jclo")),
@@ -155,20 +207,23 @@ object Analytics4 {
       .withColumn("dist2",
         (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b"))
           + (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
-      .filter(col("dist2") <= GeoRadiusMicro * GeoRadiusMicro)
+      .filter(col("dist2") <= col("r2"))
       .select(col("a"), col("b"), col("dist2"))
       .orderBy("a", "b")
   }
 
   private val geoCellJoinSql =
-    s"""WITH pts AS (
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+      |pts AS (
       |  SELECT c_custkey AS key,
       |    (('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 AS lat,
-      |    (('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 AS lon
-      |  FROM customer),
-      |c AS (SELECT *, lat // 1000000 AS cla, lon // 1000000 AS clo FROM pts),
+      |    (('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 10000000 AS lon,
+      |    $GeoPairBudget // n AS r2,
+      |    $geoCellLadder AS cell
+      |  FROM customer CROSS JOIN nn),
+      |c AS (SELECT *, lat // cell AS cla, lon // cell AS clo FROM pts),
       |probe AS (
-      |  SELECT key AS a, lat AS lat_a, lon AS lon_a,
+      |  SELECT key AS a, lat AS lat_a, lon AS lon_a, r2,
       |    cla + di.x AS jcla, clo + dj.x AS jclo
       |  FROM c, range(-1, 2) di(x), range(-1, 2) dj(x))
       |SELECT p.a, q.key AS b,
@@ -176,7 +231,7 @@ object Analytics4 {
       |FROM probe p JOIN c q ON p.jcla = q.cla AND p.jclo = q.clo
       |WHERE p.a < q.key
       |  AND (p.lat_a - q.lat) * (p.lat_a - q.lat) + (p.lon_a - q.lon) * (p.lon_a - q.lon)
-      |      <= ${GeoRadiusMicro * GeoRadiusMicro}
+      |      <= p.r2
       |ORDER BY a, b""".stripMargin
 
 

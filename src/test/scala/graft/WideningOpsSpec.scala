@@ -88,12 +88,30 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     }
     val pts = Tables.load(spark, sfDir, "customer").select("c_custkey").collect()
       .map(_.getLong(0)).map(k => (k, h("lat", k), h("lon", k)))
-    val r2 = 500000L * 500000L
+    // density-adaptive radius: r² = budget / N (the op's pair-budget contract)
+    val r2 = 375000000000000L / pts.length
     val brute = (for {
       (ka, la, oa) <- pts; (kb, lb, ob) <- pts
       if ka < kb && (la - lb) * (la - lb) + (oa - ob) * (oa - ob) <= r2
     } yield (ka, kb)).toSet
     assert(got == brute, s"cell join ${got.size} pairs vs brute ${brute.size}")
+  }
+
+  test("geo cell ladder: the SQL CASE text evaluates exactly as the pure reference") {
+    import graft.queries.Analytics4
+    val samples = Seq(1L, 5L, 6L, 21L, 22L, 85L, 86L, 150L, 341L, 342L,
+      1500L, 5456L, 5457L, 15000L, 87311L, 87312L, 150000L, 1500000L,
+      5587936L, 1000000000L)
+    val got = spark.createDataFrame(
+        spark.sparkContext.parallelize(samples.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      .selectExpr("n", s"${Analytics4.geoCellLadder} AS cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    samples.foreach { n =>
+      assert(got(n) == Analytics4.geoCellFor(n), s"ladder mismatch at n=$n")
+    }
   }
 
   test("ev_dau_wau: WAU bounds DAU and matches a brute weekly distinct") {
