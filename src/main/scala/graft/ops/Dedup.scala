@@ -1108,63 +1108,20 @@ object Dedup {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Min-label pointer-jumping CC, delegated to the shared [[Cc]]
+    * kernel (one loop for the dedup and graph families — see
+    * Cc.scala for the checkpoint/unpersist convention).
+    */
   private def clustersLoop(pairs: DataFrame): DataFrame = {
-    val s = pairs.sparkSession
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    // localCheckpoint truncates lineage (iteration replans stay O(1))
-    // but parks the round's blocks in executor storage; superseded
-    // rounds are unpersisted explicitly below — ContextCleaner GC is
-    // too lazy to rely on across a 20-round loop. The checkpointed
-    // RDD isn't reachable through a public Dataset API, so rounds are
-    // tracked by diffing sc.getPersistentRDDs ids around each
-    // checkpoint call.
-    val sc = s.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    var before = persistedIds
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var labelIds = persistedIds -- before
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < MaxCcRounds) {
-      val viaNeighbors = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("label"))
-      val minned = labels.unionByName(viaNeighbors)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-      // pointer jump: follow the label to ITS label (label(x) <= x
-      // monotonically, so the jump only ever lowers labels further)
-      val lut = minned.select(col("doc_id").as("lid"), col("label").as("llabel"))
-      before = persistedIds
-      val next = minned.join(lut, minned("label") === lut("lid"))
-        .select(minned("doc_id"), col("llabel").as("label"))
-        .localCheckpoint() // eager: materialized before the old round is freed
-      val nextIds = persistedIds -- before
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      labelIds = nextIds
-      labels = next
-      converged = nextSum == prevSum // labels only ever decrease
-      prevSum = nextSum
-      rounds += 1
-    }
-    // the FINAL round's checkpoint stays persisted — the returned plan
-    // reads it; ContextCleaner reclaims it when the plan is GC'd
-    // a silent cap-exit would emit WRONG cluster labels — fail loudly
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedup_clusters: min-label propagation did not converge in $MaxCcRounds " +
-          s"pointer-jumping rounds (component diameter > ~2^$MaxCcRounds?)")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Cc.minLabelComponents(sym, MaxCcRounds, "dedup_clusters")
+      .select(col("v").as("doc_id"), col("label"))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "label")
+    labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   // ---------------------------------------------------------------

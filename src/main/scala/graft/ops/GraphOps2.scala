@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Op
+import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -177,8 +177,88 @@ object GraphOps2 {
       |    / CAST(CAST(n_edges AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS assortativity
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // graph_connected_components — min-label CONNECTED COMPONENTS as a
+  // first-class graph gate (the canonical iterative fixed-point op;
+  // the dedup family has used the same kernel for cluster labels
+  // since r5 — this gate exercises it over a natural GRAPH workload
+  // and shares the loop via Cc.minLabelComponents, one kernel, no
+  // forks). Graph: parts CO-ORDERED in ≥ 3 distinct orders — the
+  // affinity graph a catalog team actually clusters. Every part is a
+  // vertex (parts never co-ordered that often are their own
+  // singleton components), so the output is a part-grain component
+  // census: (component_id = min member key, n_members, max_member).
+  //
+  // Scale shape: the pair fan-out is per-ORDER quadratic but TPC-H
+  // orders carry ≤ 7 lines, so candidate pairs are ≤ 21·|orders| —
+  // LINEAR with a small constant, no skew cap needed (the
+  // co-purchase SUPPLIER graph was evaluated and rejected: uniform
+  // TPC-H routing makes it COMPLETE — K-threshold can't fragment it
+  // and the all-pairs grain is |S|²). The CC loop is pointer-jumping
+  // min-label propagation: O(log diameter) rounds, each one
+  // |E|-join + |V|-min-agg + |V|⋈|V| jump, loud cap (see Cc.scala).
+  // The threshold keeps components SMALL at every SF (co-order
+  // triples thin out as the catalog grows), which also bounds the
+  // DuckDB oracle's recursive closure at Σ size² — verified against
+  // the gate's 63-component / ≤5-member census.
+  // ---------------------------------------------------------------
+  private val CoOrderMin = 3
+  private val MaxCcRounds = 20
+
+  private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val op1 = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = op1.join(
+        op1.select(col("l_orderkey"), col("l_partkey").as("pk_b")), "l_orderkey")
+      .filter(col("l_partkey") < col("pk_b"))
+      .groupBy(col("l_partkey").as("src"), col("pk_b").as("dst"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= CoOrderMin)
+      .select("src", "dst")
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    // the loop shuffles a TINY vertex set dozens of times; scope it
+    // to 8 partitions (same rationale + restore convention as the
+    // dedup cluster engine) — the returned plan executes under the
+    // caller's conf
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val labels =
+      try Cc.minLabelComponents(sym, MaxCcRounds, "graph_connected_components")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    Tables.load(s, dir, "part").select(col("p_partkey").as("v"))
+      .join(labels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("component_id"))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"), max(col("v")).as("max_member"))
+      .orderBy("component_id")
+  }
+
+  private val connectedComponentsSql =
+    s"""WITH RECURSIVE op1 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v FROM op1 a
+      |  JOIN op1 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoOrderMin),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |verts AS (SELECT DISTINCT u AS v FROM e),
+      |reach(v, l) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.v, reach.l FROM reach JOIN e ON e.u = reach.v),
+      |lbl AS (SELECT v, min(l) AS l FROM reach GROUP BY v),
+      |census AS (
+      |  SELECT p.p_partkey AS v, coalesce(lbl.l, p.p_partkey) AS component_id
+      |  FROM part p LEFT JOIN lbl ON p.p_partkey = lbl.v)
+      |SELECT component_id, count(*) AS n_members,
+      |  CAST(max(v) AS BIGINT) AS max_member
+      |FROM census
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("graph_kcore", kcore, Some(kcoreSql)),
     Op("graph_degree_dist", degreeDist, Some(degreeDistSql)),
-    Op("graph_assortativity", assortativity, Some(assortativitySql)))
+    Op("graph_assortativity", assortativity, Some(assortativitySql)),
+    Op("graph_connected_components", connectedComponents, Some(connectedComponentsSql)))
 }

@@ -97,6 +97,36 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == brute, s"cell join ${got.size} pairs vs brute ${brute.size}")
   }
 
+  test("graph_connected_components matches a brute union-find census") {
+    val got = run("graph_connected_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: same edge rule, classic union-find
+    val op1 = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // NB: .keys.toSeq, NOT .collect{case (e,_) => e} — collect on a
+    // Map with a tuple-valued PF rebuilds a MAP and silently dedups
+    // edges by src
+    val edges = op1.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 3).keys.toSeq
+    val parts = Tables.load(spark, sfDir, "part")
+      .select("p_partkey").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(parts.map(p => p -> p): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val brute = parts.groupBy(find).map { case (_, members) =>
+      (members.min, members.length.toLong, members.max)
+    }.toSeq.sortBy(_._1)
+    assert(edges.nonEmpty, "edge rule produced no edges at this SF — test is vacuous")
+    assert(got.toSeq == brute, s"census mismatch: got ${got.length} components, brute ${brute.size}")
+  }
+
   test("geo cell ladder: the SQL CASE text evaluates exactly as the pure reference") {
     import graft.queries.Analytics4
     val samples = Seq(1L, 5L, 6L, 21L, 22L, 85L, 86L, 150L, 341L, 342L,
