@@ -215,8 +215,15 @@ object GraphOps2 {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= CoOrderMin)
       .select("src", "dst")
+    // stage the edge relation AT FULL PARALLELISM before narrowing
+    // the conf: the |lineitem|-scale self-join + >=K aggregate must
+    // not run with the loop's 8 reducers (same convention as
+    // Dedup.clustersComputed, where the pair-graph staging is the
+    // full-parallelism action). localCheckpoint is the action; the
+    // loop below then reads the materialized blocks.
     val sym = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     // the loop shuffles a TINY vertex set dozens of times; scope it
     // to 8 partitions (same rationale + restore convention as the
     // dedup cluster engine) — the returned plan executes under the

@@ -22,23 +22,18 @@ import org.apache.spark.sql.DataFrame
   */
 private[ops] object Rounds {
 
-  /** Eagerly checkpoint `df`, returning it plus the persisted RDD ids
-    * the call created within `df`'s own lineage (pass them to
-    * [[free]] once the round is superseded).
+  /** Checkpoint `df`, returning it plus the persisted RDD ids the
+    * call created within `df`'s own lineage (pass them to [[free]]
+    * once the round is superseded). With `eager = false` the
+    * checkpoint job is NOT run here: the blocks materialize inside
+    * the CALLER'S next action over the returned Dataset (e.g. a
+    * convergence-residual aggregate), folding what would be two jobs
+    * per round into one. Caller contract when lazy: run an action
+    * over the returned Dataset BEFORE freeing the previous round's
+    * ids — unpersisting the inputs of a never-materialized local
+    * checkpoint is unrecoverable (lineage is already truncated).
     */
-  def checkpoint(df: DataFrame): (DataFrame, Set[Int]) =
-    checkpoint(df, eager = true)
-
-  /** As [[checkpoint]], but with `eager = false` the checkpoint job
-    * is NOT run here: the blocks materialize inside the CALLER'S next
-    * action over the returned Dataset (e.g. a convergence-residual
-    * aggregate), folding what would be two jobs per round into one.
-    * Caller contract when lazy: run an action over the returned
-    * Dataset BEFORE freeing the previous round's ids — unpersisting
-    * the inputs of a never-materialized local checkpoint is
-    * unrecoverable (lineage is already truncated).
-    */
-  def checkpoint(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
+  def checkpoint(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(eager)

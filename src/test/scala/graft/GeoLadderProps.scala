@@ -21,10 +21,13 @@ object GeoLadderProps extends Properties("graft.geoladder") {
   private val cellMin = BigInt(1) << 6
   private val cellMax = BigInt(1) << 24
 
+  // the top band MUST exceed the smallest cells' thresholds (2^7
+  // needs n >= 2.29e10, 2^6 needs n >= 9.16e10) or the bottom rungs
+  // of the ladder — exactly the 100 TB cells — go untested
   private val nGen: Gen[Long] = Gen.oneOf(
     Gen.choose(1L, 100L),
     Gen.choose(1L, 10000000L),
-    Gen.choose(1L, 10000000000L))
+    Gen.choose(1L, 200000000000L))
 
   property("cover: cell^2 * n >= budget (cell >= adaptive radius)") =
     Prop.forAll(nGen) { n =>

@@ -89,7 +89,7 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     val pts = Tables.load(spark, sfDir, "customer").select("c_custkey").collect()
       .map(_.getLong(0)).map(k => (k, h("lat", k), h("lon", k)))
     // density-adaptive radius: r² = budget / N (the op's pair-budget contract)
-    val r2 = 375000000000000L / pts.length
+    val r2 = graft.queries.Analytics4.GeoPairBudget / pts.length
     val brute = (for {
       (ka, la, oa) <- pts; (kb, lb, ob) <- pts
       if ka < kb && (la - lb) * (la - lb) + (oa - ob) * (oa - ob) <= r2
