@@ -398,7 +398,162 @@ object EventOps3 {
       |FROM c CROSS JOIN t
       |ORDER BY hour_bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_kmv_set_ops — distinct-set ALGEBRA via KMV/theta sketches
+  // (the capability HLL doesn't have: ev_hll_distinct estimates
+  // cardinalities, but only KMV/theta-style sketches support
+  // INTERSECTION — the audience-overlap question every growth team
+  // asks). The sets are DAILY ACTIVE USER sets (the gate corpus's
+  // daily actives genuinely partially overlap — event-type sets were
+  // evaluated and rejected: every user hits every type, so A = B for
+  // all pairs and the algebra would be exercised degenerately); each
+  // day's user set is sketched as the K smallest md5-derived 52-bit
+  // hashes (bottom-k min-wise: a uniform sample of the DISTINCT set,
+  // mergeable by construction — the bottom-k of a union is the
+  // bottom-k of the merged bottom-ks). For every CONSECUTIVE day
+  // pair the op emits EXACT |A|,|B|,|A∩B|,|A∪B| (engine-checkable
+  // ground truth) alongside the sketch estimates:
+  //   est(S)   = (K−1)·D DIV h_K          (K-th smallest rule)
+  //   est(A∪B) = same rule over the merged bottom-k
+  //   est(A∩B) = |common hashes < θ|·D DIV θ,  θ = min(θ_A, θ_B)
+  // with D = 2^52 and θ_S = D when |S| ≤ K (exhaustive sketch — the
+  // estimate degrades to exact, the theta convention). ALL integer
+  // arithmetic (truncating DIV over positives — engine-identical);
+  // hashes are DISTINCT-ed before ranking so a 52-bit collision can
+  // never make rank-K tie-order engine-dependent. K = 8 keeps the
+  // ESTIMATION path exercised at the smallest gate scale (~13 daily
+  // actives at sf0.001); a deployment sizes K to its error budget.
+  //
+  // Plan shape: one distinct over (day, user) — the only fact-sized
+  // shuffle — then a SALTED two-phase bottom-k (row_number inside
+  // (day, h mod 64) then across day: day-count alone can under-split
+  // a 100 TB window; the salt pre-pass bounds every window
+  // partition, the second phase ranks ≤ 64·K survivors per day).
+  // Everything downstream of the sketches is |days|·K-sized algebra.
+  // The exact consecutive-day overlap is a FULL equi-join on
+  // (u, day+1) — |active (day,user)| rows, linear (a u-only key with
+  // a day post-filter would fan out (active days)² per user first).
+  // ---------------------------------------------------------------
+  private val KmvK = 8
+  private val KmvDomain = 4503599627370496L // 2^52
+  private val KmvSalts = 64
+
+  private def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ut = withEs(s, dir)
+      .select(expr("es DIV 86400").as("t"), col("user_id").as("u")).distinct()
+    val hashed = ut.select(col("t"),
+        expr("CAST(conv(substr(md5(CAST(u AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"))
+      .distinct() // collision-safe: rank VALUES, never tied duplicates
+    val phase1 = hashed
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("t"), pmod(col("h"), lit(KmvSalts))).orderBy("h")))
+      .filter(col("rn1") <= KmvK).drop("rn1")
+    val sk = phase1
+      .withColumn("rn", row_number().over(Window.partitionBy("t").orderBy("h")))
+      .filter(col("rn") <= KmvK).select("t", "h")
+    val per = ut.groupBy("t").agg(count(lit(1)).as("n"))
+      .join(sk.groupBy("t").agg(max(col("h")).as("hk")), "t")
+      .withColumn("theta",
+        when(col("n") <= KmvK, lit(KmvDomain)).otherwise(col("hk")))
+      .withColumn("est",
+        when(col("n") <= KmvK, col("n"))
+          .otherwise(expr(s"${KmvK - 1}L * $KmvDomain DIV hk")))
+    val pairs = per.select(col("t").as("day_a"), col("n").as("n_a"),
+        col("theta").as("theta_a"), col("est").as("est_a"))
+      .join(per.select(col("t").as("day_b"), col("n").as("n_b"),
+        col("theta").as("theta_b"), col("est").as("est_b")),
+        col("day_b") === col("day_a") + 1)
+    // consecutive-day overlap as a FULL equi-join on (u, day+1) — a
+    // u-only key with a day post-filter would fan out (active days)²
+    // rows per user first
+    val inter = ut.select((col("t") + 1).as("day_b"), col("u"))
+      .join(ut.select(col("t").as("day_b"), col("u")), Seq("day_b", "u"))
+      .select((col("day_b") - 1).as("day_a"), col("day_b"), col("u"))
+      .groupBy("day_a", "day_b").agg(count(lit(1)).as("n_inter"))
+    // merged bottom-k per pair (sketch hashes are tiny: |days|·K rows)
+    val mergedSk = pairs.select("day_a", "day_b")
+      .join(sk, col("t") === col("day_a") || col("t") === col("day_b"))
+      .select("day_a", "day_b", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("day_a", "day_b").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("day_a", "day_b").agg(max(col("h")).as("hk_u"))
+    // common sketch hashes per pair (the theta filter joins in below —
+    // theta is pair-dependent)
+    val commonRaw = sk.select((col("t") + 1).as("day_b"), col("h"))
+      .join(sk.select(col("t").as("day_b"), col("h")), Seq("day_b", "h"))
+      .select((col("day_b") - 1).as("day_a"), col("day_b"), col("h"))
+    val withTheta = pairs
+      .join(inter, Seq("day_a", "day_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .join(mergedSk, Seq("day_a", "day_b"))
+      .withColumn("theta_p", least(col("theta_a"), col("theta_b")))
+    val commonBelow = commonRaw
+      .join(withTheta.select("day_a", "day_b", "theta_p"), Seq("day_a", "day_b"))
+      .filter(col("h") < col("theta_p"))
+      .groupBy("day_a", "day_b").agg(count(lit(1)).as("c_below"))
+    withTheta
+      .join(commonBelow, Seq("day_a", "day_b"), "left")
+      .withColumn("c_below", coalesce(col("c_below"), lit(0L)))
+      .select(col("day_a"), col("day_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("est_a"), col("est_b"),
+        when(col("n_a") <= KmvK && col("n_b") <= KmvK, col("n_union"))
+          .otherwise(expr(s"${KmvK - 1}L * $KmvDomain DIV hk_u")).as("est_union"),
+        expr(s"c_below * $KmvDomain DIV theta_p").as("est_inter"))
+      .orderBy("day_a", "day_b")
+  }
+
+  private val kmvSetOpsSql =
+    s"""WITH ut AS (SELECT DISTINCT
+      |  (epoch_ns(ts) // 1000000000) // 86400 AS t, user_id AS u FROM events),
+      |h0 AS (SELECT DISTINCT t,
+      |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 13))::BIGINT AS h FROM ut),
+      |sk AS (SELECT t, h FROM (
+      |  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h0) z
+      |  WHERE rn <= $KmvK),
+      |per AS (
+      |  SELECT e.t, e.n, s.hk,
+      |    CASE WHEN e.n <= $KmvK THEN $KmvDomain ELSE s.hk END AS theta,
+      |    CASE WHEN e.n <= $KmvK THEN e.n
+      |         ELSE ${KmvK - 1} * $KmvDomain // s.hk END AS est
+      |  FROM (SELECT t, count(*) AS n FROM ut GROUP BY 1) e
+      |  JOIN (SELECT t, max(h) AS hk FROM sk GROUP BY 1) s ON e.t = s.t),
+      |pairs AS (
+      |  SELECT a.t AS day_a, a.n AS n_a, a.theta AS theta_a, a.est AS est_a,
+      |         b.t AS day_b, b.n AS n_b, b.theta AS theta_b, b.est AS est_b,
+      |         LEAST(a.theta, b.theta) AS theta_p
+      |  FROM per a JOIN per b ON b.t = a.t + 1),
+      |inter AS (SELECT a.t AS day_a, b.t AS day_b, count(*) AS n_inter
+      |  FROM ut a JOIN ut b ON a.u = b.u AND b.t = a.t + 1 GROUP BY 1, 2),
+      |mskd AS (SELECT DISTINCT p.day_a, p.day_b, s.h
+      |  FROM pairs p JOIN sk s ON s.t = p.day_a OR s.t = p.day_b),
+      |msk AS (SELECT day_a, day_b, max(h) AS hk_u FROM (
+      |  SELECT day_a, day_b, h,
+      |    row_number() OVER (PARTITION BY day_a, day_b ORDER BY h) AS rn
+      |  FROM mskd) z WHERE rn <= $KmvK GROUP BY 1, 2),
+      |cb AS (SELECT c.day_a, c.day_b, count(*) AS c_below
+      |  FROM (SELECT sa.t AS day_a, sb.t AS day_b, sa.h
+      |        FROM sk sa JOIN sk sb ON sa.h = sb.h AND sb.t = sa.t + 1) c
+      |  JOIN pairs w ON w.day_a = c.day_a AND w.day_b = c.day_b
+      |    AND c.h < w.theta_p
+      |  GROUP BY 1, 2)
+      |SELECT p.day_a, p.day_b, p.n_a, p.n_b,
+      |  coalesce(i.n_inter, 0) AS n_inter,
+      |  p.n_a + p.n_b - coalesce(i.n_inter, 0) AS n_union,
+      |  p.est_a, p.est_b,
+      |  CASE WHEN p.n_a <= $KmvK AND p.n_b <= $KmvK
+      |       THEN p.n_a + p.n_b - coalesce(i.n_inter, 0)
+      |       ELSE ${KmvK - 1} * $KmvDomain // m.hk_u END AS est_union,
+      |  coalesce(c.c_below, 0) * $KmvDomain // p.theta_p AS est_inter
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.day_a = p.day_a AND i.day_b = p.day_b
+      |JOIN msk m ON m.day_a = p.day_a AND m.day_b = p.day_b
+      |LEFT JOIN cb c ON c.day_a = p.day_a AND c.day_b = p.day_b
+      |ORDER BY p.day_a, p.day_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("ev_kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
     Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),

@@ -97,6 +97,38 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == brute, s"cell join ${got.size} pairs vs brute ${brute.size}")
   }
 
+  test("ev_kmv_set_ops: estimates equal a brute KMV/theta re-derivation") {
+    val K = 8
+    val D = 4503599627370496L // 2^52
+    val got = run("ev_kmv_set_ops").collect()
+    assert(got.nonEmpty)
+    val du = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(expr("es DIV 86400").as("d"), col("user_id").as("u"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def h(u: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val byDay = du.groupBy(_._1).map { case (d, us) => d -> us.map(_._2).toSet }
+    def sketch(s: Set[Long]): Seq[Long] = s.map(h).toSeq.distinct.sorted.take(K)
+    def theta(s: Set[Long]): Long = if (s.size <= K) D else sketch(s).max
+    def est(s: Set[Long]): Long = if (s.size <= K) s.size.toLong else (K - 1) * D / sketch(s).max
+    got.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      val (a, b) = (byDay(da), byDay(db))
+      assert(r.getLong(2) == a.size && r.getLong(3) == b.size)
+      assert(r.getLong(4) == a.intersect(b).size && r.getLong(5) == a.union(b).size)
+      assert(r.getLong(6) == est(a) && r.getLong(7) == est(b), s"per-set est at $da/$db")
+      val mergedEst =
+        if (a.size <= K && b.size <= K) a.union(b).size.toLong
+        else (K - 1) * D / (sketch(a) ++ sketch(b)).distinct.sorted.take(K).max
+      assert(r.getLong(8) == mergedEst, s"union est at $da/$db")
+      val th = math.min(theta(a), theta(b))
+      val c = sketch(a).toSet.intersect(sketch(b).toSet).count(_ < th)
+      assert(r.getLong(9) == c * D / th, s"inter est at $da/$db")
+    }
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
