@@ -552,8 +552,91 @@ object EventOps3 {
       |LEFT JOIN cb c ON c.day_a = p.day_a AND c.day_b = p.day_b
       |ORDER BY p.day_a, p.day_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_f2_skew_sketch — AMS (tug-of-war) SECOND-MOMENT sketch per
+  // event type, completing the mergeable-sketch family: HLL covers
+  // F0 (distinct), KMV covers set algebra, the log-bucket histogram
+  // covers quantiles, heavy-hitters covers top-k — nothing estimated
+  // F2 = Σ_u f_u², the SELF-JOIN SIZE on user_id. F2 is what a
+  // planner needs BEFORE running a join/groupBy at 100 TB: it is
+  // exactly the output size of the per-type user self-join and the
+  // collision mass that decides salting (a uniform key set has
+  // F2 ≈ n²/d; a skewed one is dominated by its hot keys).
+  //
+  // The sketch: 15 counters Z_j = Σ_events sign_j(u), sign_j(u) =
+  // 1 − 2·bit_j(md5_60(u)) ∈ {−1,+1} — NOTE the sum runs over RAW
+  // EVENTS, never the per-user grain: each Z_j is a plain SUM, so
+  // the whole sketch is ONE map-side-combinable groupBy(event_type)
+  // with 15 integer partials (no 15× row blowup, no (type,user)
+  // shuffle). E[Z²] = F2; the estimate is the MEDIAN of 5 groups of
+  // 3 counters, mean-then-median (means DIV 3, median = rank 3 of 5
+  // with the group id as tiebreak) — all-integer over nonnegatives,
+  // so truncating DIV is engine-identical. The j-th sign bits come
+  // from one shared 60-bit md5 per user (pairwise-heuristic, not
+  // 4-wise independent — documented tradeoff: one hash per event
+  // instead of 15). The exact F2 audit beside it IS the expensive
+  // per-(type,user) aggregation the sketch exists to avoid; at gate
+  // scale it doubles as engine-checkable ground truth. BIGINT
+  // headroom: Z² ≤ n_events² per type — fine below ~3·10⁹ events
+  // per type per sketch window; a 100 TB deployment shards the
+  // window (sketches merge: Z vectors ADD across shards) before the
+  // square, exactly like the HLL registers merge by max.
+  // ---------------------------------------------------------------
+  private val AmsCounters = 15 // 5 groups of 3 — odd group count = single-rank median
+  private val AmsGroups = 5
+
+  private def f2SkewSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir).select(col("event_type"), col("user_id").as("u"))
+    val hashed = ev.select(col("event_type"),
+      expr("CAST(conv(substr(md5(CAST(u AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val zCols = (0 until AmsCounters).map(j =>
+      sum(expr(s"1 - 2 * ((h DIV ${1L << j}) % 2)")).as(s"z$j"))
+    val z = hashed.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), zCols: _*)
+    val stackExpr = (0 until AmsCounters).map(j => s"$j, z$j")
+      .mkString(s"stack($AmsCounters, ", ", ", ")")
+    val means = z.selectExpr("event_type", "n_events", s"$stackExpr AS (j, zv)")
+      .withColumn("g", expr("j DIV 3"))
+      .groupBy(col("event_type"), col("n_events"), col("g"))
+      .agg(expr("sum(zv * zv) DIV 3").as("gmean"))
+    val med = means.withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("gmean"), col("g"))))
+      .filter(col("rnk") === (AmsGroups + 1) / 2)
+      .select(col("event_type"), col("n_events"), col("gmean").as("f2_est"))
+    val exact = ev.groupBy("event_type", "u").agg(count(lit(1)).as("f"))
+      .groupBy("event_type").agg(sum(col("f") * col("f")).as("f2_exact"))
+    med.join(exact, "event_type")
+      .select(col("event_type"), col("n_events"), col("f2_exact"), col("f2_est"),
+        expr("abs(f2_est - f2_exact) * 1000000 DIV f2_exact").as("err_abs_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val f2SkewSketchSql =
+    s"""WITH e AS (SELECT event_type, user_id AS u FROM events),
+      |h AS (SELECT event_type,
+      |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS h FROM e),
+      |zz AS (SELECT event_type, j,
+      |  CAST(sum(1 - 2 * ((h // (1::BIGINT << j)) % 2)) AS BIGINT) AS zv
+      |  FROM h CROSS JOIN (SELECT unnest(range($AmsCounters)) AS j) js
+      |  GROUP BY 1, 2),
+      |gm AS (SELECT event_type, j // 3 AS g,
+      |  CAST(sum(zv * zv) AS BIGINT) // 3 AS gmean FROM zz GROUP BY 1, 2),
+      |med AS (SELECT event_type, gmean AS f2_est FROM (
+      |  SELECT event_type, gmean,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gmean, g) AS rnk
+      |  FROM gm) x WHERE rnk = ${(AmsGroups + 1) / 2}),
+      |ne AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1),
+      |ex AS (SELECT event_type, CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+      |  SELECT event_type, u, CAST(count(*) AS BIGINT) AS f FROM e GROUP BY 1, 2) q
+      |  GROUP BY 1)
+      |SELECT m.event_type, n.n_events, x.f2_exact, m.f2_est,
+      |  abs(m.f2_est - x.f2_exact) * 1000000 // x.f2_exact AS err_abs_ppm
+      |FROM med m JOIN ne n USING (event_type) JOIN ex x USING (event_type)
+      |ORDER BY m.event_type""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
+    Op("ev_f2_skew_sketch", f2SkewSketch, Some(f2SkewSketchSql)),
     Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),

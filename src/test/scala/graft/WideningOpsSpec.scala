@@ -129,6 +129,34 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ev_f2_skew_sketch: exact F2 and AMS median-of-means equal a brute re-derivation") {
+    val got = run("ev_f2_skew_sketch").collect()
+    assert(got.nonEmpty)
+    val ev = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def h60(u: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val evs = ev.filter(_._1 == t).map(_._2)
+      assert(r.getLong(1) == evs.length, s"n_events at $t")
+      val f2 = evs.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      assert(r.getLong(2) == f2, s"f2_exact at $t")
+      // Z_j = sum over events of 1 - 2*bit_j(md5_60(u)); median of 5
+      // group means of 3 squares, (gmean, g) rank 3
+      val z = (0 until 15).map(j =>
+        evs.map(u => 1L - 2L * ((h60(u) >> j) & 1L)).sum)
+      val gmeans = (0 until 5).map(g =>
+        (0 until 3).map(i => { val zv = z(3 * g + i); zv * zv }).sum / 3)
+      val est = gmeans.zipWithIndex.sortBy { case (m, g) => (m, g) }.apply(2)._1
+      assert(r.getLong(3) == est, s"f2_est at $t")
+      assert(r.getLong(4) == math.abs(est - f2) * 1000000L / f2, s"err_abs_ppm at $t")
+    }
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
