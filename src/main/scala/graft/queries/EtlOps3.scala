@@ -249,6 +249,103 @@ object EtlOps3 {
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // etl_t_closeness — t-closeness audit completing the privacy trio
+  // over the same quasi-identifier classes: k-anonymity sizes each
+  // class, l-diversity counts its distinct sensitive values, but a
+  // class can pass both while its sensitive DISTRIBUTION still leaks
+  // (the skewness attack: l distinct values, 99% mass on one of
+  // them). t-closeness bounds the distance between each class's
+  // sensitive distribution and the GLOBAL one. The sensitive
+  // attribute (account-balance band) is ORDINAL, so the distance is
+  // the ordered Earth Mover's Distance:
+  //   EMD = (1/(m−1)) · Σ_i |CumClass_i/n − CumGlobal_i/N|
+  // computed ALL-INTEGER by ppm-quantizing each cumulative share
+  // first (C_i·10⁶ DIV n, G_i·10⁶ DIV N — nonnegative truncating
+  // DIV, engine-identical; quantization error ≤ m ppm, documented
+  // contract) then one final DIV by (m−1). Classes missing a band
+  // still owe that band's |cumulative gap|, so the grid is densified
+  // against the full band spine before the window cumsum. Verdict:
+  // t ≤ 0.2 (200000 ppm).
+  //
+  // Plan shape: one dimension scan → (QI, band) aggregate; the band
+  // spine is a CONSTANT-size aggregate (banding of the bounded
+  // acctbal domain — ~12 rows) so the densifying crossJoin is
+  // broadcast; cumsums are windows over dimension-grain classes. At
+  // 100 TB the dimension is still the small side.
+  // ---------------------------------------------------------------
+  private val TClosePpm = 200000L // t = 0.2
+
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("cnt"))
+    val bands = cells.groupBy("bal_band").agg(sum(col("cnt")).as("gcnt"))
+    val classes = cells.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(col("cnt")).as("n"))
+    val tot = bands.agg(sum(col("gcnt")).as("big_n"), count(lit(1)).as("m"))
+    val wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = classes.crossJoin(broadcast(bands.withColumn("gcum", sum(col("gcnt")).over(wg))))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("ccum", sum(col("cnt")).over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_ppm",
+        abs(expr("ccum * 1000000 DIV n") - expr("gcum * 1000000 DIV big_n")))
+    grid
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"), col("m"))
+      .agg(sum(col("d_ppm")).as("d_sum"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("m").as("m_bands"),
+        expr("d_sum DIV (m - 1)").as("emd_tppm"),
+        expr(s"CAST(CASE WHEN d_sum DIV (m - 1) <= $TClosePpm THEN 1 ELSE 0 END AS INT)")
+          .as("is_close"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val tClosenessSql =
+    s"""WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |bands AS (SELECT bal_band, sum(cnt) AS gcnt FROM cells GROUP BY 1),
+      |gb AS (SELECT bal_band, gcnt,
+      |  sum(gcnt) OVER (ORDER BY bal_band
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum FROM bands),
+      |tot AS (SELECT sum(gcnt) AS big_n, count(*) AS m FROM bands),
+      |classes AS (SELECT c_nationkey, c_mktsegment, sum(cnt) AS n
+      |  FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.n, gb.bal_band, gb.gcum,
+      |    coalesce(ce.cnt, 0) AS cnt
+      |  FROM classes cl CROSS JOIN gb
+      |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+      |    AND ce.c_mktsegment = cl.c_mktsegment AND ce.bal_band = gb.bal_band),
+      |cum AS (
+      |  SELECT c_nationkey, c_mktsegment, n, gcum,
+      |    sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY bal_band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum
+      |  FROM grid),
+      |d AS (
+      |  SELECT c_nationkey, c_mktsegment, n,
+      |    abs(ccum * 1000000 // n - gcum * 1000000 // t.big_n) AS d_ppm, t.m
+      |  FROM cum CROSS JOIN tot t)
+      |SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+      |  CAST(m AS BIGINT) AS m_bands,
+      |  CAST(sum(d_ppm) // (m - 1) AS BIGINT) AS emd_tppm,
+      |  CAST(CASE WHEN sum(d_ppm) // (m - 1) <= $TClosePpm
+      |       THEN 1 ELSE 0 END AS INT) AS is_close
+      |FROM d
+      |GROUP BY 1, 2, n, m
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_skew_audit — partition-balance audit of the fact table's
   // physical layout key (the pre-flight read a partitioning strategy
   // is chosen BY: a partition whose row share is many × the even
@@ -527,6 +624,7 @@ object EtlOps3 {
     Op("etl_compaction", compaction, Some(compactionSql)),
     Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)),
     Op("etl_l_diversity", lDiversity, Some(lDiversitySql)),
+    Op("etl_t_closeness", tCloseness, Some(tClosenessSql)),
     Op("etl_skew_audit", skewAudit, Some(skewAuditSql)),
     Op("meta_freshness", freshness, Some(freshnessSql)),
     Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)))

@@ -157,6 +157,32 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("etl_t_closeness: ordered EMD equals a brute ppm-quantized re-derivation") {
+    val got = run("etl_t_closeness").collect()
+    assert(got.nonEmpty)
+    val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bigN = rows.length.toLong
+    val bands = rows.map(_._3).distinct.sorted
+    val m = bands.length.toLong
+    val gCum = bands.scanLeft(0L)((acc, b) => acc + rows.count(_._3 == b)).tail
+    assert(got.map(_.getAs[Long]("n")).sum == bigN, "classes partition the dimension")
+    got.foreach { r =>
+      val nk = r.getAs[Number]("c_nationkey").longValue
+      val cls = rows.filter(x => x._1 == nk && x._2 == r.getString(1))
+      val n = cls.length.toLong
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("m_bands") == m)
+      val cCum = bands.scanLeft(0L)((acc, b) => acc + cls.count(_._3 == b)).tail
+      val dSum = cCum.zip(gCum)
+        .map { case (c, g) => math.abs(c * 1000000L / n - g * 1000000L / bigN) }.sum
+      val emd = dSum / (m - 1)
+      assert(r.getAs[Long]("emd_tppm") == emd, s"EMD at class $nk/${r.getString(1)}")
+      assert((r.getAs[Int]("is_close") == 1) == (emd <= 200000L))
+    }
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
