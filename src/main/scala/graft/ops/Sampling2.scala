@@ -224,7 +224,86 @@ object Sampling2 {
       |FROM r
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // samp_priority — weighted exact-size sampling WITH an unbiased
+  // subset-sum estimator: priority sampling (Duffield–Lund–Thorup).
+  // samp_bottomk draws k docs UNIFORMLY; weighting the draw by size
+  // (long docs matter more) breaks bottom-k's subset-sum math —
+  // priority sampling restores it: priority q_i = w_i·D DIV h_i
+  // (h_i uniform in [1, D]), keep the top-k by (q DESC, doc_id),
+  // τ = the (k+1)-th priority, and each kept doc estimates its own
+  // weight as ŵ_i = max(w_i, τ). The magic audited in the output:
+  // Σ_sample max(w_i, τ) estimates Σ_corpus w_i — the WHOLE corpus's
+  // token total priced from k rows. Weights = whitespace token
+  // counts (the exp_pack_sequences idiom); when the corpus has ≤ k
+  // docs, τ = 0 and the estimate degrades to exact. All integer:
+  // D = 2^40 md5 draws (w·D fits BIGINT for w < 2^22 tokens/doc —
+  // headroom documented), truncating DIV over positives.
+  //
+  // Plan shape: map-only weight+priority projection, then
+  // orderBy(q DESC).limit(k+1) — TakeOrderedAndProject, the same
+  // k-bounded no-global-sort shape as samp_bottomk. τ is a second
+  // TakeOrdered(1) over those k+1 rows (NOT an unpartitioned window
+  // — the τ relation is limit-bounded, and the guard demands
+  // aggregates under global windows); sample membership is the
+  // (q, doc_id) total-order filter against the broadcast τ row, so
+  // rank-65 ties can never drift engines. The corpus-total audit is
+  // one map-side-combined 1-row aggregate, broadcast onto the k
+  // sample rows.
+  // ---------------------------------------------------------------
+  private val PriorityK = 64
+  private val PriorityD = 1099511627776L // 2^40
+
+  private def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    val pri = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("w"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT) + 1").as("h"))
+      .select(col("doc_id"), col("w"), expr(s"w * ${PriorityD}L DIV h").as("q"))
+    val top = pri.orderBy(col("q").desc, col("doc_id")).limit(PriorityK + 1)
+    val tauRow = top.orderBy(col("q").asc, col("doc_id").desc).limit(1)
+      .select(col("q").as("tau_q"), col("doc_id").as("tau_doc"))
+    val tot = pri.agg(sum(col("w")).as("w_total"), count(lit(1)).as("n_total"))
+    val sample = top.crossJoin(broadcast(tauRow)).crossJoin(broadcast(tot))
+      .filter(col("n_total") <= PriorityK ||
+        col("q") > col("tau_q") ||
+        (col("q") === col("tau_q") && col("doc_id") < col("tau_doc")))
+      .withColumn("tau",
+        when(col("n_total") <= PriorityK, lit(0L)).otherwise(col("tau_q")))
+      .withColumn("w_est", greatest(col("w"), col("tau")))
+    val estTot = sample.agg(sum(col("w_est")).as("est_total"))
+    sample.crossJoin(broadcast(estTot))
+      .select(col("doc_id"), col("w").as("w_tokens"), col("q"), col("tau"),
+        col("w_est"), col("est_total"), col("w_total"),
+        expr("abs(est_total - w_total) * 1000000 DIV w_total").as("err_abs_ppm"))
+      .orderBy(col("q").desc, col("doc_id"))
+  }
+
+  private val prioritySampleSql =
+    s"""WITH d AS (SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1 AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, w, w * $PriorityD // h AS q FROM d),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+      |  CAST(count(*) AS BIGINT) AS n_total FROM p),
+      |r AS (SELECT doc_id, w, q,
+      |  row_number() OVER (ORDER BY q DESC, doc_id) AS rnk FROM p),
+      |s AS (SELECT r.doc_id, r.w, r.q,
+      |    CASE WHEN t.n_total <= $PriorityK THEN 0
+      |         ELSE (SELECT q FROM r WHERE rnk = ${PriorityK + 1}) END AS tau
+      |  FROM r CROSS JOIN tot t
+      |  WHERE r.rnk <= $PriorityK),
+      |e AS (SELECT doc_id, w, q, tau, greatest(w, tau) AS w_est FROM s),
+      |et AS (SELECT CAST(sum(w_est) AS BIGINT) AS est_total FROM e)
+      |SELECT e.doc_id, e.w AS w_tokens, e.q, CAST(e.tau AS BIGINT) AS tau,
+      |  e.w_est, et.est_total, t.w_total,
+      |  abs(et.est_total - t.w_total) * 1000000 // t.w_total AS err_abs_ppm
+      |FROM e CROSS JOIN et CROSS JOIN tot t
+      |ORDER BY e.q DESC, e.doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("samp_priority", prioritySample, Some(prioritySampleSql)),
     Op("samp_bottomk", bottomK, Some(bottomKSql)),
     Op("exp_kfold", kfold, Some(kfoldSql)),
     Op("samp_poisson_bootstrap", bootstrap, Some(bootstrapSql)),

@@ -183,6 +183,33 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("samp_priority: sample, tau and estimator equal a brute priority-sampling re-derivation") {
+    val K = 64
+    val D = 1099511627776L // 2^40
+    val got = run("samp_priority").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def h40(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 10), 16) + 1
+    val pri = docs.map { case (id, w) => (id, w, w * D / h40(id)) }
+      .sortBy { case (id, _, q) => (-q, id) }
+    val wTotal = docs.map(_._2).sum
+    val tau = if (docs.length <= K) 0L else pri(K)._3
+    val sample = if (docs.length <= K) pri else pri.take(K)
+    val estTotal = sample.map { case (_, w, _) => math.max(w, tau) }.sum
+    assert(got.length == sample.length)
+    got.zip(sample).foreach { case (r, (id, w, q)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == w && r.getLong(2) == q)
+      assert(r.getLong(3) == tau && r.getLong(4) == math.max(w, tau))
+      assert(r.getLong(5) == estTotal && r.getLong(6) == wTotal)
+      assert(r.getLong(7) == math.abs(estTotal - wTotal) * 1000000L / wTotal)
+    }
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
