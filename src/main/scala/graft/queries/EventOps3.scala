@@ -634,9 +634,84 @@ object EventOps3 {
       |FROM med m JOIN ne n USING (event_type) JOIN ex x USING (event_type)
       |ORDER BY m.event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_interval_join — generic interval-OVERLAP join, the temporal
+  // join the family lacked: ev_asof_join matches each left row to
+  // ONE nearest right row; this matches interval × interval overlap
+  // ("which user activity windows intersected which incident
+  // windows" — the blast-radius question of every postmortem).
+  // Left intervals: per (user, day) activity span [first, last event
+  // second]. Right intervals: maximal runs of consecutive
+  // error-presence hours (gaps-and-islands via hr − row_number over
+  // the hour AGGREGATE — guard-safe global window). Output: every
+  // overlapping pair with exact inclusive overlap seconds.
+  //
+  // Plan shape — the 100 TB story is the point: a range-only join
+  // (start_a ≤ end_b AND start_b ≤ end_a) has NO equi-key and would
+  // compile to a broadcast nested loop (or worse, a cartesian). The
+  // scale path BUCKETIZES time: each interval explodes to the 6h
+  // buckets it covers (bounded ≤ 5 per day-bounded interval), the
+  // join is a plain shuffle EQUI-join on bucket + residual range
+  // filter, and the classic duplicate-pair problem (a pair co-covers
+  // many buckets) is solved WITHOUT a distinct: keep the pair only
+  // in the bucket containing greatest(start_a, start_b) — each
+  // overlapping pair has exactly one such bucket. At gate scale the
+  // incident side is small enough to broadcast; the bucket join is
+  // the shape that survives both sides growing.
+  // ---------------------------------------------------------------
+  private val IvalBucket = 21600L // 6h
+
+  private def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+    val acts = ev.groupBy(col("user_id").as("u"), expr("es DIV 86400").as("day"))
+      .agg(min(col("es")).as("a_start"), max(col("es")).as("a_end"))
+    val errHours = ev.filter(col("event_type") === "error")
+      .groupBy(expr("es DIV 3600").as("hr")).agg(count(lit(1)).as("n_err"))
+    val islands = errHours
+      .withColumn("grp", col("hr") - row_number().over(Window.orderBy("hr")))
+      .groupBy("grp")
+      .agg((min(col("hr")) * 3600).as("i_start"),
+        ((max(col("hr")) + 1) * 3600 - 1).as("i_end"),
+        sum(col("n_err")).as("n_err"))
+      .withColumn("incident_id", row_number().over(Window.orderBy("i_start")))
+      .drop("grp")
+    val aB = acts.withColumn("bkt",
+      explode(expr(s"sequence(a_start DIV $IvalBucket, a_end DIV $IvalBucket)")))
+    val iB = islands.withColumn("bkt",
+      explode(expr(s"sequence(i_start DIV $IvalBucket, i_end DIV $IvalBucket)")))
+    aB.join(iB, Seq("bkt"))
+      .filter(col("a_start") <= col("i_end") && col("i_start") <= col("a_end"))
+      .filter(col("bkt") === expr(s"greatest(a_start, i_start) DIV $IvalBucket"))
+      .select(col("u"), col("day"), col("incident_id"), col("n_err"),
+        (least(col("a_end"), col("i_end")) - greatest(col("a_start"), col("i_start")) + 1)
+          .as("overlap_s"))
+      .orderBy("u", "day", "incident_id")
+  }
+
+  private val intervalJoinSql =
+    """WITH ev AS (SELECT user_id AS u,
+      |    (epoch_ns(ts) // 1000000000) AS es, event_type FROM events),
+      |acts AS (SELECT u, es // 86400 AS day,
+      |    min(es) AS a_start, max(es) AS a_end FROM ev GROUP BY 1, 2),
+      |eh AS (SELECT es // 3600 AS hr, count(*) AS n_err FROM ev
+      |  WHERE event_type = 'error' GROUP BY 1),
+      |isl0 AS (SELECT hr, n_err,
+      |    hr - row_number() OVER (ORDER BY hr) AS grp FROM eh),
+      |isl AS (SELECT min(hr) * 3600 AS i_start,
+      |    (max(hr) + 1) * 3600 - 1 AS i_end, CAST(sum(n_err) AS BIGINT) AS n_err
+      |  FROM isl0 GROUP BY grp),
+      |inc AS (SELECT i_start, i_end, n_err,
+      |    CAST(row_number() OVER (ORDER BY i_start) AS INT) AS incident_id FROM isl)
+      |SELECT a.u, a.day, i.incident_id, i.n_err,
+      |  least(a.a_end, i.i_end) - greatest(a.a_start, i.i_start) + 1 AS overlap_s
+      |FROM acts a JOIN inc i
+      |  ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+      |ORDER BY a.u, a.day, i.incident_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
     Op("ev_f2_skew_sketch", f2SkewSketch, Some(f2SkewSketchSql)),
+    Op("ev_interval_join", intervalJoin, Some(intervalJoinSql)),
     Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),

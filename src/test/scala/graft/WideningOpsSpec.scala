@@ -210,6 +210,34 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ev_interval_join: bucket equi-join equals the brute range join, pairs unduplicated") {
+    val got = run("ev_interval_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val ev = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(col("user_id"), col("es"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val acts = ev.groupBy(e => (e._1, e._2 / 86400)).map { case ((u, d), es) =>
+      (u, d, es.map(_._2).min, es.map(_._2).max)
+    }.toSeq
+    val errHrs = ev.filter(_._3 == "error").groupBy(_._2 / 3600)
+      .map { case (hr, es) => (hr, es.size.toLong) }.toSeq.sortBy(_._1)
+    // gaps-and-islands: consecutive hours merge
+    val islands = errHrs.foldLeft(Vector.empty[(Long, Long, Long)]) {
+      case (acc, (hr, n)) =>
+        if (acc.nonEmpty && acc.last._2 == hr * 3600 - 1)
+          acc.init :+ ((acc.last._1, (hr + 1) * 3600 - 1, acc.last._3 + n))
+        else acc :+ ((hr * 3600, (hr + 1) * 3600 - 1, n))
+    }.zipWithIndex.map { case ((s, e, n), i) => (i + 1, s, e, n) }
+    val brute = (for {
+      (u, d, as, ae) <- acts
+      (iid, is, ie, n) <- islands if as <= ie && is <= ae
+    } yield (u, d, iid, n, math.min(ae, ie) - math.max(as, is) + 1))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.length == brute.length, s"${got.length} pairs vs brute ${brute.length}")
+    assert(got.toSeq == brute, "overlap pairs or seconds differ from the brute range join")
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
