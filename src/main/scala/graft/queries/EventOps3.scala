@@ -585,14 +585,25 @@ object EventOps3 {
   private val AmsCounters = 15 // 5 groups of 3 — odd group count = single-rank median
   private val AmsGroups = 5
 
-  private def f2SkewSketch(s: SparkSession, dir: String): DataFrame = {
-    val ev = withEs(s, dir).select(col("event_type"), col("user_id").as("u"))
+  /** The AMS counter vector per event type over (event_type, user_id)
+    * rows — shared with the stream_f2 gate: every column is a plain
+    * SUM (order-insensitive, merges by addition), so a streaming
+    * Complete-mode aggregation maintains the sketch as |types|-row
+    * state exactly like stream_hll maintains max-reduced registers.
+    */
+  private[graft] def f2Counters(ev: DataFrame): DataFrame = {
     val hashed = ev.select(col("event_type"),
-      expr("CAST(conv(substr(md5(CAST(u AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
     val zCols = (0 until AmsCounters).map(j =>
       sum(expr(s"1 - 2 * ((h DIV ${1L << j}) % 2)")).as(s"z$j"))
-    val z = hashed.groupBy("event_type")
+    hashed.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), zCols: _*)
+  }
+
+  /** Median-of-means finalization + the exact-F2 audit join; `z` may
+    * come from the batch aggregation or a drained streaming sink.
+    */
+  private[graft] def f2Finalize(z: DataFrame, ev: DataFrame): DataFrame = {
     val stackExpr = (0 until AmsCounters).map(j => s"$j, z$j")
       .mkString(s"stack($AmsCounters, ", ", ", ")")
     val means = z.selectExpr("event_type", "n_events", s"$stackExpr AS (j, zv)")
@@ -603,7 +614,7 @@ object EventOps3 {
         Window.partitionBy("event_type").orderBy(col("gmean"), col("g"))))
       .filter(col("rnk") === (AmsGroups + 1) / 2)
       .select(col("event_type"), col("n_events"), col("gmean").as("f2_est"))
-    val exact = ev.groupBy("event_type", "u").agg(count(lit(1)).as("f"))
+    val exact = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("f"))
       .groupBy("event_type").agg(sum(col("f") * col("f")).as("f2_exact"))
     med.join(exact, "event_type")
       .select(col("event_type"), col("n_events"), col("f2_exact"), col("f2_est"),
@@ -611,7 +622,12 @@ object EventOps3 {
       .orderBy("event_type")
   }
 
-  private val f2SkewSketchSql =
+  private def f2SkewSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    f2Finalize(f2Counters(ev), ev)
+  }
+
+  private[graft] val f2SkewSketchSql =
     s"""WITH e AS (SELECT event_type, user_id AS u FROM events),
       |h AS (SELECT event_type,
       |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS h FROM e),

@@ -486,6 +486,36 @@ object StreamOps {
   }
 
   // ---------------------------------------------------------------
+  // stream_f2 — the AMS second-moment sketch (ev_f2_skew_sketch) as
+  // STREAMING STATE: stream_hll proves max-reduced registers stream;
+  // this proves the other merge algebra — SUM-reduced counters. The
+  // per-type Z vector is 16 plain sums, so a Complete-mode streaming
+  // aggregation maintains the sketch bounded at |types| rows no
+  // matter how long the stream runs (each micro-batch's partials ADD
+  // into state — the "counters add across shards" claim executed by
+  // the streaming runtime, not just asserted). Drained state
+  // finalizes through the SAME median-of-means + exact-audit path as
+  // the batch op, so the streamed sketch must hash-match the batch
+  // DuckDB oracle bit-for-bit.
+  // ---------------------------------------------------------------
+  private def streamF2(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_f2_src")
+    Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_f2_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val z = graft.queries.EventOps3.f2Counters(
+      s.readStream.schema(schema).parquet(src))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(z, name, OutputMode.Complete(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.queries.EventOps3.f2Finalize(s.table(name),
+      Tables.events(s, dir).select(col("event_type"), col("user_id")))
+  }
+
+  // ---------------------------------------------------------------
   // stream_session_window — the DECLARATIVE streaming sessionizer:
   // Spark's built-in session_window() operator (gap-merged event-time
   // windows, watermark-expired state) through the DuckDB hash gate,
@@ -834,6 +864,7 @@ object StreamOps {
     Op("stream_session_window", streamSessionWindow,
       Some(graft.queries.EventOps.sessionizeSql)),
     Op("stream_hll", streamHll, Some(graft.queries.EventOps.hllDistinctSql)),
+    Op("stream_f2", streamF2, Some(graft.queries.EventOps3.f2SkewSketchSql)),
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Op("stream_sliding", streamSliding, Some(streamSlidingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),

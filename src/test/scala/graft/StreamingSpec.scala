@@ -50,6 +50,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally EventStream.restoreStateStoreConf(spark, priorState)
   }
 
+  test("stream_f2: AMS counters ADD across micro-batches into bounded state") {
+    val tmp = Files.createTempDirectory("graft_stream_f2_multi").toString
+    Tables.events(spark, sfDir).select(col("event_type"), col("user_id"))
+      .repartition(4).write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val ckpt = Files.createTempDirectory("graft_stream_f2_ckpt").toString
+    // one file per trigger forces the sum-merge across SEVERAL batches
+    // — the single-drain oracle gate never exercises that path
+    val z = graft.queries.EventOps3.f2Counters(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(tmp))
+    EventStream.runAvailableNow(z, "f2_multi", OutputMode.Complete(), ckpt)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 micro-batches, got $batches")
+    val got = spark.table("f2_multi").orderBy("event_type").collect()
+    val want = graft.queries.EventOps3.f2Counters(spark.read.parquet(tmp))
+      .orderBy("event_type").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    // bounded state: one row per type regardless of stream length
+    assert(got.length ==
+      spark.read.parquet(tmp).select("event_type").distinct().count())
+  }
+
   test("streaming tumbling window agg matches batch") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
