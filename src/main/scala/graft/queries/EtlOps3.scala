@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Op, Tables}
+import graft.etl.Merger
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -346,6 +347,98 @@ object EtlOps3 {
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // etl_bitemporal — bitemporal historization (valid time ×
+  // transaction time), the capability SCD2 alone can't express:
+  // etl_scd2_pointintime answers "which version was valid at fact
+  // time V"; a bitemporal table ALSO answers "…as we KNEW it at
+  // transaction time T" — the audit/restatement query (why did last
+  // year's report differ?) and the ML reproducibility query (rebuild
+  // the features exactly as the training run saw them). Construction
+  // on the deterministic 3-batch revision history of the customer
+  // dimension: batch1 (recorded 1995-01-01) loads every customer
+  // effective 1992-01-01; batch2 (1997-01-01) changes every 3rd
+  // customer's segment effective 1996-01-01 (a NEW valid interval);
+  // batch3 (1999-01-01) RETRO-CORRECTS every 5th customer's original
+  // record at the SAME valid_from 1992-01-01 (a restatement: later
+  // knowledge about old valid time — the case that breaks plain
+  // SCD2). Transaction intervals come from the SAME Merger.scd2
+  // kernel keyed on (cust, business valid_from) ordered by recording
+  // date; a 3×3 probe grid (tx_asof × valid_asof) then reconstructs
+  // the dimension at each knowledge/validity point — for every 15th
+  // customer the grid provably disagrees cell-by-cell: at
+  // (tx 1999, valid 1994) the retro-FIX wins; at (tx 1999,
+  // valid 2000) the 1996 V2 row wins (the fix only restated the OLD
+  // interval); at (tx 1995, ·) neither is known yet.
+  //
+  // Plan shape: dimension-sized unions → one (cust, valid_from)
+  // window (the tx-SCD2) → broadcast 9-row probe spine (constant) →
+  // per-(probe, cust) argmax window — every window is partitioned on
+  // dimension-grain keys; at 100 TB the dimension is still the small
+  // side and the probe spine is a literal.
+  // ---------------------------------------------------------------
+  private def bitemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    def d(x: String) = to_date(lit(x))
+    val b1 = c.select(col("ck"), col("seg"),
+      d("1992-01-01").as("v_from"), d("1995-01-01").as("tx_at"))
+    val b2 = c.filter(col("ck") % 3 === 0).select(col("ck"),
+      concat(col("seg"), lit("-V2")).as("seg"),
+      d("1996-01-01").as("v_from"), d("1997-01-01").as("tx_at"))
+    val b3 = c.filter(col("ck") % 5 === 0).select(col("ck"),
+      concat(col("seg"), lit("-FIX")).as("seg"),
+      d("1992-01-01").as("v_from"), d("1999-01-01").as("tx_at"))
+    val bt = Merger.scd2(b1.unionByName(b2).unionByName(b3),
+        Seq("ck", "v_from"), Seq(col("tx_at")), col("tx_at"))
+      .withColumnRenamed("valid_from", "tx_from")
+      .withColumnRenamed("valid_to", "tx_to")
+    val probes = Seq("1995-06-01", "1997-06-01", "1999-06-01")
+      .flatMap(t => Seq("1994-01-01", "1996-06-01", "2000-01-01").map(v => (t, v)))
+      .toDF("tx_asof", "valid_asof")
+      .select(to_date(col("tx_asof")).as("tx_asof"),
+        to_date(col("valid_asof")).as("valid_asof"))
+    val w = Window.partitionBy("tx_asof", "valid_asof", "ck")
+      .orderBy(col("v_from").desc)
+    bt.crossJoin(broadcast(probes))
+      .filter(col("tx_from") <= col("tx_asof") && col("tx_asof") < col("tx_to"))
+      .filter(col("v_from") <= col("valid_asof"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("tx_asof", "valid_asof", "seg")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("tx_asof", "valid_asof", "seg")
+  }
+
+  private val bitemporalSql =
+    """WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+      |vers AS (
+      |  SELECT ck, seg, DATE '1992-01-01' AS v_from, DATE '1995-01-01' AS tx_at FROM c
+      |  UNION ALL
+      |  SELECT ck, seg || '-V2', DATE '1996-01-01', DATE '1997-01-01' FROM c WHERE ck % 3 = 0
+      |  UNION ALL
+      |  SELECT ck, seg || '-FIX', DATE '1992-01-01', DATE '1999-01-01' FROM c WHERE ck % 5 = 0),
+      |bt AS (
+      |  SELECT ck, seg, v_from, tx_at AS tx_from,
+      |    coalesce(lead(tx_at) OVER (PARTITION BY ck, v_from ORDER BY tx_at),
+      |             DATE '9999-12-31') AS tx_to
+      |  FROM vers),
+      |probes AS (
+      |  SELECT t.tx_asof, v.valid_asof
+      |  FROM (SELECT unnest([DATE '1995-06-01', DATE '1997-06-01', DATE '1999-06-01']) AS tx_asof) t
+      |  CROSS JOIN (SELECT unnest([DATE '1994-01-01', DATE '1996-06-01', DATE '2000-01-01']) AS valid_asof) v),
+      |known AS (
+      |  SELECT p.tx_asof, p.valid_asof, b.ck, b.seg, b.v_from,
+      |    row_number() OVER (PARTITION BY p.tx_asof, p.valid_asof, b.ck
+      |      ORDER BY b.v_from DESC) AS rn
+      |  FROM bt b CROSS JOIN probes p
+      |  WHERE b.tx_from <= p.tx_asof AND p.tx_asof < b.tx_to
+      |    AND b.v_from <= p.valid_asof)
+      |SELECT tx_asof, valid_asof, seg, count(*) AS n_cust
+      |FROM known WHERE rn = 1
+      |GROUP BY 1, 2, 3
+      |ORDER BY tx_asof, valid_asof, seg""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_skew_audit — partition-balance audit of the fact table's
   // physical layout key (the pre-flight read a partitioning strategy
   // is chosen BY: a partition whose row share is many × the even
@@ -625,6 +718,7 @@ object EtlOps3 {
     Op("etl_retention_policy", retentionPolicy, Some(retentionPolicySql)),
     Op("etl_l_diversity", lDiversity, Some(lDiversitySql)),
     Op("etl_t_closeness", tCloseness, Some(tClosenessSql)),
+    Op("etl_bitemporal", bitemporal, Some(bitemporalSql)),
     Op("etl_skew_audit", skewAudit, Some(skewAuditSql)),
     Op("meta_freshness", freshness, Some(freshnessSql)),
     Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)))

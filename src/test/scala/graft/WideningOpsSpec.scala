@@ -238,6 +238,46 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == brute, "overlap pairs or seconds differ from the brute range join")
   }
 
+  test("etl_bitemporal: probe-grid reconstruction equals a brute bitemporal re-derivation") {
+    val got = run("etl_bitemporal").collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString, r.getString(2), r.getLong(3)))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // the op's synthetic revision history, re-derived independently:
+    // (ck, seg, valid_from, tx_at)
+    val vers = cust.map { case (ck, s) => (ck, s, "1992-01-01", "1995-01-01") } ++
+      cust.filter(_._1 % 3 == 0).map { case (ck, s) => (ck, s + "-V2", "1996-01-01", "1997-01-01") } ++
+      cust.filter(_._1 % 5 == 0).map { case (ck, s) => (ck, s + "-FIX", "1992-01-01", "1999-01-01") }
+    val probes = for {
+      t <- Seq("1995-06-01", "1997-06-01", "1999-06-01")
+      v <- Seq("1994-01-01", "1996-06-01", "2000-01-01")
+    } yield (t, v)
+    val brute = probes.flatMap { case (t, v) =>
+      // knowledge at t: per (ck, valid_from) the LAST version recorded <= t
+      val known = vers.filter(_._4 <= t)
+        .groupBy(x => (x._1, x._3)).values.map(_.maxBy(_._4)).toSeq
+      // validity at v: per ck the greatest valid_from <= v
+      known.filter(_._3 <= v).groupBy(_._1).values.map(_.maxBy(_._3))
+        .groupBy(_._2).map { case (seg, rs) => (t, v, seg, rs.size.toLong) }
+    }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq == brute, "bitemporal grid differs from brute re-derivation")
+    // the two bitemporal laws, asserted directly on a %15 key (has BOTH
+    // the V2 interval and the retro-FIX): old valid time sees the FIX,
+    // current valid time sees V2, and tx 1995 knows neither
+    val k15 = cust.find(_._1 % 15 == 0)
+    assert(k15.nonEmpty)
+    val (ck, seg) = k15.get
+    def cell(t: String, v: String): String = {
+      val known = vers.filter(x => x._1 == ck && x._4 <= t)
+        .groupBy(_._3).values.map(_.maxBy(_._4)).toSeq
+      known.filter(_._3 <= v).maxBy(_._3)._2
+    }
+    assert(cell("1999-06-01", "1994-01-01") == seg + "-FIX")
+    assert(cell("1999-06-01", "2000-01-01") == seg + "-V2")
+    assert(cell("1995-06-01", "2000-01-01") == seg)
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
