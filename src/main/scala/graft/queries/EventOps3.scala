@@ -724,8 +724,128 @@ object EventOps3 {
       |  ON a.a_start <= i.i_end AND i.i_start <= a.a_end
       |ORDER BY a.u, a.day, i.incident_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_shapley_attribution — game-theoretic channel attribution, the
+  // PRINCIPLED credit model beside ev_multitouch's linear split:
+  // Shapley values over the 4 non-purchase touch channels. Each
+  // user's coalition = the SET of channels touched BEFORE their
+  // first purchase (order-dependent → mask diversity; never-buyers
+  // contribute their full set); the characteristic function
+  // v(S) = heavy-converter rate of the users exposed to EXACTLY S
+  // (heavy = ≥ 14 lifetime purchases — the corpus generator holds
+  // per-user purchase rates constant across SF, so the threshold
+  // splits ~half the users at every scale), in exact ppm; unobserved
+  // coalitions carry v = 0 (the no-evidence-is-no-value convention,
+  // explicit by construction of the completed 16-row grid). Channel
+  // i's Shapley value is
+  //   φ_i = Σ_{S ⊆ N∖{i}} |S|!·(n−1−|S|)!/n! · (v(S∪{i}) − v(S))
+  // emitted as the EXACT ×24 integer numerator (n = 4, n! = 24;
+  // marginals can be negative and a truncating DIV of a negative
+  // differs between engines — the ×24 numerator needs no division at
+  // all). The efficiency axiom Σφ_i = v(N) − v(∅) is spec-locked.
+  //
+  // Plan shape: one (user, type) min-epoch aggregate (the only
+  // fact-sized shuffle), user-grain mask assembly, then ALL algebra
+  // on the completed 16-row grid — the 8-pairs-per-channel
+  // marginal join is 16×4 rows joined to 16. At 100 TB only the
+  // first aggregate grows.
+  // ---------------------------------------------------------------
+  private val HeavyBuyThreshold = 14
+
+  private def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEs(s, dir).select(col("user_id").as("u"),
+      col("event_type").as("ty"), col("es"))
+    val t = ev.groupBy("u", "ty").agg(min(col("es")).as("t0"), count(lit(1)).as("n"))
+    val fp = t.filter(col("ty") === "purchase")
+      .select(col("u"), col("t0").as("fp"), col("n").as("n_buy"))
+    val touches = t.filter(col("ty") =!= "purchase")
+      .join(fp.select("u", "fp"), Seq("u"), "left")
+      .filter(col("fp").isNull || col("t0") < col("fp"))
+      .withColumn("bit", expr(
+        "CASE ty WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"))
+      .groupBy("u").agg(sum(col("bit")).as("mask"))
+    val cohorts = t.select("u").distinct()
+      .join(touches, Seq("u"), "left")
+      .join(fp.select("u", "n_buy"), Seq("u"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"),
+        (coalesce(col("n_buy"), lit(0L)) >= HeavyBuyThreshold).cast("long").as("conv"))
+      .groupBy("mask").agg(count(lit(1)).as("n_u"), sum(col("conv")).as("n_c"))
+    val grid = s.range(16).select(col("id").as("mask"))
+      .join(cohorts, Seq("mask"), "left")
+      .select(col("mask"), coalesce(col("n_u"), lit(0L)).as("n_u"),
+        coalesce(col("n_c"), lit(0L)).as("n_c"))
+      .withColumn("v_ppm",
+        expr("CASE WHEN n_u > 0 THEN n_c * 1000000 DIV n_u ELSE 0 END"))
+    val channels = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+      .toDF("channel", "bit")
+    val marginals = grid.crossJoin(broadcast(channels))
+      .filter(expr("(mask DIV bit) % 2 = 0"))
+      .withColumn("mask2", col("mask") + col("bit"))
+      .join(grid.select(col("mask").as("mask2"), col("v_ppm").as("v2_ppm")), Seq("mask2"))
+      .withColumn("sz", expr(
+        "(mask DIV 1) % 2 + (mask DIV 2) % 2 + (mask DIV 4) % 2 + (mask DIV 8) % 2"))
+      .withColumn("wgt", expr("CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+    val shap = marginals.groupBy("channel", "bit")
+      .agg(sum(expr("wgt * (v2_ppm - v_ppm)")).as("shapley_x24_ppm"))
+    val exposed = grid.crossJoin(broadcast(channels))
+      .filter(expr("(mask DIV bit) % 2 = 1"))
+      .groupBy("channel", "bit")
+      .agg(sum(col("n_u")).as("n_exposed"), sum(col("n_c")).as("n_conv_exposed"))
+    shap.join(exposed, Seq("channel", "bit"))
+      .join(grid.select(col("mask").as("bit"), col("v_ppm").as("v_solo_ppm")),
+        Seq("bit"))
+      .select("channel", "n_exposed", "n_conv_exposed", "v_solo_ppm", "shapley_x24_ppm")
+      .orderBy("channel")
+  }
+
+  private val shapleyAttributionSql =
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS ty,
+      |    (epoch_ns(ts) // 1000000000) AS es FROM events),
+      |t AS (SELECT u, ty, min(es) AS t0, count(*) AS n FROM ev GROUP BY 1, 2),
+      |fp AS (SELECT u, t0 AS fp, n AS n_buy FROM t WHERE ty = 'purchase'),
+      |tou AS (SELECT t.u, CAST(sum(CASE t.ty WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT) AS mask
+      |  FROM t LEFT JOIN fp ON fp.u = t.u
+      |  WHERE t.ty <> 'purchase' AND (fp.fp IS NULL OR t.t0 < fp.fp)
+      |  GROUP BY 1),
+      |coh AS (SELECT coalesce(m.mask, 0) AS mask, count(*) AS n_u,
+      |    CAST(sum(CASE WHEN coalesce(f.n_buy, 0) >= $HeavyBuyThreshold
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+      |  FROM (SELECT DISTINCT u FROM t) uni
+      |  LEFT JOIN tou m ON m.u = uni.u
+      |  LEFT JOIN fp f ON f.u = uni.u
+      |  GROUP BY 1),
+      |grid AS (SELECT r.mask, coalesce(c.n_u, 0) AS n_u, coalesce(c.n_c, 0) AS n_c,
+      |    CASE WHEN coalesce(c.n_u, 0) > 0
+      |         THEN coalesce(c.n_c, 0) * 1000000 // c.n_u ELSE 0 END AS v_ppm
+      |  FROM (SELECT unnest(range(16)) AS mask) r
+      |  LEFT JOIN coh c ON c.mask = r.mask),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |    ('signup', 4), ('view', 8)) AS v(channel, bit)),
+      |pr AS (SELECT c.channel, c.bit, a.v_ppm, b.v_ppm AS v2_ppm,
+      |    (a.mask // 1) % 2 + (a.mask // 2) % 2
+      |      + (a.mask // 4) % 2 + (a.mask // 8) % 2 AS sz
+      |  FROM grid a CROSS JOIN ch c
+      |  JOIN grid b ON b.mask = a.mask + c.bit
+      |  WHERE (a.mask // c.bit) % 2 = 0),
+      |shap AS (SELECT channel, bit,
+      |    CAST(sum((CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+      |      * (v2_ppm - v_ppm)) AS BIGINT) AS shapley_x24_ppm
+      |  FROM pr GROUP BY 1, 2),
+      |expo AS (SELECT c.channel, c.bit, CAST(sum(g.n_u) AS BIGINT) AS n_exposed,
+      |    CAST(sum(g.n_c) AS BIGINT) AS n_conv_exposed
+      |  FROM grid g CROSS JOIN ch c WHERE (g.mask // c.bit) % 2 = 1 GROUP BY 1, 2)
+      |SELECT s.channel, e.n_exposed, e.n_conv_exposed,
+      |  g.v_ppm AS v_solo_ppm, s.shapley_x24_ppm
+      |FROM shap s
+      |JOIN expo e ON e.channel = s.channel
+      |JOIN grid g ON g.mask = s.bit
+      |ORDER BY s.channel""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
+    Op("ev_shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
     Op("ev_f2_skew_sketch", f2SkewSketch, Some(f2SkewSketchSql)),
     Op("ev_interval_join", intervalJoin, Some(intervalJoinSql)),
     Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),

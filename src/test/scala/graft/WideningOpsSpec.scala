@@ -278,6 +278,45 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(cell("1995-06-01", "2000-01-01") == seg)
   }
 
+  test("ev_shapley_attribution: values equal a brute Shapley computation and satisfy efficiency") {
+    val got = run("ev_shapley_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq("click", "error", "signup", "view"))
+    val ev = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("es"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bits = Map("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+    val byUser = ev.groupBy(_._1)
+    // coalition mask = channels touched before the first purchase;
+    // conversion = >= 14 lifetime purchases
+    // .toSeq BEFORE .map — a tuple-valued map over a Map would rebuild
+    // a Map and silently dedup users by mask (§7.1 hard-won rule)
+    val users = byUser.toSeq.map { case (_, es) =>
+      val fp = es.filter(_._2 == "purchase").map(_._3).minOption
+      val mask = es.filter(e => e._2 != "purchase" && fp.forall(e._3 < _))
+        .map(e => bits(e._2)).distinct.sum
+      val conv = es.count(_._2 == "purchase") >= 14
+      (mask, conv)
+    }
+    val v = (0L until 16L).map { m =>
+      val in = users.filter(_._1 == m)
+      m -> (if (in.isEmpty) 0L else in.count(_._2).toLong * 1000000L / in.size)
+    }.toMap
+    def sz(m: Long): Long = (0 to 3).map(j => (m >> j) & 1L).sum
+    def w(s: Long): Long = Seq(6L, 2L, 2L, 6L)(s.toInt)
+    got.foreach { case (ch, nExp, nConvExp, vSolo, shap) =>
+      val bit = bits(ch)
+      val expUsers = users.filter(u => (u._1 & bit) != 0)
+      assert(nExp == expUsers.size && nConvExp == expUsers.count(_._2))
+      assert(vSolo == v(bit))
+      val brute = (0L until 16L).filter(m => (m & bit) == 0)
+        .map(m => w(sz(m)) * (v(m + bit) - v(m))).sum
+      assert(shap == brute, s"Shapley x24 at $ch")
+    }
+    // efficiency axiom: the x24 values sum to 24 * (v(full) - v(empty))
+    assert(got.map(_._5).sum == 24L * (v(15L) - v(0L)), "efficiency axiom")
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
