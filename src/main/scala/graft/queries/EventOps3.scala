@@ -500,7 +500,14 @@ object EventOps3 {
         col("n_inter"), col("n_union"), col("est_a"), col("est_b"),
         when(col("n_a") <= KmvK && col("n_b") <= KmvK, col("n_union"))
           .otherwise(expr(s"${KmvK - 1}L * $KmvDomain DIV hk_u")).as("est_union"),
-        expr(s"c_below * $KmvDomain DIV theta_p").as("est_inter"))
+        expr(s"c_below * $KmvDomain DIV theta_p").as("est_inter"),
+        // set DIFFERENCE = churn (active day A, gone day B): exact is
+        // |A| − |A∩B|; the sketch estimate is SUBTRACTION-only
+        // (est_a − est_inter) — a truncating DIV of a negative would
+        // differ between engines, a difference of two already-emitted
+        // nonnegative estimates cannot
+        (col("n_a") - col("n_inter")).as("n_churn"),
+        (col("est_a") - expr(s"c_below * $KmvDomain DIV theta_p")).as("est_churn"))
       .orderBy("day_a", "day_b")
   }
 
@@ -545,7 +552,9 @@ object EventOps3 {
       |  CASE WHEN p.n_a <= $KmvK AND p.n_b <= $KmvK
       |       THEN p.n_a + p.n_b - coalesce(i.n_inter, 0)
       |       ELSE ${KmvK - 1} * $KmvDomain // m.hk_u END AS est_union,
-      |  coalesce(c.c_below, 0) * $KmvDomain // p.theta_p AS est_inter
+      |  coalesce(c.c_below, 0) * $KmvDomain // p.theta_p AS est_inter,
+      |  p.n_a - coalesce(i.n_inter, 0) AS n_churn,
+      |  p.est_a - coalesce(c.c_below, 0) * $KmvDomain // p.theta_p AS est_churn
       |FROM pairs p
       |LEFT JOIN inter i ON i.day_a = p.day_a AND i.day_b = p.day_b
       |JOIN msk m ON m.day_a = p.day_a AND m.day_b = p.day_b

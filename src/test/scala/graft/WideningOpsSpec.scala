@@ -126,6 +126,9 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
       val th = math.min(theta(a), theta(b))
       val c = sketch(a).toSet.intersect(sketch(b).toSet).count(_ < th)
       assert(r.getLong(9) == c * D / th, s"inter est at $da/$db")
+      // churn (A∖B): exact and the subtraction-only estimate
+      assert(r.getLong(10) == a.size - a.intersect(b).size, s"exact churn at $da/$db")
+      assert(r.getLong(11) == est(a) - c * D / th, s"churn est at $da/$db")
     }
   }
 
