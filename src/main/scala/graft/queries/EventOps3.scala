@@ -852,9 +852,110 @@ object EventOps3 {
       |JOIN grid g ON g.mask = s.bit
       |ORDER BY s.channel""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_quantile_certified — distributed quantiles with a CERTIFIED
+  // deterministic rank-error bound, the guarantee the log2-bucket
+  // histogram (ev_quantile_sketch, est ∈ [exact, 2·exact) in VALUE
+  // space) can't give: a bound in RANK space, |exact_rank −
+  // est_rank| ≤ (chunks+1)·s — the terasort-sampler / GK-class
+  // scheme. Construction: hash-partition the corpus into 64 chunks
+  // (md5 of event_id — deterministic), sort each chunk by
+  // (cents, h) and keep every s-th element WITH its exact
+  // within-chunk rank, s = ceil(N/32768) (data-adaptive like
+  // ivfStride: a fixed s would let the sample grow linearly; a fixed
+  // sample CAP keeps the merged sample ≤ ~32k rows at ANY corpus
+  // size). The merged sample's global position j then estimates rank
+  // j·s: each chunk's strided subset undercounts the true
+  // below-x count by < s (its partial stride segment), so 64 chunks
+  // plus the read-out quantization give the certified ≤ 65·s bound —
+  // ~0.2% of N, emitted per decile as in_bound BESIDE the exact rank
+  // audit (the audit is itself engine-exact: (cents, h)
+  // lexicographic rank, duplicate-safe by the hash tiebreak).
+  //
+  // Plan shape: one partitioned window per chunk (64-way — at 100 TB
+  // the chunk count scales with cluster width, not data), then a
+  // grain-preserving (chunk, rk) aggregate that PROVES the sample
+  // bounded (≤ 64·512 rows by construction — the global sample
+  // ranking below it is guard-legal and genuinely tiny), and the
+  // audit pass: corpus × 9 broadcast picks → map-side-combined
+  // conditional count. Two metadata count actions (N, m), oracle-
+  // replicated as scalar subqueries.
+  // ---------------------------------------------------------------
+  private val QcChunks = 64L
+  private val QcCap = 4096L // small enough that the GATE corpus strides (s=3 at sf0.01); ε = 65/4096 ≈ 1.6% rank error — a deployment raises the cap to its ε budget
+
+  private def quantileCertified(s: SparkSession, dir: String): DataFrame = {
+    val v = withEs(s, dir).select(
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+      expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val n = v.count()
+    val stride = math.max(1L, (n + QcCap - 1) / QcCap)
+    val wc = Window.partitionBy("chunk").orderBy("c", "h")
+    val samples = v.withColumn("chunk", pmod(col("h"), lit(QcChunks)))
+      .withColumn("rk", row_number().over(wc))
+      .filter((col("rk") - 1) % stride === 0)
+      .groupBy("chunk", "rk").agg(min(col("c")).as("c"), min(col("h")).as("h"))
+    val m = samples.count()
+    val ranked = samples
+      .withColumn("j", row_number().over(Window.orderBy("c", "h")))
+    val picks = s.range(1, 10).select(col("id").as("decile"))
+      .withColumn("target_rank", expr(s"decile * ${n}L DIV 10"))
+      .withColumn("jstar",
+        greatest(lit(1L), least(lit(m), expr(s"target_rank DIV ${stride}L"))))
+      .join(ranked.select(col("j").as("jstar"), col("c").as("est_cents"),
+        col("h").as("est_h")), Seq("jstar"))
+      .withColumn("est_rank", col("jstar") * stride)
+    val exact = v.crossJoin(broadcast(picks.select("decile", "est_cents", "est_h")))
+      .filter(col("c") < col("est_cents") ||
+        (col("c") === col("est_cents") && col("h") < col("est_h")))
+      .groupBy("decile").agg(count(lit(1)).as("exact_rank"))
+    picks.join(exact, Seq("decile"), "left")
+      .withColumn("exact_rank", coalesce(col("exact_rank"), lit(0L)))
+      .select(col("decile"), lit(n).as("n_total"), lit(stride).as("stride"),
+        lit(m).as("m_samples"), col("target_rank"), col("est_cents"),
+        col("est_rank"), col("exact_rank"),
+        (col("exact_rank") - col("target_rank")).as("err_vs_target"),
+        (abs(col("exact_rank") - col("est_rank")) <= lit((QcChunks + 1) * stride))
+          .cast("int").as("in_bound"))
+      .orderBy("decile")
+  }
+
+  private val quantileCertifiedSql =
+    s"""WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |n AS (SELECT count(*) AS nt FROM v),
+      |st AS (SELECT GREATEST(1, (nt + ${QcCap - 1}) // $QcCap) AS s FROM n),
+      |r AS (SELECT c, h, h % $QcChunks AS chunk,
+      |    row_number() OVER (PARTITION BY h % $QcChunks ORDER BY c, h) AS rk FROM v),
+      |samp AS (SELECT chunk, rk, c, h FROM r
+      |  WHERE (rk - 1) % (SELECT s FROM st) = 0),
+      |rnk AS (SELECT c, h, row_number() OVER (ORDER BY c, h) AS j FROM samp),
+      |m AS (SELECT count(*) AS ms FROM samp),
+      |dec AS (SELECT unnest(range(1, 10)) AS d),
+      |pick AS (SELECT dec.d, n.nt, st.s, m.ms,
+      |    dec.d * n.nt // 10 AS target,
+      |    GREATEST(1, LEAST(m.ms, (dec.d * n.nt // 10) // st.s)) AS jstar
+      |  FROM dec, n, st, m),
+      |est AS (SELECT p.*, r2.c AS est_c, r2.h AS est_h, p.jstar * p.s AS est_rank
+      |  FROM pick p JOIN rnk r2 ON r2.j = p.jstar),
+      |ex AS (SELECT e.d, count(*) AS exact_rank
+      |  FROM v CROSS JOIN est e
+      |  WHERE v.c < e.est_c OR (v.c = e.est_c AND v.h < e.est_h)
+      |  GROUP BY 1)
+      |SELECT e.d AS decile, e.nt AS n_total, e.s AS stride, e.ms AS m_samples,
+      |  e.target AS target_rank, e.est_c AS est_cents, e.est_rank,
+      |  coalesce(x.exact_rank, 0) AS exact_rank,
+      |  coalesce(x.exact_rank, 0) - e.target AS err_vs_target,
+      |  CAST(CASE WHEN abs(coalesce(x.exact_rank, 0) - e.est_rank)
+      |       <= ${QcChunks + 1} * e.s THEN 1 ELSE 0 END AS INT) AS in_bound
+      |FROM est e LEFT JOIN ex x ON x.d = e.d
+      |ORDER BY e.d""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ev_kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
     Op("ev_shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
+    Op("ev_quantile_certified", quantileCertified, Some(quantileCertifiedSql)),
     Op("ev_f2_skew_sketch", f2SkewSketch, Some(f2SkewSketchSql)),
     Op("ev_interval_join", intervalJoin, Some(intervalJoinSql)),
     Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),

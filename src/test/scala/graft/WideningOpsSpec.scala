@@ -320,6 +320,42 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._5).sum == 24L * (v(15L) - v(0L)), "efficiency axiom")
   }
 
+  test("ev_quantile_certified: sample, picks and audit equal a brute re-derivation") {
+    val got = run("ev_quantile_certified").collect()
+    assert(got.length == 9)
+    val ev = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def h60(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val vs = ev.map { case (c, id) => (c, h60(id)) }
+    val n = vs.length.toLong
+    val s = math.max(1L, (n + 4095) / 4096)
+    val samples = vs.groupBy(_._2 % 64).toSeq.flatMap { case (_, chunk) =>
+      chunk.sortBy(identity).zipWithIndex
+        .filter { case (_, i) => i % s == 0 } // rk-1 ≡ 0 (mod s)
+        .map(_._1)
+    }.sorted
+    val m = samples.length.toLong
+    got.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == m)
+      val target = d * n / 10
+      val jstar = math.max(1L, math.min(m, target / s))
+      val (ec, eh) = samples((jstar - 1).toInt)
+      assert(r.getLong(4) == target && r.getLong(5) == ec)
+      assert(r.getLong(6) == jstar * s, s"est_rank at decile $d")
+      val exact = vs.count(x => x._1 < ec || (x._1 == ec && x._2 < eh)).toLong
+      assert(r.getLong(7) == exact, s"exact_rank at decile $d")
+      assert(r.getLong(8) == exact - target)
+      assert(r.getInt(9) == 1 && math.abs(exact - jstar * s) <= 65 * s,
+        s"certified bound violated at decile $d")
+    }
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
