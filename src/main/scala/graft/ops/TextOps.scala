@@ -234,6 +234,92 @@ object TextOps {
       |ORDER BY doc_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // txt_bm25 — retrieval-grade ranking for a fixed query, the scorer
+  // txt_tfidf isn't: BM25's two innovations are term-frequency
+  // SATURATION (the 10th 'spark' is worth less than the 2nd — raw
+  // tf·idf grows linearly forever) and document-LENGTH normalization
+  // (a term hit in a short doc outranks the same hit in a long one).
+  // Both are EXACTLY rational with k1 = 6/5, b = 3/4: multiplying
+  // the classic tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) through by
+  // 20·avgdl gives
+  //   contribution = idf_ppm · 44·tf·avgdl DIV (20·avgdl·tf + 6·avgdl + 18·dl)
+  // — all BIGINT, truncating DIV over positives, engine-identical
+  // (avgdl = Σdl DIV N, the same integer quantization every ppm op
+  // documents). The idf is the repo's established log-free surrogate
+  // ((N−df)·10⁶ DIV df — txt_tfidf's rationale: ln() is
+  // libm-dependent, NOT bit-portable), CAPPED at 21·10⁶ (≈ the
+  // ln-scale ceiling at 10⁹ docs) so idf·44·tf·avgdl keeps BIGINT
+  // headroom at any corpus size; per term the surrogate is a
+  // monotone function of df, so within-term ranking is unchanged vs
+  // ln-idf and only the cross-term mix differs (documented
+  // deviation). Query = one rare + two common terms so the idf
+  // spread and the saturation path are both exercised.
+  //
+  // Plan shape: postings + dl are the two corpus-sized map-side-
+  // combined aggregates txt_tfidf already pays; the query filter is
+  // a 3-row broadcast join (at 100 TB the postings join touches only
+  // the query terms' postings); top-20 compiles to
+  // TakeOrderedAndProject — k-bounded, no global sort.
+  // ---------------------------------------------------------------
+  private val Bm25Query = Seq("dup", "spark", "merge")
+  private val Bm25IdfCap = 21000000L
+
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val postings = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // integer DIV, not double division + cast: Spark's cast truncates
+    // where a float sum could already have drifted at 10^15 tokens
+    val avg = dl.agg(expr("CAST(sum(dl) DIV count(1) AS BIGINT)").as("avgdl"))
+    val dfreq = postings.join(broadcast(Bm25Query.toDF("term")), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_ppm",
+        least(expr(s"(${nDocs}L - df) * 1000000 DIV df"), lit(Bm25IdfCap)))
+    postings.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .withColumn("c_ppm", expr(
+        "idf_ppm * (44 * tf * avgdl) DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms_hit"),
+        sum(col("c_ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Sql = {
+    val terms = Bm25Query.map(t => s"('$t')").mkString(", ")
+    s"""WITH postings AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |avg AS (SELECT CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM dl),
+      |q AS (SELECT * FROM (VALUES $terms) AS v(term)),
+      |dfreq AS (SELECT tf.term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+      |idf AS (SELECT term, df,
+      |    LEAST((n.n_docs - df) * 1000000 // df, $Bm25IdfCap) AS idf_ppm
+      |  FROM dfreq CROSS JOIN n),
+      |c AS (SELECT tf.doc_id, dl.dl,
+      |    idf.idf_ppm * (44 * tf.tf * a.avgdl)
+      |      // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl) AS c_ppm
+      |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avg a),
+      |scored AS (SELECT doc_id, max(dl) AS dl,
+      |    CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |    CAST(sum(c_ppm) AS BIGINT) AS score_ppm
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, dl, n_terms_hit, score_ppm FROM (
+      |  SELECT *, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rk
+      |  FROM scored) z
+      |WHERE rk <= 20
+      |ORDER BY score_ppm DESC, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // txt_pii_scrub — PII redaction, the compliance gate every
   // training-data pipeline runs before tokenization. The corpus is
   // synthetic (no real PII), so the op DERIVES deterministic
@@ -729,6 +815,7 @@ object TextOps {
       |ORDER BY source""".stripMargin
 
   val ops: Seq[Op] = Seq(
+    Op("txt_bm25", bm25, Some(bm25Sql)),
     Op("txt_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
     Op("txt_readability", readability, Some(readabilitySql)),
     Op("txt_surprisal", surprisal, Some(surprisalSql)),

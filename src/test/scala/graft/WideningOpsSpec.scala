@@ -356,6 +356,31 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("txt_bm25: top-20 equals a brute BM25 re-derivation, saturation and length-norm hold") {
+    val got = run("txt_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val n = docsRaw.length.toLong
+    val dl = docsRaw.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val avgdl = dl.values.sum / n
+    val query = Seq("dup", "spark", "merge")
+    val dfm = query.map(t => t -> docsRaw.count(_._2.contains(t)).toLong).toMap
+    def idf(t: String): Long = math.min((n - dfm(t)) * 1000000L / dfm(t), 21000000L)
+    def contrib(t: String, tf: Long, d: Long): Long =
+      idf(t) * (44L * tf * avgdl) / (20L * avgdl * tf + 6L * avgdl + 18L * d)
+    val scored = docsRaw.map { case (id, ts) =>
+      val hits = query.map(t => t -> ts.count(_ == t).toLong).filter(_._2 > 0)
+      (id, dl(id), hits.size.toLong, hits.map { case (t, tf) => contrib(t, tf, dl(id)) }.sum)
+    }.filter(_._3 > 0).sortBy(x => (-x._4, x._1)).take(20)
+    assert(got.toSeq == scored.toSeq, "top-20 differs from brute BM25")
+    // saturation: doubling tf less than doubles the contribution
+    assert(contrib("spark", 8, avgdl) < 2 * contrib("spark", 4, avgdl))
+    // length normalization: the same tf in a doc twice as long scores lower
+    assert(contrib("spark", 4, 2 * avgdl) < contrib("spark", 4, avgdl))
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
