@@ -713,6 +713,73 @@ object EventOps3 {
       .orderBy("u", "day", "incident_id")
   }
 
+  // ---------------------------------------------------------------
+  // ev_interval_join_keyed — interval-overlap join where BOTH sides
+  // are fact-sized, the case ev_interval_join's global incident side
+  // sidesteps (its right side is incident-count-sized, so at scale a
+  // planner would just broadcast it). Here the right side is
+  // PER-USER error bursts (consecutive error-presence hours per
+  // user — gaps-and-islands windowed PER USER, no global window at
+  // all), so both relations grow with the corpus and neither
+  // broadcasts. The join key is (user, bucket): the entity key
+  // co-partitions both sides — the shuffle is one hash exchange per
+  // side and a hot user is at worst one user's intervals, never a
+  // cross-user blowup — and the bucket explode + residual range +
+  // greatest-start dedup work exactly as in the global variant.
+  // Answers "how much of each user's daily activity happened inside
+  // their OWN error bursts" — the per-entity SLA/incident exposure.
+  // ---------------------------------------------------------------
+  private def intervalJoinKeyed(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+    val acts = ev.groupBy(col("user_id").as("u"), expr("es DIV 86400").as("day"))
+      .agg(min(col("es")).as("a_start"), max(col("es")).as("a_end"))
+    val errHours = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("u"), expr("es DIV 3600").as("hr"))
+      .agg(count(lit(1)).as("n_err"))
+    val bursts = errHours
+      .withColumn("grp", col("hr") - row_number().over(
+        Window.partitionBy("u").orderBy("hr")))
+      .groupBy("u", "grp")
+      .agg((min(col("hr")) * 3600).as("i_start"),
+        ((max(col("hr")) + 1) * 3600 - 1).as("i_end"),
+        sum(col("n_err")).as("n_err"))
+      .withColumn("burst_id", row_number().over(
+        Window.partitionBy("u").orderBy("i_start")))
+      .drop("grp")
+    val aB = acts.withColumn("bkt",
+      explode(expr(s"sequence(a_start DIV $IvalBucket, a_end DIV $IvalBucket)")))
+    val iB = bursts.withColumn("bkt",
+      explode(expr(s"sequence(i_start DIV $IvalBucket, i_end DIV $IvalBucket)")))
+    aB.join(iB, Seq("u", "bkt"))
+      .filter(col("a_start") <= col("i_end") && col("i_start") <= col("a_end"))
+      .filter(col("bkt") === expr(s"greatest(a_start, i_start) DIV $IvalBucket"))
+      .select(col("u"), col("day"), col("burst_id"), col("n_err"),
+        (least(col("a_end"), col("i_end")) - greatest(col("a_start"), col("i_start")) + 1)
+          .as("overlap_s"))
+      .orderBy("u", "day", "burst_id")
+  }
+
+  private val intervalJoinKeyedSql =
+    """WITH ev AS (SELECT user_id AS u,
+      |    (epoch_ns(ts) // 1000000000) AS es, event_type FROM events),
+      |acts AS (SELECT u, es // 86400 AS day,
+      |    min(es) AS a_start, max(es) AS a_end FROM ev GROUP BY 1, 2),
+      |eh AS (SELECT u, es // 3600 AS hr, count(*) AS n_err FROM ev
+      |  WHERE event_type = 'error' GROUP BY 1, 2),
+      |isl0 AS (SELECT u, hr, n_err,
+      |    hr - row_number() OVER (PARTITION BY u ORDER BY hr) AS grp FROM eh),
+      |isl AS (SELECT u, min(hr) * 3600 AS i_start,
+      |    (max(hr) + 1) * 3600 - 1 AS i_end, CAST(sum(n_err) AS BIGINT) AS n_err
+      |  FROM isl0 GROUP BY u, grp),
+      |br AS (SELECT u, i_start, i_end, n_err,
+      |    CAST(row_number() OVER (PARTITION BY u ORDER BY i_start) AS INT) AS burst_id
+      |  FROM isl)
+      |SELECT a.u, a.day, b.burst_id, b.n_err,
+      |  least(a.a_end, b.i_end) - greatest(a.a_start, b.i_start) + 1 AS overlap_s
+      |FROM acts a JOIN br b
+      |  ON b.u = a.u AND a.a_start <= b.i_end AND b.i_start <= a.a_end
+      |ORDER BY a.u, a.day, b.burst_id""".stripMargin
+
   private val intervalJoinSql =
     """WITH ev AS (SELECT user_id AS u,
       |    (epoch_ns(ts) // 1000000000) AS es, event_type FROM events),
@@ -958,6 +1025,7 @@ object EventOps3 {
     Op("ev_quantile_certified", quantileCertified, Some(quantileCertifiedSql)),
     Op("ev_f2_skew_sketch", f2SkewSketch, Some(f2SkewSketchSql)),
     Op("ev_interval_join", intervalJoin, Some(intervalJoinSql)),
+    Op("ev_interval_join_keyed", intervalJoinKeyed, Some(intervalJoinKeyedSql)),
     Op("ev_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),

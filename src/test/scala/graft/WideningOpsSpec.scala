@@ -381,6 +381,34 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(contrib("spark", 4, 2 * avgdl) < contrib("spark", 4, avgdl))
   }
 
+  test("ev_interval_join_keyed: co-keyed bucket join equals the brute per-user range join") {
+    val got = run("ev_interval_join_keyed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val ev = graft.queries.EventOps.withEs(spark, sfDir)
+      .select(col("user_id"), col("es"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val acts = ev.groupBy(e => (e._1, e._2 / 86400)).toSeq.map { case ((u, d), es) =>
+      (u, d, es.map(_._2).min, es.map(_._2).max)
+    }
+    val bursts = ev.filter(_._3 == "error").groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val hrs = es.groupBy(_._2 / 3600).toSeq
+        .map { case (hr, xs) => (hr, xs.size.toLong) }.sortBy(_._1)
+      hrs.foldLeft(Vector.empty[(Long, Long, Long)]) { case (acc, (hr, n)) =>
+        if (acc.nonEmpty && acc.last._2 == hr * 3600 - 1)
+          acc.init :+ ((acc.last._1, (hr + 1) * 3600 - 1, acc.last._3 + n))
+        else acc :+ ((hr * 3600, (hr + 1) * 3600 - 1, n))
+      }.zipWithIndex.map { case ((s, e, n), i) => (u, i + 1, s, e, n) }
+    }
+    val brute = (for {
+      (u, d, as, ae) <- acts
+      (bu, bid, is, ie, n) <- bursts if bu == u && as <= ie && is <= ae
+    } yield (u, d, bid, n, math.min(ae, ie) - math.max(as, is) + 1))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.length == brute.length, s"${got.length} pairs vs brute ${brute.length}")
+    assert(got.toSeq == brute, "keyed overlap pairs differ from the brute range join")
+  }
+
   test("graph_connected_components matches a brute union-find census") {
     val got = run("graph_connected_components").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
