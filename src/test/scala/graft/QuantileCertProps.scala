@@ -51,6 +51,40 @@ object QuantileCertProps extends Properties("graft.quantcert") {
       sample(vs0.toSeq, s).size <= Chunks + vs0.size / s
     }
 
+  // r10: the chunk count is now DATA-ADAPTIVE (derived from the
+  // corpus count) — the telescoping argument must hold for ANY chunk
+  // count, not just the floor of 64 the gate corpora exercise.
+  private def sampleK(vs: Seq[(Long, Long)], s: Long, k: Long): Seq[(Long, Long)] =
+    vs.groupBy(_._2 % k).values.toSeq.flatMap { chunk =>
+      chunk.sortBy(identity).zipWithIndex
+        .filter { case (_, i) => i % s == 0 }.map(_._1)
+    }.sorted
+
+  property("the rank bound holds for ANY chunk count (adaptive-chunks derivation)") =
+    Prop.forAll(corpus, Gen.choose(1L, 7L), Gen.choose(1L, 25L)) { (vs0, s, k) =>
+      val vs = vs0.toSeq
+      sampleK(vs, s, k).zipWithIndex.forall { case (x, i0) =>
+        val exact = vs.count(v => v._1 < x._1 || (v._1 == x._1 && v._2 < x._2))
+        math.abs(exact - (i0 + 1L) * s) <= (k + 1) * s
+      }
+    }
+
+  // the op's derived constants, pinned as arithmetic over any corpus
+  // size: chunks = max(64, ceil(n/T)) keeps the average per-chunk
+  // slab ≤ T rows, and cap = 64·chunks keeps the certified bound
+  // (chunks+1)·ceil(n/cap) a ~constant FRACTION of n (≤ n/32 plus
+  // the small-corpus additive floor) — i.e. growing the chunk count
+  // with the data does NOT let the bound outgrow the corpus.
+  property("derived chunks bound the slab and keep the bound fractional") =
+    Prop.forAll(Gen.choose(1L, 1L << 50)) { n =>
+      val T = 1L << 22
+      val chunks = math.max(64L, (n + T - 1) / T)
+      val cap = chunks * 64L
+      val stride = math.max(1L, (n + cap - 1) / cap)
+      val bound = (chunks + 1) * stride
+      n <= chunks * T && bound <= n / 32 + 2 * (chunks + 1)
+    }
+
   // the pick rule's clamp: for every target in [0, N] the picked
   // index is a valid sample position
   property("jstar clamp always lands inside the sample") =

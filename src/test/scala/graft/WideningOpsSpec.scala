@@ -333,8 +333,12 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
         .substring(0, 15), 16)
     val vs = ev.map { case (c, id) => (c, h60(id)) }
     val n = vs.length.toLong
-    val s = math.max(1L, (n + 4095) / 4096)
-    val samples = vs.groupBy(_._2 % 64).toSeq.flatMap { case (_, chunk) =>
+    // the same data-adaptive derivation as the op: chunk count from the
+    // corpus count, cap = 64 samples per chunk, stride from the cap
+    val chunks = math.max(64L, (n + (1L << 22) - 1) / (1L << 22))
+    val cap = chunks * 64L
+    val s = math.max(1L, (n + cap - 1) / cap)
+    val samples = vs.groupBy(_._2 % chunks).toSeq.flatMap { case (_, chunk) =>
       chunk.sortBy(identity).zipWithIndex
         .filter { case (_, i) => i % s == 0 } // rk-1 ≡ 0 (mod s)
         .map(_._1)
@@ -342,16 +346,17 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     val m = samples.length.toLong
     got.foreach { r =>
       val d = r.getLong(0)
-      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == m)
+      assert(r.getLong(1) == n && r.getLong(2) == chunks)
+      assert(r.getLong(3) == s && r.getLong(4) == m)
       val target = d * n / 10
       val jstar = math.max(1L, math.min(m, target / s))
       val (ec, eh) = samples((jstar - 1).toInt)
-      assert(r.getLong(4) == target && r.getLong(5) == ec)
-      assert(r.getLong(6) == jstar * s, s"est_rank at decile $d")
+      assert(r.getLong(5) == target && r.getLong(6) == ec)
+      assert(r.getLong(7) == jstar * s, s"est_rank at decile $d")
       val exact = vs.count(x => x._1 < ec || (x._1 == ec && x._2 < eh)).toLong
-      assert(r.getLong(7) == exact, s"exact_rank at decile $d")
-      assert(r.getLong(8) == exact - target)
-      assert(r.getInt(9) == 1 && math.abs(exact - jstar * s) <= 65 * s,
+      assert(r.getLong(8) == exact, s"exact_rank at decile $d")
+      assert(r.getLong(9) == exact - target)
+      assert(r.getInt(10) == 1 && math.abs(exact - jstar * s) <= (chunks + 1) * s,
         s"certified bound violated at decile $d")
     }
   }
