@@ -53,6 +53,11 @@ private[graft] object Cc {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    // the round's freshly-created checkpoint, tracked until it is
+    // swapped into `labels`: if labelSum(next) or the old round's
+    // free throws AFTER the checkpoint succeeded, the catch below
+    // must release these blocks too or they stay parked for the run
+    var inflight: Option[(DataFrame, Set[Int])] = None
     try {
       while (!converged && rounds < maxRounds) {
         val viaNeighbors = edges
@@ -67,10 +72,12 @@ private[graft] object Cc {
         val (next, nextIds) = Rounds.checkpoint(
           minned.join(lut, minned("label") === lut("lid"))
             .select(minned("v"), col("llabel").as("label")))
+        inflight = Some((next, nextIds))
         val nextSum = labelSum(next)
         Rounds.free(labels, labelIds)
         labelIds = nextIds
         labels = next
+        inflight = None
         converged = nextSum == prevSum // labels only ever decrease
         prevSum = nextSum
         rounds += 1
@@ -81,7 +88,9 @@ private[graft] object Cc {
             s"pointer-jumping rounds (component diameter > ~2^$maxRounds?)")
     } catch {
       case e: Throwable =>
-        // failure path: release the loop's storage before propagating
+        // failure path: release the loop's storage (including an
+        // in-flight round not yet swapped in) before propagating
+        inflight.foreach { case (df, ids) => Rounds.free(df, ids) }
         Rounds.free(labels, labelIds)
         edges.unpersist(blocking = false)
         throw e

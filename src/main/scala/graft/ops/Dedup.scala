@@ -229,7 +229,9 @@ object Dedup {
     cellStageMemo.clear()
     cellStageLatest.clear()
     Similarity.resetKnnStage(deleteDirQuietly)
-    GraphOps.resetStage()
+    // the active session (Bench, specs) lets the graph stage DROP its
+    // catalog tables before their backing dirs go away
+    GraphOps.resetStage(org.apache.spark.sql.SparkSession.getActiveSession)
   }
 
   /** Build every snapshot-staged corpus artifact in dependency order

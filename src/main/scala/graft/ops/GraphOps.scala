@@ -47,13 +47,16 @@ object GraphOps {
     * edges⨝mass-on-src superstep join plans with NO exchange on the
     * |E|-sized side — only the skinny |V|-sized mass relation
     * shuffles per round (BucketingSpec proves the no-shuffle shape).
-    * Bucket count matches the session's shuffle parallelism: when
-    * both superstep join children satisfy the clustered distribution,
-    * EnsureRequirements keeps the child with MORE partitions and
-    * re-exchanges the other — a bucket count below
+    * Bucket count is DERIVED from the BUILDING session's shuffle
+    * parallelism at stage-build time (floor 32, and part of the memo
+    * key so a wider session rebuilds rather than reuse a narrower
+    * stage): when both superstep join children satisfy the clustered
+    * distribution, EnsureRequirements keeps the child with MORE
+    * partitions and re-exchanges the other — a bucket count below
     * spark.sql.shuffle.partitions would put the |E| side on the
     * losing end of that rule and re-shuffle it every round (observed
-    * at 8 buckets vs 32 shuffle partitions). At cluster scale, size
+    * at 8 buckets vs 32 shuffle partitions; a hardcoded 32 had the
+    * same failure on a >32-core Bench host). At cluster scale, size
     * buckets to |E| and keep them ≥ the shuffle parallelism.
     * The previous localCheckpoint staging materialized edges with
     * arbitrary partitioning, so at cluster scale every round paid a
@@ -64,7 +67,10 @@ object GraphOps {
     * dir (no snapshot ⇒ no safe memo) falls back to the inline
     * localCheckpoint staging — correct, never stale.
     */
-  private[graft] val PgBuckets = 32
+  private[graft] val PgMinBuckets = 32
+  private[graft] def pgBuckets(s: SparkSession): Int =
+    math.max(PgMinBuckets,
+      s.conf.get("spark.sql.shuffle.partitions", PgMinBuckets.toString).toInt)
   private val pgStageMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private val pgStageLatest =
@@ -99,7 +105,8 @@ object GraphOps {
           .localCheckpoint()
         (edges, outdeg)
       case Some(h) =>
-        val key = s"$dir@$h"
+        val nb = pgBuckets(s)
+        val key = s"$dir@$h@b$nb"
         val (et, ot, _) = pgStageLock.synchronized {
           // resetStage has no session: it queues its table names here
           // and the next staged access (this one) drops them, so dead
@@ -127,21 +134,21 @@ object GraphOps {
                   catch { case _: Exception => () }
                   deleteDirQuietly(p)
                 }
-              val edgesTable = s"graft_pg_edges_$h"
-              val outdegTable = s"graft_pg_outdeg_$h"
+              val edgesTable = s"graft_pg_edges_${h}_b$nb"
+              val outdegTable = s"graft_pg_outdeg_${h}_b$nb"
               val path = graft.sources.SourceOps.tmpDir("graft_pg_stage")
               s.sql(s"DROP TABLE IF EXISTS $edgesTable")
               s.sql(s"DROP TABLE IF EXISTS $outdegTable")
               // repartition on the bucket key first ⇒ one file per
               // bucket, so bucket-sorted reads stay sorted
               purchaseGraphEdgesPlan(s, dir)
-                .repartition(PgBuckets, col("src"))
+                .repartition(nb, col("src"))
                 .write.mode("overwrite").option("path", s"$path/edges")
-                .bucketBy(PgBuckets, "src").sortBy("src").saveAsTable(edgesTable)
+                .bucketBy(nb, "src").sortBy("src").saveAsTable(edgesTable)
               s.table(edgesTable).groupBy("src").agg(count(lit(1)).as("outdeg"))
-                .repartition(PgBuckets, col("src"))
+                .repartition(nb, col("src"))
                 .write.mode("overwrite").option("path", s"$path/outdeg")
-                .bucketBy(PgBuckets, "src").sortBy("src").saveAsTable(outdegTable)
+                .bucketBy(nb, "src").sortBy("src").saveAsTable(outdegTable)
               val entry = (edgesTable, outdegTable, path)
               pgStageMemo.put(key, entry)
               pgStageLatest.put(dir, key)
@@ -156,17 +163,27 @@ object GraphOps {
   private val pgPendingDrop =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  /** Drop staged purchase-graph dirs and queue the catalog-table
-    * drops (Bench's explicit staging phase re-times the build). No
-    * SparkSession is available here, so the table names go on
-    * [[pgPendingDrop]] and the next [[purchaseGraph]] call — which
-    * has one — executes the DROPs before serving anything.
+  /** Drop staged purchase-graph tables and their backing dirs
+    * (Bench's explicit staging phase re-times the build). When a
+    * session is available the catalog DROPs run FIRST, so there is
+    * no window where the catalog holds external tables whose data
+    * paths are already gone (a stray s.table(graft_pg_*) read or a
+    * catalog enumeration in that window would fail on the missing
+    * path). The [[pgPendingDrop]] queue — drained by the next
+    * [[purchaseGraph]] call — remains only for the truly session-less
+    * path (and for a DROP that itself failed).
     */
-  private[ops] def resetStage(): Unit = {
+  private[ops] def resetStage(sOpt: Option[SparkSession]): Unit = {
     import scala.jdk.CollectionConverters._
     pgStageMemo.values.asScala.foreach { case (e, o, p) =>
-      pgPendingDrop.add(e)
-      pgPendingDrop.add(o)
+      Seq(e, o).foreach { t =>
+        sOpt match {
+          case Some(s) =>
+            try s.sql(s"DROP TABLE IF EXISTS $t")
+            catch { case _: Exception => pgPendingDrop.add(t) }
+          case None => pgPendingDrop.add(t)
+        }
+      }
       deleteDirQuietly(p)
     }
     pgStageMemo.clear()
@@ -246,7 +263,8 @@ object GraphOps {
       outdeg.select(col("src").as("v"), lit(1000000L).as("mass")))
     var residual = Long.MaxValue
     var rounds = 0
-    while (residual > PrTolPpm && rounds < PrMaxRounds) {
+    try {
+      while (residual > PrTolPpm && rounds < PrMaxRounds) {
       // the superstep carries the previous round's mass alongside the
       // new one, so the residual is a map-side scan of the round's
       // OWN checkpoint blocks — not a second |V|-join job per round
@@ -256,23 +274,32 @@ object GraphOps {
       // so each round is ONE job, not a checkpoint job + an agg job
       // (scheduler work only — wall-clock is exchange-bound at sf0.1,
       // measured no change; the freeing contract is in Rounds).
-      val (next, ids) = Rounds.checkpoint(eager = false, df = edges
-        .join(mass.withColumnRenamed("v", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))
-        .groupBy("v").agg(sum(col("contrib")).as("inflow"))
-        .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass"))
-        .join(mass.select(col("v"), col("mass").as("prev")), "v"))
-      residual = next.agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
-      Rounds.free(mass, massIds)
-      mass = next.select(col("v"), col("mass"))
-      massIds = ids
-      rounds += 1
+        val (next, ids) = Rounds.checkpoint(eager = false, df = edges
+          .join(mass.withColumnRenamed("v", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))
+          .groupBy("v").agg(sum(col("contrib")).as("inflow"))
+          .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass"))
+          .join(mass.select(col("v"), col("mass").as("prev")), "v"))
+        try residual = next.agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
+        catch { case e: Throwable => Rounds.free(next, ids); throw e }
+        Rounds.free(mass, massIds)
+        mass = next.select(col("v"), col("mass"))
+        massIds = ids
+        rounds += 1
+      }
+      if (residual > PrTolPpm)
+        throw new IllegalStateException(
+          s"graph_pagerank_converged: residual $residual ppm > $PrTolPpm " +
+            s"after $PrMaxRounds rounds — graph mixing slower than the cap allows")
+    } catch {
+      // failure path: the loop's storage (incl. the final round on the
+      // cap-exceeded throw) must not stay parked — same convention as
+      // Cc.minLabelComponents
+      case e: Throwable =>
+        Rounds.free(mass, massIds)
+        throw e
     }
-    if (residual > PrTolPpm)
-      throw new IllegalStateException(
-        s"graph_pagerank_converged: residual $residual ppm > $PrTolPpm " +
-          s"after $PrMaxRounds rounds — graph mixing slower than the cap allows")
     mass.select(col("v"),
         when(col("v") % 2 === 0, "customer").otherwise("supplier").as("entity"),
         expr("v DIV 2").as("key"), col("mass").as("mass_ppm"),

@@ -40,10 +40,21 @@ class R9PlanShapeSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("bucket count is not below the session shuffle parallelism (the EnsureRequirements losing-side rule)") {
-    assert(graft.ops.GraphOps.PgBuckets >=
+    assert(graft.ops.GraphOps.pgBuckets(spark) >=
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       "buckets < shuffle partitions puts the |E| side on the losing end " +
         "of EnsureRequirements and re-shuffles it every superstep")
+    // the derivation, not just this session's conf: a wider session
+    // must derive a wider bucket count (and a narrower one keeps the
+    // floor) — the r9 ADVICE failure mode was a >32-core Bench host
+    // silently re-shuffling |E| under a hardcoded 32
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "96")
+      assert(graft.ops.GraphOps.pgBuckets(spark) == 96)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      assert(graft.ops.GraphOps.pgBuckets(spark) == graft.ops.GraphOps.PgMinBuckets)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("q_market_basket: basket-array pipeline — no self-join, bounded scans") {
