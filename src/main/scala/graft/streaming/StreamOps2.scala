@@ -186,6 +186,122 @@ object StreamOps2 {
       |FROM rk WHERE rk <= $TopK
       |ORDER BY hour_epoch, rk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_kmv — the BOTTOM-K (KMV/theta) distinct sketch as
+  // STREAMING STATE, completing the streaming sketch family's merge
+  // algebras: stream_hll proves max-merge, stream_f2 proves
+  // sum-merge; bottom-k is NEITHER (it is a rank-merge — the
+  // bottom-k of a union is the bottom-k of the merged bottom-ks), so
+  // it cannot be a plain streaming aggregation and lives in
+  // flatMapGroupsWithState instead. State per day key: the K+1
+  // smallest DISTINCT 52-bit user hashes (K+1, not K: whether the
+  // sketch is EXHAUSTIVE — n ≤ K, the theta = D convention — is
+  // decidable from bounded state only by keeping one extra rank;
+  // the batch op decides it from the exact per-day count, which no
+  // bounded stream state can carry). The merge is associative and
+  // commutative, so micro-batch slicing cannot move the result —
+  // which is what lets it face a batch DuckDB oracle. The staged
+  // source is 4 files × maxFilesPerTrigger=1 (≥4 REAL cross-batch
+  // rank-merges, required loudly after the drain) + a per-day close
+  // sentinel file appended last (file-source order is by mod time;
+  // a sentinel that somehow arrived early throws in-state rather
+  // than silently dropping late hashes). Estimates finalize with the
+  // SAME integer rule as ev_kmv_set_ops: est = (K−1)·D DIV h_K,
+  // exhaustive days emit their exact distinct-hash count.
+  // At 100 TB: state is ≤ (K+1) longs per day key regardless of
+  // stream length, and the pre-state shuffle is keyed on day —
+  // a production deployment keys on (day, salt) and rank-merges the
+  // salted sketches exactly like the batch op's two-phase bottom-k.
+  // ---------------------------------------------------------------
+  private[graft] val KmvK = 8
+  private val KmvDomain = 4503599627370496L // 2^52, the batch op's domain
+
+  final case class KmvRow(t: Long, h: Long)
+  final case class KmvState(hashes: Array[Long], flushed: Boolean)
+  final case class KmvOut(t: Long, m_sketch: Long, theta: Long, est: Long)
+
+  /** Rank-merge one batch of hashes into a day's bottom-(K+1) state.
+    * Exposed for the spec's associativity/commutativity assertions.
+    */
+  private[graft] def kmvMerge(state: Array[Long], hs: Seq[Long]): Array[Long] =
+    (state ++ hs).distinct.sorted.take(KmvK + 1)
+
+  private[graft] def kmvSketch(rows: org.apache.spark.sql.Dataset[KmvRow])
+      : org.apache.spark.sql.Dataset[KmvOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.t)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (t: Long, it: Iterator[KmvRow], state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(Array.empty[Long], flushed = false))
+          var sawClose = false
+          val hs = it.flatMap { r =>
+            if (r.h == -1L) { sawClose = true; None } else Some(r.h)
+          }.toSeq
+          if (st.flushed && hs.nonEmpty)
+            throw new IllegalStateException(
+              s"stream_kmv: day $t received ${hs.size} hashes AFTER its close " +
+                "sentinel — the staged source's file order is broken")
+          val merged = kmvMerge(st.hashes, hs)
+          if (sawClose) {
+            state.update(KmvState(Array.empty[Long], flushed = true))
+            val m = merged.length.toLong
+            if (m <= KmvK) Iterator.single(KmvOut(t, m, KmvDomain, m))
+            else {
+              val hk = merged(KmvK - 1) // K-th smallest
+              Iterator.single(KmvOut(t, m, hk, (KmvK - 1).toLong * KmvDomain / hk))
+            }
+          } else {
+            state.update(KmvState(merged, flushed = false))
+            Iterator.empty
+          }
+      }
+  }
+
+  private def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_kmv_src")
+    val ev = Tables.events(s, dir)
+      .select(expr("ts DIV 1000000000 DIV 86400").as("t"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"))
+    ev.repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real rank-merge batches
+      .write.mode("overwrite").parquet(src)
+    // per-day close sentinels, appended LAST (later mod time ⇒ final batch)
+    ev.select(col("t")).distinct().select(col("t"), lit(-1L).as("h"))
+      .repartition(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_kmv_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val out = kmvSketch(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src).as[KmvRow])
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try EventStream.runAvailableNow(out.toDF(), name, OutputMode.Append(), ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(fedBatches >= 5,
+      s"stream_kmv: expected >=5 non-empty micro-batches (4 data + sentinel), saw $fedBatches")
+    s.table(name).orderBy("t")
+  }
+
+  private val streamKmvSql =
+    s"""WITH ut AS (SELECT DISTINCT
+      |  (epoch_ns(ts) // 1000000000) // 86400 AS t, user_id AS u FROM events),
+      |h0 AS (SELECT DISTINCT t,
+      |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 13))::BIGINT AS h FROM ut),
+      |r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h0),
+      |sk AS (SELECT t, count(*) AS m,
+      |    max(CASE WHEN rn <= $KmvK THEN h END) AS hk
+      |  FROM r WHERE rn <= ${KmvK + 1} GROUP BY t)
+      |SELECT t, CAST(m AS BIGINT) AS m_sketch,
+      |  CASE WHEN m <= $KmvK THEN $KmvDomain ELSE hk END AS theta,
+      |  CAST(CASE WHEN m <= $KmvK THEN m
+      |       ELSE ${KmvK - 1} * $KmvDomain // hk END AS BIGINT) AS est
+      |FROM sk
+      |ORDER BY t""".stripMargin
+
   val ops: Seq[Op] = Seq(
-    Op("stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersSql)))
+    Op("stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersSql)),
+    Op("stream_kmv", streamKmv, Some(streamKmvSql)))
 }

@@ -668,6 +668,39 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
   }
 
+  test("stream_kmv: streamed bottom-k sketch equals a brute per-day re-derivation; merge is order-free") {
+    import graft.streaming.StreamOps2
+    val got = run("stream_kmv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val D = 4503599627370496L
+    def h52(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val byDay = Tables.events(spark, sfDir)
+      .select(expr("ts DIV 1000000000 DIV 86400").as("t"), col("user_id"))
+      .collect().map(r => (r.getLong(0), h52(r.getLong(1))))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).distinct.sorted }
+    val expected = byDay.toSeq.sortBy(_._1).map { case (t, hs) =>
+      val sk = hs.take(StreamOps2.KmvK + 1)
+      if (sk.length <= StreamOps2.KmvK) (t, sk.length.toLong, D, sk.length.toLong)
+      else {
+        val hk = sk(StreamOps2.KmvK - 1)
+        (t, sk.length.toLong, hk, (StreamOps2.KmvK - 1).toLong * D / hk)
+      }
+    }
+    assert(got.toSeq == expected, "streamed sketch differs from brute bottom-k")
+    // estimation branch genuinely exercised at gate scale
+    assert(got.exists(_._2 == StreamOps2.KmvK + 1), "no day reached the estimating branch")
+    // the rank-merge is associative + commutative (micro-batch slicing
+    // and arrival order cannot move the state)
+    val hs = byDay.values.flatten.toSeq.distinct.take(40)
+    val (a, b, c) = (hs.take(15), hs.slice(15, 30), hs.drop(30))
+    val lhs = StreamOps2.kmvMerge(StreamOps2.kmvMerge(Array.empty[Long], a), b ++ c)
+    val rhs = StreamOps2.kmvMerge(StreamOps2.kmvMerge(Array.empty[Long], c ++ b), a)
+    assert(lhs.toSeq == rhs.toSeq, "kmvMerge is not order-free")
+  }
+
   test("etl_salted_agg: two-phase salted result equals the direct aggregate") {
     val salted = run("etl_salted_agg")
     val direct = Tables.load(spark, sfDir, "lineitem")
