@@ -24,7 +24,7 @@ object EtlOps {
     ExtractionPlanner.extract(s, dir, SampleCatalog.lineitem)
       .orderBy("Order_Key", "Line_Number")
 
-  private val metaExtractSql =
+  private[queries] val metaExtractSql =
     s"""SELECT l_orderkey AS Order_Key, l_linenumber AS Line_Number, l_quantity AS Quantity,
       | l_extendedprice AS Extended_Price,
       | ${SampleCatalog.netPriceExpr} AS Net_Price,

@@ -629,6 +629,65 @@ object EtlOps3 {
       |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // meta_jdbc_catalog — the catalog served from a LIVE JDBC DATABASE,
+  // closing the last fidelity delta to the reference's config store:
+  // the reference reads its TableConfig/ColumnConfig from a running
+  // MySQL schema at extraction time (staging_data_extraction.py:
+  // 300-329 reads and UPDATEs utility_staging in place; 1. Metadata
+  // Creation.sql creates it), where meta_extract reads the parquet
+  // MetaStore. Here the SAME typed catalog is seeded into embedded
+  // Derby through the JDBC sink (the sandbox's MySQL stand-in, as in
+  // src_jdbc), reloaded TYPED via spark.read.jdbc → Dataset decode,
+  // asserted field-for-field equal to the seeded catalog (any JDBC
+  // round-trip drift — type mapping, NULL vs Option, case folding,
+  // CLOB coercion — fails loudly here), and then drives the SAME
+  // configured lineitem extraction as meta_extract against the SAME
+  // oracle SQL: a catalog that survived the database round trip must
+  // produce a hash-identical extraction. Config relations are
+  // config-sized (single-connection read is the correct shape — the
+  // warn in Jdbc.read is for fact tables); the extraction is the
+  // one data-sized scan, identical to meta_extract's plan.
+  // ---------------------------------------------------------------
+  private val jdbcCatCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def metaJdbcCatalog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.meta.{Catalog, ColumnConfig, OutputColumnConfig, TableConfig}
+    val db = s"graft_cfg_${jdbcCatCounter.incrementAndGet()}"
+    def spec(t: String) = graft.sources.Jdbc.JdbcSourceSpec(
+      url = s"jdbc:derby:memory:$db;create=true", table = t)
+    val seeded = graft.meta.MetaStore.sample
+    graft.sources.Jdbc.write(seeded.tables.toDS().toDF(), spec("table_config"),
+      stringColumnTypes = Map("schemaName" -> 64, "tableName" -> 64,
+        "loadType" -> 16, "refreshFrequency" -> 16, "incrementalFilter" -> 512,
+        "stagingZonePath" -> 256, "curatedZonePath" -> 256))
+    graft.sources.Jdbc.write(seeded.columns.toDS().toDF(), spec("column_config"),
+      stringColumnTypes = Map("columnName" -> 64, "aliasName" -> 64,
+        "transformationLogic" -> 512))
+    graft.sources.Jdbc.write(seeded.outputColumns.toDS().toDF(),
+      spec("output_column_config"),
+      stringColumnTypes = Map("targetColumnName" -> 64, "targetDataType" -> 64,
+        "additionalTransform" -> 512))
+    val live = Catalog(
+      graft.sources.Jdbc.read(s, spec("table_config"))
+        .as[TableConfig].collect().toSeq.sortBy(_.tableId),
+      graft.sources.Jdbc.read(s, spec("column_config"))
+        .as[ColumnConfig].collect().toSeq.sortBy(_.columnId),
+      graft.sources.Jdbc.read(s, spec("output_column_config"))
+        .as[OutputColumnConfig].collect().toSeq.sortBy(_.outputColumnId))
+    val want = Catalog(seeded.tables.sortBy(_.tableId),
+      seeded.columns.sortBy(_.columnId),
+      seeded.outputColumns.sortBy(_.outputColumnId))
+    require(live == want,
+      "meta_jdbc_catalog: JDBC catalog round-trip drift — " +
+        s"tables ${live.tables.diff(want.tables)} columns ${live.columns.diff(want.columns)} " +
+        s"output ${live.outputColumns.diff(want.outputColumns)}")
+    graft.etl.ExtractionPlanner
+      .extract(s, dir, live.specFor(graft.meta.SampleCatalog.lineitem.table.tableId))
+      .orderBy("Order_Key", "Line_Number")
+  }
+
+  // ---------------------------------------------------------------
   // meta_dag_critical_path — the reference DAG's BARRIER STRUCTURE
   // as an analyzable relation (ref: dag/SMFG_DW_ETL_DAG.py: INIT →
   // per-table extract tasks fanned out under a concurrency pool →
@@ -721,5 +780,6 @@ object EtlOps3 {
     Op("etl_bitemporal", bitemporal, Some(bitemporalSql)),
     Op("etl_skew_audit", skewAudit, Some(skewAuditSql)),
     Op("meta_freshness", freshness, Some(freshnessSql)),
-    Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)))
+    Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)),
+    Op("meta_jdbc_catalog", metaJdbcCatalog, Some(EtlOps.metaExtractSql)))
 }

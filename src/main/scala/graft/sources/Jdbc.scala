@@ -41,6 +41,41 @@ object Jdbc {
       val home = java.nio.file.Files.createTempDirectory("graft_derby")
       System.setProperty("derby.system.home", home.toString)
     }
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(GraftDerbyDialect)
+  }
+
+  /** Derby dialect with VARCHAR strings. Spark's built-in Derby
+    * dialect maps StringType → CLOB, which breaks TWO things this
+    * library needs: Derby refuses to compare/sort CLOBs (worked
+    * around per-write with createTableColumnTypes until now), and —
+    * uncoverable by that option — a NULL in a string column makes the
+    * writer call setNull(Types.CLOB) against the VARCHAR column the
+    * option created, which Derby rejects (ERROR 22005). Nullable
+    * string config columns (Option[String] fields of the typed
+    * catalog) therefore need the DIALECT itself to say VARCHAR. A
+    * registered dialect SHADOWS the built-in one entirely, so the
+    * Derby-specific mappings Spark's dialect carries are replicated
+    * here; everything returning None falls back to Spark's common
+    * JDBC mappings (INTEGER/BIGINT/DECIMAL/DATE/TIMESTAMP — all
+    * Derby-correct).
+    */
+  private[sources] object GraftDerbyDialect
+      extends org.apache.spark.sql.jdbc.JdbcDialect {
+    import org.apache.spark.sql.jdbc.JdbcType
+    import org.apache.spark.sql.types._
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case StringType => Some(JdbcType("VARCHAR(4000)", java.sql.Types.VARCHAR))
+      case BooleanType => Some(JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+      case ByteType | ShortType => Some(JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+      case FloatType => Some(JdbcType("REAL", java.sql.Types.REAL))
+      case DoubleType => Some(JdbcType("DOUBLE", java.sql.Types.DOUBLE))
+      case _ => None
+    }
+    // the one read-side mapping Spark's Derby dialect overrides
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+        md: org.apache.spark.sql.types.MetadataBuilder): Option[DataType] =
+      if (sqlType == java.sql.Types.REAL) Some(FloatType) else None
   }
 
   /** Connection + parallelism spec for one JDBC source table.

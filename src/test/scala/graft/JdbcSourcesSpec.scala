@@ -24,6 +24,20 @@ class JdbcSourcesSpec extends AnyFunSuite with SparkSuite {
     assert(orig.join(back, cols, "left_anti").count() == 0)
   }
 
+  test("dialect round-trips NULL strings and booleans (typed catalog fidelity)") {
+    import spark.implicits._
+    // the meta_jdbc_catalog failure modes: Option[String] = None used
+    // to die in setNull(CLOB); Boolean must map to Derby BOOLEAN (the
+    // common fallback BIT(1) is not a Derby type)
+    val spec = freshSpec("CFG_NULLS")
+    val rows = Seq((1, Some("a"), true), (2, None: Option[String], false))
+      .toDF("id", "opt_str", "flag")
+    Jdbc.write(rows, spec)
+    val back = Jdbc.read(spark, spec).orderBy("id")
+      .as[(Int, Option[String], Boolean)].collect().toSeq
+    assert(back == Seq((1, Some("a"), true), (2, None, false)))
+  }
+
   test("partitioned read splits the key range into parallel scans") {
     val spec = freshSpec("ORDERS_PART").copy(
       partitionColumn = Some("o_orderkey"), numPartitions = 4)
