@@ -245,15 +245,21 @@ object TextOps {
   //   contribution = idf_ppm · 44·tf·avgdl DIV (20·avgdl·tf + 6·avgdl + 18·dl)
   // — all BIGINT, truncating DIV over positives, engine-identical
   // (avgdl = Σdl DIV N, the same integer quantization every ppm op
-  // documents). The idf is the repo's established log-free surrogate
-  // ((N−df)·10⁶ DIV df — txt_tfidf's rationale: ln() is
-  // libm-dependent, NOT bit-portable), CAPPED at 21·10⁶ (≈ the
-  // ln-scale ceiling at 10⁹ docs) so idf·44·tf·avgdl keeps BIGINT
-  // headroom at any corpus size; per term the surrogate is a
-  // monotone function of df, so within-term ranking is unchanged vs
-  // ln-idf and only the cross-term mix differs (documented
-  // deviation). Query = one rare + two common terms so the idf
-  // spread and the saturation path are both exercised.
+  // documents). The idf is EXACT ln-faithful (r10, deleting the v1
+  // deviation): idf_milli = lnMilli(2N+2) − lnMilli(2·df+1)
+  // ≈ 1000·ln((N+1)/(df+0.5)) — the classic BM25 idf — computed
+  // through a PRECOMPUTED integer table, the same pattern as HLL's
+  // linear-counting constants: lnMilli(x) decomposes x into
+  // 2^k · mantissa (k = length(bin(x)) − 1, identical in both
+  // engines — both bin()s drop leading zeros) and reads two 64-entry
+  // milli-ln tables interpolated into BOTH plans as literals, so no
+  // runtime transcendental executes on either engine and the
+  // cross-term mix is ln-faithful to ±6 milli (the mantissa table's
+  // 1/64 quantization; spec-pinned against real ln). Positive by
+  // construction (df ≤ N ⇒ 2N+2 > 2df+1); domain x < 2^55 covers
+  // any conceivable corpus count. Query = one rare + two common
+  // terms so the idf spread and the saturation path are both
+  // exercised.
   //
   // Plan shape: postings + dl are the two corpus-sized map-side-
   // combined aggregates txt_tfidf already pays; the query filter is
@@ -262,7 +268,44 @@ object TextOps {
   // TakeOrderedAndProject — k-bounded, no global sort.
   // ---------------------------------------------------------------
   private val Bm25Query = Seq("dup", "spark", "merge")
-  private val Bm25IdfCap = 21000000L
+
+  /** k·ln(2)·1000, ln(1 + i/64)·1000 and 2^k — the integer-ln tables,
+    * computed once driver-side and interpolated into both plans
+    * (HLL's precomputed-constant-table pattern: zero runtime
+    * transcendentals on either engine).
+    */
+  private val Bm25Ln2Milli: Seq[Long] =
+    (0 until 64).map(k => math.round(k * math.log(2.0) * 1000.0))
+  private val Bm25LnMantMilli: Seq[Long] =
+    (0 until 64).map(i => math.round(math.log(1.0 + i / 64.0) * 1000.0))
+  private val Bm25Pow2: Seq[Long] = (0 until 55).map(k => 1L << k)
+
+  /** lnMilli(x) ≈ 1000·ln(x) for 1 ≤ x < 2^55 as a Spark SQL
+    * expression over `x` (a column or literal expression string).
+    */
+  private def lnMilliSpark(x: String): String = {
+    val k = s"(length(bin($x)) - 1)"
+    val idx = s"CAST(($x) * 64 DIV element_at(array(${Bm25Pow2.mkString(",")}), $k + 1) - 64 AS INT)"
+    s"(element_at(array(${Bm25Ln2Milli.mkString(",")}), $k + 1) + " +
+      s"element_at(array(${Bm25LnMantMilli.mkString(",")}), $idx + 1))"
+  }
+
+  /** The same lnMilli as a DuckDB expression (list_extract / `//`). */
+  private def lnMilliDuck(x: String): String = {
+    val k = s"(length(bin($x)) - 1)"
+    val idx = s"CAST(($x) * 64 // list_extract([${Bm25Pow2.mkString(",")}], $k + 1) - 64 AS INT)"
+    s"(list_extract([${Bm25Ln2Milli.mkString(",")}], $k + 1) + " +
+      s"list_extract([${Bm25LnMantMilli.mkString(",")}], $idx + 1))"
+  }
+
+  /** Reference lnMilli for specs: the same table arithmetic in plain
+    * Scala, so the brute re-derivation shares no ENGINE with the op.
+    */
+  private[graft] def lnMilliRef(x: Long): Long = {
+    require(x >= 1 && x < (1L << 55), s"lnMilli domain: $x")
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    Bm25Ln2Milli(k) + Bm25LnMantMilli((x * 64 / Bm25Pow2(k) - 64).toInt)
+  }
 
   private def bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -276,17 +319,17 @@ object TextOps {
     val avg = dl.agg(expr("CAST(sum(dl) DIV count(1) AS BIGINT)").as("avgdl"))
     val dfreq = postings.join(broadcast(Bm25Query.toDF("term")), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("idf_ppm",
-        least(expr(s"(${nDocs}L - df) * 1000000 DIV df"), lit(Bm25IdfCap)))
+      .withColumn("idf_milli", expr(
+        s"${lnMilliSpark(s"${2 * nDocs + 2}L")} - ${lnMilliSpark("2 * df + 1")}"))
     postings.join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(avg))
-      .withColumn("c_ppm", expr(
-        "idf_ppm * (44 * tf * avgdl) DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
+      .withColumn("c_milli", expr(
+        "idf_milli * (44 * tf * avgdl) DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl)"))
       .groupBy("doc_id")
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms_hit"),
-        sum(col("c_ppm")).as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col("doc_id"))
+        sum(col("c_milli")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
       .limit(20)
   }
 
@@ -302,21 +345,21 @@ object TextOps {
       |q AS (SELECT * FROM (VALUES $terms) AS v(term)),
       |dfreq AS (SELECT tf.term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
       |idf AS (SELECT term, df,
-      |    LEAST((n.n_docs - df) * 1000000 // df, $Bm25IdfCap) AS idf_ppm
+      |    ${lnMilliDuck("2 * n.n_docs + 2")} - ${lnMilliDuck("2 * df + 1")} AS idf_milli
       |  FROM dfreq CROSS JOIN n),
       |c AS (SELECT tf.doc_id, dl.dl,
-      |    idf.idf_ppm * (44 * tf.tf * a.avgdl)
-      |      // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl) AS c_ppm
+      |    idf.idf_milli * (44 * tf.tf * a.avgdl)
+      |      // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl) AS c_milli
       |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN avg a),
       |scored AS (SELECT doc_id, max(dl) AS dl,
       |    CAST(count(*) AS BIGINT) AS n_terms_hit,
-      |    CAST(sum(c_ppm) AS BIGINT) AS score_ppm
+      |    CAST(sum(c_milli) AS BIGINT) AS score_milli
       |  FROM c GROUP BY 1)
-      |SELECT doc_id, dl, n_terms_hit, score_ppm FROM (
-      |  SELECT *, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rk
+      |SELECT doc_id, dl, n_terms_hit, score_milli FROM (
+      |  SELECT *, row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rk
       |  FROM scored) z
       |WHERE rk <= 20
-      |ORDER BY score_ppm DESC, doc_id""".stripMargin
+      |ORDER BY score_milli DESC, doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------

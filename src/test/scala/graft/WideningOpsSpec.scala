@@ -372,7 +372,16 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     val avgdl = dl.values.sum / n
     val query = Seq("dup", "spark", "merge")
     val dfm = query.map(t => t -> docsRaw.count(_._2.contains(t)).toLong).toMap
-    def idf(t: String): Long = math.min((n - dfm(t)) * 1000000L / dfm(t), 21000000L)
+    def idf(t: String): Long =
+      graft.ops.TextOps.lnMilliRef(2 * n + 2) - graft.ops.TextOps.lnMilliRef(2 * dfm(t) + 1)
+    // ln-faithfulness: the table idf is within the mantissa table's
+    // quantization of the REAL BM25 ln-idf (libm allowed in the TEST
+    // — the op itself never calls it at runtime)
+    query.foreach { t =>
+      val exact = math.log((n + 1.0) / (dfm(t) + 0.5)) * 1000.0
+      assert(math.abs(idf(t) - exact) <= 20.0,
+        s"idf($t)=${idf(t)} drifted from ln-idf $exact")
+    }
     def contrib(t: String, tf: Long, d: Long): Long =
       idf(t) * (44L * tf * avgdl) / (20L * avgdl * tf + 6L * avgdl + 18L * d)
     val scored = docsRaw.map { case (id, ts) =>
