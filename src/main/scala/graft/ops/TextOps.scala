@@ -269,43 +269,11 @@ object TextOps {
   // ---------------------------------------------------------------
   private val Bm25Query = Seq("dup", "spark", "merge")
 
-  /** k·ln(2)·1000, ln(1 + i/64)·1000 and 2^k — the integer-ln tables,
-    * computed once driver-side and interpolated into both plans
-    * (HLL's precomputed-constant-table pattern: zero runtime
-    * transcendentals on either engine).
-    */
-  private val Bm25Ln2Milli: Seq[Long] =
-    (0 until 64).map(k => math.round(k * math.log(2.0) * 1000.0))
-  private val Bm25LnMantMilli: Seq[Long] =
-    (0 until 64).map(i => math.round(math.log(1.0 + i / 64.0) * 1000.0))
-  private val Bm25Pow2: Seq[Long] = (0 until 55).map(k => 1L << k)
-
-  /** lnMilli(x) ≈ 1000·ln(x) for 1 ≤ x < 2^55 as a Spark SQL
-    * expression over `x` (a column or literal expression string).
-    */
-  private def lnMilliSpark(x: String): String = {
-    val k = s"(length(bin($x)) - 1)"
-    val idx = s"CAST(($x) * 64 DIV element_at(array(${Bm25Pow2.mkString(",")}), $k + 1) - 64 AS INT)"
-    s"(element_at(array(${Bm25Ln2Milli.mkString(",")}), $k + 1) + " +
-      s"element_at(array(${Bm25LnMantMilli.mkString(",")}), $idx + 1))"
-  }
-
-  /** The same lnMilli as a DuckDB expression (list_extract / `//`). */
-  private def lnMilliDuck(x: String): String = {
-    val k = s"(length(bin($x)) - 1)"
-    val idx = s"CAST(($x) * 64 // list_extract([${Bm25Pow2.mkString(",")}], $k + 1) - 64 AS INT)"
-    s"(list_extract([${Bm25Ln2Milli.mkString(",")}], $k + 1) + " +
-      s"list_extract([${Bm25LnMantMilli.mkString(",")}], $idx + 1))"
-  }
-
-  /** Reference lnMilli for specs: the same table arithmetic in plain
-    * Scala, so the brute re-derivation shares no ENGINE with the op.
-    */
-  private[graft] def lnMilliRef(x: Long): Long = {
-    require(x >= 1 && x < (1L << 55), s"lnMilli domain: $x")
-    val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
-    Bm25Ln2Milli(k) + Bm25LnMantMilli((x * 64 / Bm25Pow2(k) - 64).toInt)
-  }
+  // the integer-ln machinery lives in graft.functions.IntLn (shared
+  // with etl_dp_counts' Laplace inverse-CDF)
+  private def lnMilliSpark(x: String): String = graft.functions.IntLn.spark(x)
+  private def lnMilliDuck(x: String): String = graft.functions.IntLn.duck(x)
+  private[graft] def lnMilliRef(x: Long): Long = graft.functions.IntLn.ref(x)
 
   private def bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

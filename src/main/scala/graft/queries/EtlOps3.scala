@@ -688,6 +688,83 @@ object EtlOps3 {
   }
 
   // ---------------------------------------------------------------
+  // etl_dp_counts — ε-differential-privacy noise injection for a
+  // PUBLISHED aggregate, completing the privacy family: k-anonymity /
+  // l-diversity / t-closeness AUDIT re-identification risk in the
+  // data; DP PERTURBS the release itself with a calibrated noise
+  // budget. Laplace mechanism over the same quasi-identifier grid
+  // the audits use (nation × market segment), scale b = Δf/ε = 1/ε
+  // for counting queries (sensitivity 1), through the EXACT inverse
+  // CDF noise = −b·sgn(u−½)·ln(1−2·|u−½|) computed with the shared
+  // integer-ln table (functions.IntLn — zero runtime
+  // transcendentals, engine-identical): u = h/2^52 for the md5
+  // 52-bit hash of the group key, t = min(|2h−2^51·2|, 2^52−1), and
+  // magnitude_milli = lnMilli(2^52) − lnMilli(2^52 − t) — all DIV
+  // over nonnegatives, the sign applied by multiplication (§7.1:
+  // never divide a negative). The hash is a DECLARED pseudo-
+  // randomness stand-in (the multimodal-stub convention: real DP
+  // draws fresh noise per release — a per-release seed would make
+  // the gate nondeterministic; the mechanism's sensitivity
+  // bookkeeping, inverse-CDF arithmetic and integer plumbing are the
+  // real part, the entropy source is the declared fake). The release
+  // is MILLI-precision (noisy_n_milli = 1000·n + noise_milli):
+  // rounding the noise to whole counts at ε = 1 truncates ~63% of
+  // Laplace draws to zero (P(|X| < 1) = 1 − e^−1) — milli units keep
+  // the mechanism's distribution intact in integers. Emits the exact
+  // count BESIDE the noisy release + the drawn noise and the ε
+  // budget, so the gate proves the noise is exactly the mechanism's
+  // — not that the release hides the truth (the audit columns exist
+  // for the spec; a production release drops them).
+  // Plan shape: one map-side-combined groupBy over the dimension
+  // table; the noise is a per-row expression — config-grid-sized
+  // output at any SF.
+  // ---------------------------------------------------------------
+  private val DpDomain = 4503599627370496L // 2^52
+  private val DpEpsMilli = 1000L // ε = 1.0
+
+  private def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntLn
+    val grid = Tables.load(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+    grid
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat(CAST(c_nationkey AS STRING), '|', c_mktsegment)), 1, 13), 16, 10) AS BIGINT)"))
+      .withColumn("t", least(abs(col("h") * 2 - lit(DpDomain)), lit(DpDomain - 1)))
+      .withColumn("mag_milli", expr(
+        s"${IntLn.spark(DpDomain.toString)} - ${IntLn.spark(s"${DpDomain}L - t")}"))
+      .withColumn("noise_milli", expr(
+        s"(CASE WHEN h * 2 >= ${DpDomain}L THEN 1 ELSE -1 END) * ((mag_milli * 1000) DIV $DpEpsMilli)"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("noise_milli"),
+        (col("n") * 1000 + col("noise_milli")).as("noisy_n_milli"),
+        lit(DpEpsMilli).as("epsilon_milli"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val dpCountsSql = {
+    import graft.functions.IntLn
+    s"""WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |h AS (SELECT *,
+      |    ('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 13))::BIGINT AS h
+      |  FROM g),
+      |t AS (SELECT *, LEAST(abs(h * 2 - $DpDomain), ${DpDomain - 1}) AS t FROM h),
+      |m AS (SELECT *,
+      |    ${IntLn.duck(DpDomain.toString)} - ${IntLn.duck(s"$DpDomain - t")} AS mag_milli
+      |  FROM t),
+      |z AS (SELECT *,
+      |    (CASE WHEN h * 2 >= $DpDomain THEN 1 ELSE -1 END)
+      |      * ((mag_milli * 1000) // $DpEpsMilli) AS noise_milli
+      |  FROM m)
+      |SELECT c_nationkey, c_mktsegment, n, noise_milli,
+      |  n * 1000 + noise_milli AS noisy_n_milli,
+      |  CAST($DpEpsMilli AS BIGINT) AS epsilon_milli
+      |FROM z
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // meta_dag_critical_path — the reference DAG's BARRIER STRUCTURE
   // as an analyzable relation (ref: dag/SMFG_DW_ETL_DAG.py: INIT →
   // per-table extract tasks fanned out under a concurrency pool →
@@ -781,5 +858,6 @@ object EtlOps3 {
     Op("etl_skew_audit", skewAudit, Some(skewAuditSql)),
     Op("meta_freshness", freshness, Some(freshnessSql)),
     Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)),
-    Op("meta_jdbc_catalog", metaJdbcCatalog, Some(EtlOps.metaExtractSql)))
+    Op("meta_jdbc_catalog", metaJdbcCatalog, Some(EtlOps.metaExtractSql)),
+    Op("etl_dp_counts", dpCounts, Some(dpCountsSql)))
 }

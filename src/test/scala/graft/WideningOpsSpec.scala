@@ -710,6 +710,38 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(lhs.toSeq == rhs.toSeq, "kmvMerge is not order-free")
   }
 
+  test("etl_dp_counts: noise equals the brute Laplace inverse-CDF; mechanism is faithful") {
+    val got = run("etl_dp_counts").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val D = 4503599627370496L
+    def h52(key: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val exact = Tables.load(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.length == exact.size)
+    var nonzero = 0
+    got.foreach { case (nk, seg, n, noiseMilli, noisyMilli) =>
+      assert(n == exact((nk, seg)) && noisyMilli == n * 1000 + noiseMilli)
+      val h = h52(s"$nk|$seg")
+      val t = math.min(math.abs(h * 2 - D), D - 1)
+      val magMilli = graft.functions.IntLn.ref(D) - graft.functions.IntLn.ref(D - t)
+      val expect = (if (h * 2 >= D) 1L else -1L) * magMilli // ε = 1
+      assert(noiseMilli == expect, s"noise mismatch at ($nk,$seg)")
+      // faithfulness to the REAL Laplace inverse CDF (libm in test only):
+      // -ln(1 - 2|u - 1/2|) for u = h/D, within the table's quantization
+      val u = h.toDouble / D
+      val real = -math.log(math.max(1.0 - 2.0 * math.abs(u - 0.5), 1.0 / D))
+      assert(math.abs(magMilli / 1000.0 - real) <= 0.01 * math.max(real, 1.0) + 0.01,
+        s"magnitude drifted from Laplace CDF at ($nk,$seg): ${magMilli / 1000.0} vs $real")
+      if (noiseMilli != 0) nonzero += 1
+    }
+    // milli-precision release: essentially every group draws nonzero noise
+    assert(nonzero * 10 > got.length * 9, s"only $nonzero/${got.length} groups perturbed")
+  }
+
   test("etl_salted_agg: two-phase salted result equals the direct aggregate") {
     val salted = run("etl_salted_agg")
     val direct = Tables.load(spark, sfDir, "lineitem")
