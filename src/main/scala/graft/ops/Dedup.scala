@@ -1320,7 +1320,71 @@ object Dedup {
       |ORDER BY source, perm""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // dedup_edit_distance — character-level EXACT verification of the
+  // shingle near-dup candidates: n-gram Jaccard certifies SET
+  // overlap; edit distance certifies SEQUENCE closeness (a doc whose
+  // shingle set survives reordering has high J but large edit
+  // distance — the scrambled-near-dup false positive every set-based
+  // family structurally can't see; dedup pipelines run exactly this
+  // verify before destructive dedup). Candidates come from the SAME
+  // staged df-capped inverted-index pair graph as dedup_ngram_jaccard
+  // (linear in postings, never doc×doc) at a LOWER overlap bar
+  // (J ≥ 1/4 — the verify stage exists to re-judge borderline pairs
+  // the J ≥ 1/2 gate would discard unseen); only the pair-sized
+  // survivors join back to the two texts, so the O(len²) levenshtein
+  // DP runs on a relation orders of magnitude smaller than the
+  // corpus — the staging + bucketing make the at-scale cost the pair
+  // count, not the corpus square. sim_ppm = (maxlen − dist)·10⁶ DIV
+  // maxlen; is_near_dup at ≥ 70%. Parity: both engines' levenshtein
+  // is the classic character DP; DuckDB counts BYTES where Spark
+  // counts CHARS — identical on this ASCII corpus (the multimodal
+  // payload guard enforces ASCII), and a non-ASCII corpus would
+  // hash-fail loudly rather than drift silently.
+  // ---------------------------------------------------------------
+  private val EditNearDupPpm = 700000L
+
+  private def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    stagedCandidateStats(s, dir)
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 4 >= col("uni"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .withColumn("len_a", length(col("text_a")).cast("bigint"))
+      .withColumn("len_b", length(col("text_b")).cast("bigint"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("bigint"))
+      .withColumn("maxlen", greatest(col("len_a"), col("len_b"), lit(1L)))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        col("len_a"), col("len_b"), col("dist"),
+        expr("(maxlen - dist) * 1000000 DIV maxlen").as("sim_ppm"),
+        (expr("(maxlen - dist) * 1000000 DIV maxlen") >= EditNearDupPpm)
+          .cast("int").as("is_near_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val editDistanceSql =
+    s"""$shinglesDuck,
+      |$cappedPairsDuck,
+      |cand AS (SELECT doc_a, doc_b, inter, na + nb - inter AS uni
+      |  FROM pairs WHERE inter * 4 >= na + nb - inter),
+      |tx AS (SELECT c.doc_a, c.doc_b, c.inter, c.uni,
+      |    CAST(length(da.text) AS BIGINT) AS len_a,
+      |    CAST(length(db.text) AS BIGINT) AS len_b,
+      |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+      |    GREATEST(length(da.text), length(db.text), 1) AS maxlen
+      |  FROM cand c
+      |  JOIN documents da ON c.doc_a = da.doc_id
+      |  JOIN documents db ON c.doc_b = db.doc_id)
+      |SELECT doc_a, doc_b, inter, uni, len_a, len_b, dist,
+      |  (maxlen - dist) * 1000000 // maxlen AS sim_ppm,
+      |  CAST(CASE WHEN (maxlen - dist) * 1000000 // maxlen >= $EditNearDupPpm
+      |       THEN 1 ELSE 0 END AS INT) AS is_near_dup
+      |FROM tx
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_edit_distance", editDistance, Some(editDistanceSql)),
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_source_sketch", sourceSketch, Some(sourceSketchSql)),
     Op("dedup_clusters", clusters, Some(clustersSql)),

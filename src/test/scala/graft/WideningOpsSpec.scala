@@ -710,6 +710,43 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(lhs.toSeq == rhs.toSeq, "kmvMerge is not order-free")
   }
 
+  test("dedup_edit_distance: distances equal an independent DP re-derivation") {
+    val got = run("dedup_edit_distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getInt(8)))
+    assert(got.nonEmpty, "no candidate pairs at gate scale")
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    got.foreach { case (a, b, la, lb, dist, simPpm, near) =>
+      val (ta, tb) = (texts(a), texts(b))
+      assert(la == ta.length.toLong && lb == tb.length.toLong)
+      val d = lev(ta, tb)
+      assert(dist == d, s"levenshtein($a,$b): op $dist vs brute $d")
+      val maxlen = math.max(1L, math.max(la, lb))
+      assert(simPpm == (maxlen - d) * 1000000L / maxlen)
+      assert(near == (if (simPpm >= 700000L) 1 else 0))
+    }
+    // non-trivial distances flow through the DP (the corpus's shingle
+    // candidates are all genuinely similar, so the REJECT branch is
+    // exercised arithmetically per-row above, not by corpus pairs)
+    assert(got.exists(_._5 > 0), "every candidate pair was byte-identical")
+    assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
+  }
+
   test("etl_dp_counts: noise equals the brute Laplace inverse-CDF; mechanism is faithful") {
     val got = run("etl_dp_counts").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
