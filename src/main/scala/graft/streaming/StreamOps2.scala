@@ -301,7 +301,166 @@ object StreamOps2 {
       |FROM sk
       |ORDER BY t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_quantile — MERGEABLE streaming quantiles: per-event-type
+  // decile estimates maintained as bounded streaming state. The
+  // summary is a bottom-K-BY-HASH sample of (hash, cents) pairs —
+  // a uniform random sample of the event population that is
+  // order-free and rank-mergeable exactly like stream_kmv's sketch
+  // (the bottom-K of a union is the bottom-K of the merged
+  // bottom-Ks), which is what lets a MULTI-micro-batch run face a
+  // batch DuckDB oracle bit-for-bit. The deterministic-error
+  // alternative (MRL/KLL level compaction, ev_quantile_certified's
+  // open path) was evaluated and rejected FOR THE STREAMING GATE:
+  // deterministic compaction output depends on arrival slicing, so
+  // a multi-batch run could never hash-match a batch oracle — the
+  // hash-sample trades the certified bound for order-independence
+  // (error is the sampling O(n/√K), emitted per decile as err_ppm
+  // AUDIT DATA beside the exact rank, the HLL err-column convention;
+  // batch-side certified bounds remain ev_quantile_certified's job).
+  // State: K = 256 smallest-hash distinct (h, c) pairs per type —
+  // bounded regardless of stream length; 4 staged files ×
+  // maxFilesPerTrigger=1 force real cross-batch rank-merges, per-type
+  // close sentinels flush once, early sentinels throw (the stream_kmv
+  // harness). Drained estimates are audited against the batch
+  // corpus: exact (c, h)-lexicographic rank per pick vs the decile's
+  // target rank. At 100 TB: state is K rows per type, the pre-state
+  // shuffle keys on type; a deployment salts hot types and
+  // rank-merges the salted samples (same algebra).
+  // ---------------------------------------------------------------
+  private[graft] val QuantK = 256
+
+  final case class QRow(t: String, h: Long, c: Long)
+  final case class QuantState(hs: Array[Long], cs: Array[Long], flushed: Boolean)
+  final case class QOut(event_type: String, decile: Long, m_sample: Long,
+      est_cents: Long, est_h: Long)
+
+  /** Rank-merge one batch into the bottom-K-by-(h, c) sample.
+    * Exposed for the spec's order-independence assertions.
+    */
+  private[graft] def quantMerge(state: Seq[(Long, Long)],
+      hs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (state ++ hs).distinct.sorted.take(QuantK)
+
+  private[graft] def quantSketch(rows: org.apache.spark.sql.Dataset[QRow])
+      : org.apache.spark.sql.Dataset[QOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.t)
+      .flatMapGroupsWithState[QuantState, QOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (t: String, it: Iterator[QRow], state: GroupState[QuantState]) =>
+          val st = state.getOption.getOrElse(
+            QuantState(Array.empty[Long], Array.empty[Long], flushed = false))
+          var sawClose = false
+          val batch = it.flatMap { r =>
+            if (r.h == -1L) { sawClose = true; None } else Some((r.h, r.c))
+          }.toSeq
+          if (st.flushed && batch.nonEmpty)
+            throw new IllegalStateException(
+              s"stream_quantile: type $t received ${batch.size} rows AFTER its " +
+                "close sentinel — the staged source's file order is broken")
+          val merged = quantMerge(st.hs.zip(st.cs).toSeq, batch)
+          if (sawClose) {
+            state.update(QuantState(Array.empty[Long], Array.empty[Long], flushed = true))
+            val m = merged.length.toLong
+            if (m == 0) Iterator.empty
+            else {
+              val byValue = merged.map { case (h, c) => (c, h) }.sorted
+              (1L to 9L).iterator.map { d =>
+                val jstar = math.max(1L, math.min(m, d * m / 10))
+                val (c, h) = byValue((jstar - 1).toInt)
+                QOut(t, d, m, c, h)
+              }
+            }
+          } else {
+            state.update(QuantState(merged.map(_._1).toArray,
+              merged.map(_._2).toArray, flushed = false))
+            Iterator.empty
+          }
+      }
+  }
+
+  private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_quant_src")
+    val v = Tables.events(s, dir).select(col("event_type").as("t"),
+        expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+    v.repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real rank-merge batches
+      .write.mode("overwrite").parquet(src)
+    v.select(col("t")).distinct()
+      .select(col("t"), lit(-1L).as("h"), lit(0L).as("c"))
+      .repartition(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val name = s"graft_stream_quant_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val out = quantSketch(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src).as[QRow])
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try EventStream.runAvailableNow(out.toDF(), name, OutputMode.Append(), ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(fedBatches >= 5,
+      s"stream_quantile: expected >=5 non-empty micro-batches, saw $fedBatches")
+    // batch-side audit: exact (c, h)-lexicographic rank of each pick
+    // vs the decile's target rank over the full corpus
+    val n = v.groupBy("t").agg(count(lit(1)).as("n_total"))
+    val est = s.table(name)
+    // aliased copies → fresh attribute ids, so joining `est` against
+    // an aggregate DERIVED from est below doesn't self-conflict
+    val picks = est.select(col("event_type").as("pt"), col("decile").as("pd"),
+      col("est_cents").as("pc"), col("est_h").as("ph"))
+    val exact = v.join(broadcast(picks),
+        col("t") === col("pt") &&
+          (col("c") < col("pc") ||
+            (col("c") === col("pc") && col("h") < col("ph"))))
+      .groupBy("pt", "pd").agg(count(lit(1)).as("exact_rank"))
+      .select(col("pt").as("event_type"), col("pd").as("decile"), col("exact_rank"))
+    est
+      .join(n.withColumnRenamed("t", "event_type"), Seq("event_type"))
+      .join(exact, Seq("event_type", "decile"), "left")
+      .withColumn("exact_rank", coalesce(col("exact_rank"), lit(0L)))
+      .withColumn("target_rank", expr("decile * n_total DIV 10"))
+      .select(col("event_type"), col("decile"), col("n_total"), col("m_sample"),
+        col("target_rank"), col("est_cents"), col("est_h"), col("exact_rank"),
+        expr("abs(exact_rank - target_rank) * 1000000 DIV n_total").as("err_ppm"))
+      .orderBy("event_type", "decile")
+  }
+
+  private val streamQuantileSql =
+    s"""WITH v AS (SELECT DISTINCT event_type AS t,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |n AS (SELECT t, count(*) AS nt FROM v GROUP BY t),
+      |r AS (SELECT t, h, c,
+      |    row_number() OVER (PARTITION BY t ORDER BY h, c) AS rn FROM v),
+      |samp AS (SELECT t, h, c FROM r WHERE rn <= $QuantK),
+      |m AS (SELECT t, count(*) AS ms FROM samp GROUP BY t),
+      |sr AS (SELECT t, c, h,
+      |    row_number() OVER (PARTITION BY t ORDER BY c, h) AS j FROM samp),
+      |dec AS (SELECT unnest(range(1, 10)) AS d),
+      |pick AS (SELECT n.t, dec.d, n.nt, m.ms,
+      |    GREATEST(1, LEAST(m.ms, dec.d * m.ms // 10)) AS jstar,
+      |    dec.d * n.nt // 10 AS target
+      |  FROM n JOIN m USING (t) CROSS JOIN dec),
+      |est AS (SELECT p.t, p.d, p.nt, p.ms, p.target, sr.c AS est_c, sr.h AS est_h
+      |  FROM pick p JOIN sr ON sr.t = p.t AND sr.j = p.jstar),
+      |ex AS (SELECT e.t, e.d, count(*) AS exact_rank
+      |  FROM v JOIN est e ON v.t = e.t
+      |    AND (v.c < e.est_c OR (v.c = e.est_c AND v.h < e.est_h))
+      |  GROUP BY 1, 2)
+      |SELECT e.t AS event_type, e.d AS decile, e.nt AS n_total, e.ms AS m_sample,
+      |  e.target AS target_rank, e.est_c AS est_cents, e.est_h,
+      |  coalesce(x.exact_rank, 0) AS exact_rank,
+      |  abs(coalesce(x.exact_rank, 0) - e.target) * 1000000 // e.nt AS err_ppm
+      |FROM est e LEFT JOIN ex x ON x.t = e.t AND x.d = e.d
+      |ORDER BY event_type, decile""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersSql)),
-    Op("stream_kmv", streamKmv, Some(streamKmvSql)))
+    Op("stream_kmv", streamKmv, Some(streamKmvSql)),
+    Op("stream_quantile", streamQuantile, Some(streamQuantileSql)))
 }

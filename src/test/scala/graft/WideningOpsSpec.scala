@@ -747,6 +747,40 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("stream_quantile: streamed sample deciles equal a brute re-derivation; merge is order-free") {
+    import graft.streaming.StreamOps2
+    val got = run("stream_quantile").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    def h52(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val vs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), h52(r.getLong(1)), r.getLong(2)))
+      .distinct
+    val byType = vs.groupBy(_._1)
+    assert(got.map(_._1).distinct.sorted.toSeq == byType.keys.toSeq.sorted)
+    got.foreach { case (t, d, n, m, target, estC, estH, exactRank, errPpm) =>
+      val pop = byType(t).map(x => (x._2, x._3))
+      assert(n == pop.length.toLong && target == d * n / 10)
+      val samp = pop.distinct.sorted.take(StreamOps2.QuantK)
+      assert(m == samp.length.toLong)
+      val byValue = samp.map { case (h, c) => (c, h) }.sorted
+      val jstar = math.max(1L, math.min(m, d * m / 10))
+      assert((estC, estH) == byValue((jstar - 1).toInt), s"pick at ($t,$d)")
+      val exact = pop.count(x => x._2 < estC || (x._2 == estC && x._1 < estH)).toLong
+      assert(exactRank == exact && errPpm == math.abs(exact - target) * 1000000L / n)
+    }
+    // the rank-merge is order-free (micro-batch slicing can't move state)
+    val pairs = vs.map(x => (x._2, x._3)).distinct.take(600)
+    val (a, b) = pairs.splitAt(300)
+    assert(StreamOps2.quantMerge(StreamOps2.quantMerge(Nil, a), b) ==
+      StreamOps2.quantMerge(StreamOps2.quantMerge(Nil, b.reverse), a.reverse))
+  }
+
   test("etl_dp_counts: noise equals the brute Laplace inverse-CDF; mechanism is faithful") {
     val got = run("etl_dp_counts").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
