@@ -922,6 +922,62 @@ object EtlOps {
       |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------
+  // etl_scd4 — SCD Type 4 historization: the CURRENT table + HISTORY
+  // table split (the warehouse pattern between SCD2's single
+  // versioned dimension and a bitemporal store: the hot current
+  // table stays key-sized for every fact join, the full version
+  // trail lives in a separate history table the audits read). Same
+  // seeded two-version stream as etl_scd2/scd3; the gate emits BOTH
+  // tables as one relation tagged by table_role, so a drifted
+  // current row (stale segment after the v2 restatement) or a lost
+  // history version hash-fails. The current table carries
+  // n_versions — the key-sized aggregate a production SCD4 keeps to
+  // know when history compaction is due.
+  // Plan shape: one window over the key-partitioned union — dims are
+  // dimension-sized; at 100 TB the current table is what every fact
+  // join broadcasts, which is the POINT of type 4.
+  // ---------------------------------------------------------------
+  private def scd4(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val v1 = c.select(col("c_custkey").as("key"), lit(1L).as("version"),
+      col("c_mktsegment").as("segment"))
+    val v2 = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), lit(2L).as("version"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string")).as("segment"))
+    val versions = v1.unionByName(v2)
+    val w = Window.partitionBy("key").orderBy(col("version").desc)
+    val current = versions
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("rn") === 1)
+      .select(lit("current").as("table_role"), col("key"), col("version"),
+        col("segment"), col("n_versions").cast("long").as("n_versions"))
+    val history = versions
+      .select(lit("history").as("table_role"), col("key"), col("version"),
+        col("segment"), lit(1L).as("n_versions"))
+    current.unionByName(history)
+      .orderBy("table_role", "key", "version")
+  }
+
+  private val scd4Sql =
+    """WITH v AS (
+      |  SELECT c_custkey AS key, CAST(1 AS BIGINT) AS version, c_mktsegment AS segment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |r AS (SELECT *, row_number() OVER w AS rn,
+      |        count(*) OVER (PARTITION BY key) AS n_versions
+      |      FROM v WINDOW w AS (PARTITION BY key ORDER BY version DESC)),
+      |cur AS (SELECT 'current' AS table_role, key, version, segment,
+      |          CAST(n_versions AS BIGINT) AS n_versions
+      |        FROM r WHERE rn = 1),
+      |hist AS (SELECT 'history' AS table_role, key, version, segment,
+      |           CAST(1 AS BIGINT) AS n_versions
+      |         FROM v)
+      |SELECT * FROM cur UNION ALL SELECT * FROM hist
+      |ORDER BY table_role, key, version""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_k_anonymity — k-anonymity audit over the customer dimension's
   // quasi-identifiers (nation, market segment, account-balance band):
   // the privacy companion to etl_gdpr_erasure — erasure removes known
@@ -979,6 +1035,7 @@ object EtlOps {
     Op("etl_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Op("etl_scd2", scd2, Some(scd2Sql)),
     Op("etl_scd3", scd3, Some(scd3Sql)),
+    Op("etl_scd4", scd4, Some(scd4Sql)),
     Op("etl_scd2_pointintime", scd2PointInTime, Some(scd2PointInTimeSql)),
     Op("etl_dedup_latest", dedupLatest, Some(dedupLatestSql)),
     Op("etl_k_anonymity", kAnonymity, Some(kAnonymitySql)),

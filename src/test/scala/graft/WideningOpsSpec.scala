@@ -747,6 +747,27 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("etl_scd4: current table is exactly the max-version history row per key") {
+    val df = run("etl_scd4").cache()
+    val cur = df.filter(col("table_role") === "current")
+    val hist = df.filter(col("table_role") === "history")
+    val nKeys = Tables.load(spark, sfDir, "customer").count()
+    assert(cur.count() == nKeys, "current table must be key-sized")
+    assert(cur.select("key").distinct().count() == nKeys)
+    assert(hist.count() == nKeys + Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 7 === 0).count())
+    // every current row equals the history row with that key's max version
+    val maxHist = hist.groupBy("key").agg(max(col("version")).as("version"))
+      .join(hist, Seq("key", "version"))
+      .select(col("key"), col("version"), col("segment"))
+    val mismatch = cur.select(col("key"), col("version"), col("segment"))
+      .join(maxHist, Seq("key", "version", "segment"), "left_anti")
+    assert(mismatch.count() == 0, "current drifted from max-version history")
+    // n_versions on current counts the key's history trail
+    assert(cur.filter(col("key") % 7 === 0).filter(col("n_versions") =!= 2L).count() == 0)
+    assert(cur.filter(col("key") % 7 =!= 0).filter(col("n_versions") =!= 1L).count() == 0)
+  }
+
   test("stream_quantile: streamed sample deciles equal a brute re-derivation; merge is order-free") {
     import graft.streaming.StreamOps2
     val got = run("stream_quantile").collect()
