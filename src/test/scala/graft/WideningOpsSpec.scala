@@ -747,6 +747,44 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("graph_harmonic_landmarks: estimates equal a brute landmark-BFS re-derivation") {
+    val got = run("graph_harmonic_landmarks").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val co = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (co ++ co.map(_.swap)).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val verts = adj.keySet
+    def h52(v: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val lms = verts.toSeq.sortBy(v => (h52(v), v)).take(8)
+    val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+    lms.foreach { lm =>
+      var frontier = Set(lm)
+      var seen = Set(lm)
+      for (d <- 1 to 4) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        frontier.foreach { v =>
+          val (n, s0) = expect.getOrElse(v, (0L, 0L))
+          expect(v) = (n + 1, s0 + 1000000L / d)
+        }
+      }
+    }
+    assert(got.length == verts.size)
+    got.foreach { case (v, n, ppm) =>
+      val (en, eppm) = expect.getOrElse(v, (0L, 0L))
+      assert(n == en && ppm == eppm, s"harmonic at v=$v: op ($n,$ppm) vs brute ($en,$eppm)")
+    }
+    // landmarks genuinely cover the graph at gate scale
+    assert(got.count(_._2 > 0) * 2 > got.length, "most vertices should reach a landmark")
+  }
+
   test("etl_scd4: current table is exactly the max-version history row per key") {
     val df = run("etl_scd4").cache()
     val cur = df.filter(col("table_role") === "current")
