@@ -149,7 +149,73 @@ object Multimodal2 {
       |FROM cell JOIN bt USING (media_type) CROSS JOIN tot
       |ORDER BY media_type, lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // mm_interleave_pack — MULTIMODAL sequence packing: the manifest a
+  // vision/audio-language trainer's loader consumes, where each doc
+  // costs its TEXT tokens plus its media PATCH tokens (images/audio/
+  // video enter the context window as patch embeddings — the cost
+  // model every multimodal curriculum budgets by). Patch rates are
+  // per-modality constants over the payload byte length (image
+  // ceil(bytes/64), audio /128, video /32 — declared stand-ins like
+  // the codec stubs; a deployment plugs its tokenizer+patcher rates,
+  // the packing algebra is unchanged). Packing = exp_pack_sequences'
+  // proven shape: hash-shard (each of 8 shards packs independently —
+  // 1000 executors pack 1000 shards with no coordination), per-shard
+  // running total in hash order, seq_id = floor(before/budget) at a
+  // 512-token budget (multimodal sequences budget larger than
+  // text-only; the media cost makes docs 2-5× heavier). One shuffle
+  // on the shard key; the window never sees more than a shard.
+  // ---------------------------------------------------------------
+  private val IpBudget = 512L
+  private val IpShards = 8L
+
+  private def interleavePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Multimodal.withPayload(Tables.load(s, dir, "documents"))
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
+      .withColumn("shard", col("h") % IpShards)
+      .withColumn("text_tokens", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+      .withColumn("n_bytes", length(col("payload")).cast("bigint"))
+      .withColumn("media_tokens", expr(
+        """CASE media_type WHEN 'image' THEN (n_bytes + 63) DIV 64
+          |WHEN 'audio' THEN (n_bytes + 127) DIV 128
+          |ELSE (n_bytes + 31) DIV 32 END""".stripMargin))
+      .withColumn("total_tokens", col("text_tokens") + col("media_tokens"))
+      .withColumn("before", sum(col("total_tokens")).over(w) - col("total_tokens"))
+      .select(col("shard"), expr(s"before DIV $IpBudget").as("seq_id"),
+        (col("before") % IpBudget).as("seq_offset"), col("doc_id"),
+        col("media_type"), col("text_tokens"), col("media_tokens"),
+        col("total_tokens"))
+      .orderBy("shard", "seq_id", "seq_offset", "doc_id")
+  }
+
+  private val interleavePackSql =
+    s"""WITH t AS (SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS text_tokens,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM documents),
+      |m AS (SELECT *,
+      |    CASE media_type WHEN 'image' THEN (n_bytes + 63) // 64
+      |    WHEN 'audio' THEN (n_bytes + 127) // 128
+      |    ELSE (n_bytes + 31) // 32 END AS media_tokens
+      |  FROM t),
+      |c AS (SELECT *, text_tokens + media_tokens AS total_tokens,
+      |    h % $IpShards AS shard FROM m),
+      |r AS (SELECT *, CAST(sum(total_tokens) OVER (PARTITION BY shard
+      |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - total_tokens AS BIGINT) AS fore FROM c)
+      |SELECT shard, fore // $IpBudget AS seq_id, fore % $IpBudget AS seq_offset,
+      |  doc_id, media_type, text_tokens, media_tokens, total_tokens
+      |FROM r
+      |ORDER BY shard, seq_id, seq_offset, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_aspect_buckets", aspectBuckets, Some(aspectBucketsSql)),
-    Op("mm_modality_mix", modalityMix, Some(modalityMixSql)))
+    Op("mm_modality_mix", modalityMix, Some(modalityMixSql)),
+    Op("mm_interleave_pack", interleavePack, Some(interleavePackSql)))
 }

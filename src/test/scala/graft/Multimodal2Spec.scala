@@ -55,4 +55,28 @@ class Multimodal2Spec extends AnyFunSuite with SparkSuite {
       .agg(sum(octet_length(col("text")).cast("long"))).collect()(0).getLong(0)
     assert(rows.map(_.getAs[Long]("bytes")).sum == bytes)
   }
+
+  test("mm_interleave_pack: manifest is a lossless pack with the modality cost model") {
+    val rows = run("mm_interleave_pack").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs && rows.map(_._4).distinct.length == nDocs,
+      "every doc packs exactly once")
+    rows.foreach { case (_, _, off, id, mt, txt, media, total) =>
+      assert(mt == Seq("image", "audio", "video")((id % 3).toInt))
+      assert(total == txt + media && off >= 0 && off < 512L)
+      assert(media > 0, s"doc $id contributes no media patches")
+    }
+    // per (shard, seq): offsets are exactly the running sum of the
+    // preceding docs' totals — the loader can reconstruct every
+    // sequence from the manifest alone
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((sh, seq), g) =>
+      val sorted = g.sortBy(_._3).toSeq
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b._3 == a._3 + a._8,
+          s"offset gap in shard $sh seq $seq between docs ${a._4} and ${b._4}")
+      }
+    }
+  }
 }
