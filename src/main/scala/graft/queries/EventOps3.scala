@@ -67,6 +67,89 @@ object EventOps3 {
       |ORDER BY prev_type, cur_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // ev_markov_stationary — the STATIONARY DISTRIBUTION of the
+  // ev_markov_transitions kernel (the long-run type mix the chain
+  // converges to — journey simulators and capacity models read this,
+  // not the raw kernel): π_{k+1}(j) = (Σ_i π_k(i)·p_ppm(i,j)) DIV 10⁶
+  // power-iterated 12 rounds from the uniform start, all-integer
+  // (divide the SUM once per (round, type) — truncating DIV over
+  // positives, engine-identical; truncation makes Σπ decay a few ppm
+  // per round, deterministic in both engines). Emitted BESIDE the
+  // empirical type share — stationary-vs-empirical divergence is the
+  // signal (a chain whose long-run mix differs from today's marginal
+  // mix is drifting).
+  //
+  // Plan shape: the DATA-sized work is the transition counting (one
+  // user-keyed window shuffle, same as ev_markov_transitions); the
+  // kernel itself is |types|² = config-sized, so the power iteration
+  // runs driver-side over the collected 25-row matrix (the MetaStore
+  // convention: config-sized collect, never fact-sized — re-deriving
+  // the matrix engine-side 12× would re-scan the fact table 12×).
+  // The oracle replicates the same 12 unrolled integer steps in SQL.
+  // ---------------------------------------------------------------
+  private val MkRounds = 12
+
+  private def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val ev = withEs(s, dir).select(col("user_id"), col("es"), col("event_id"), col("event_type"))
+    val seq0 = ev.withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val byPrev = Window.partitionBy("prev_type")
+    // config-sized: |types|² rows
+    val kernel = seq0.groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("out_total", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("cur_type"),
+        expr("CAST(n * 1000000 DIV out_total AS BIGINT)").as("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    var pi: Map[String, Long] = types.map(_ -> 1000000L / types.length).toMap
+    for (_ <- 1 to MkRounds) {
+      val next = types.map { j =>
+        j -> kernel.filter(_._2 == j).map { case (i, _, p) => pi.getOrElse(i, 0L) * p }.sum / 1000000L
+      }.toMap
+      pi = next
+    }
+    val piDf = types.map(t => (t, pi(t))).toSeq.toDF("event_type", "pi_ppm")
+    val total = ev.count()
+    val emp = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), expr(s"cnt * 1000000 DIV ${total}L").as("empirical_ppm"))
+    piDf.join(emp, Seq("event_type"))
+      .withColumn("n_rounds", lit(MkRounds.toLong))
+      .orderBy("event_type")
+  }
+
+  private val markovStationarySql = {
+    val steps = (1 to MkRounds).map { k =>
+      s"""m$k AS (SELECT p.cur_type AS t, CAST(sum(m${k - 1}.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+        |  FROM p JOIN m${k - 1} ON p.prev_type = m${k - 1}.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000000000, event_id) AS prev_type
+      |  FROM events),
+      |m AS (SELECT prev_type, event_type AS cur_type, count(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT prev_type, cur_type,
+      |    CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+      |  FROM m),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |m0 AS (SELECT t, CAST(1000000 // (SELECT count(*) FROM ty) AS BIGINT) AS pi FROM ty),
+      |$steps,
+      |emp AS (SELECT event_type AS t,
+      |    CAST(count(*) * 1000000 // (SELECT count(*) FROM events) AS BIGINT) AS empirical_ppm
+      |  FROM events GROUP BY 1)
+      |SELECT ty.t AS event_type, coalesce(mm.pi, 0) AS pi_ppm,
+      |  emp.empirical_ppm, CAST($MkRounds AS BIGINT) AS n_rounds
+      |FROM ty LEFT JOIN m$MkRounds mm ON ty.t = mm.t JOIN emp ON ty.t = emp.t
+      |ORDER BY ty.t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // ev_changepoint — CUSUM change-point detection on the daily event
   // count series (the regime-shift alarm behind incident detection
   // and launch-impact reads; ev_anomaly_days flags single outlier
@@ -1049,6 +1132,7 @@ object EventOps3 {
     Op("ev_velocity_burst", velocityBurst, Some(velocityBurstSql)),
     Op("ev_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     Op("ev_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
+    Op("ev_markov_stationary", markovStationary, Some(markovStationarySql)),
     Op("ev_changepoint", changepoint, Some(changepointSql)),
     Op("ev_ab_lift", abLift, Some(abLiftSql)),
     Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)))

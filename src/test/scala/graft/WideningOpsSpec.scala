@@ -747,6 +747,38 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("ev_markov_stationary: distribution equals a brute chain re-derivation and has converged") {
+    val got = run("ev_markov_stationary").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("es"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val outTotal = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val kernel = trans.groupBy(identity).map { case ((i, j), v) =>
+      (i, j) -> v.size.toLong * 1000000L / outTotal(i)
+    }
+    val types = ev.map(_._4).distinct.sorted
+    def step(pi: Map[String, Long]): Map[String, Long] = types.map { j =>
+      j -> kernel.collect { case ((i, j2), p) if j2 == j => pi.getOrElse(i, 0L) * p }.sum / 1000000L
+    }.toMap
+    var pi: Map[String, Long] = types.map(_ -> 1000000L / types.length).toMap
+    var prev = pi
+    for (_ <- 1 to 12) { prev = pi; pi = step(pi) }
+    got.foreach { case (t, piPpm, empPpm, rounds) =>
+      assert(rounds == 12L && piPpm == pi(t), s"pi at $t: op $piPpm vs brute ${pi(t)}")
+      assert(empPpm == ev.count(_._4 == t).toLong * 1000000L / ev.length)
+    }
+    // 12 rounds suffice on the gate chain: round 12 moved < 1% from round 11
+    types.foreach { t =>
+      assert(math.abs(pi(t) - prev(t)) <= 10000L, s"chain not converged at $t")
+    }
+  }
+
   test("graph_harmonic_landmarks: estimates equal a brute landmark-BFS re-derivation") {
     val got = run("graph_harmonic_landmarks").collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
