@@ -449,7 +449,87 @@ object SourceOps {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // src_manifest_isolation — SNAPSHOT ISOLATION from primitives (the
+  // transactional-lake core Delta/Iceberg provide, built here from
+  // exactly what they're built from): a version's MANIFEST lists the
+  // data files visible at that version, readers plan scans FROM the
+  // manifest — never from a directory listing — and a commit is one
+  // atomic manifest write, so in-flight data files are invisible
+  // until committed. The gate runs the real race: batch-1 files +
+  // manifest v1 committed; batch-2 files WRITTEN TO THE SAME DATA
+  // DIR but uncommitted; the v1 read must see only batch 1 even
+  // though batch-2 files are on disk (the emitted
+  // n_files_on_disk > n_files_visible columns prove the dirty files
+  // were present and skipped — not merely absent); manifest v2
+  // commits; the v2 read sees both. Oracle hardcodes the batch split
+  // semantics, so a reader that fell back to directory listing
+  // hash-fails on the v1 rows.
+  // Scale shape: manifests are file-lists (config-sized here; at
+  // 100 TB they chunk exactly like Iceberg's — the read becomes
+  // manifest-scan → file-scan, both distributed); each batch writes
+  // a fixed repartition(4) so file counts are deterministic data.
+  // ---------------------------------------------------------------
+  private def manifestIsolation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tmpDir("graft_manifest_iso")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.repartition(4).write.mode("overwrite").parquet(s"$root/data/$name")
+      new java.io.File(s"$root/data/$name").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    }
+    def commit(version: Int, files: Seq[String]): Unit =
+      files.toDF("path").repartition(1).write.mode("overwrite")
+        .parquet(s"$root/manifests/v$version")
+    def filesOnDisk(): Long =
+      new java.io.File(s"$root/data").listFiles().flatMap(_.listFiles())
+        .count(_.getName.endsWith(".parquet")).toLong
+    def readSnapshot(version: Int): (org.apache.spark.sql.DataFrame, Long) = {
+      val paths = s.read.parquet(s"$root/manifests/v$version")
+        .collect().map(_.getString(0)).sorted
+      (s.read.parquet(paths: _*), paths.length.toLong)
+    }
+    def agg(df: org.apache.spark.sql.DataFrame, snap: String,
+        visible: Long, onDisk: Long): org.apache.spark.sql.DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)").as("sum_cents"))
+        .select(lit(snap).as("snapshot"), col("o_orderstatus"), col("n_rows"),
+          col("sum_cents"), lit(visible).as("n_files_visible"),
+          lit(onDisk).as("n_files_on_disk"))
+    val b1 = writeBatch("b1", orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+    commit(1, b1)
+    // batch 2 lands IN THE DATA DIR before its commit — the dirty window
+    val b2 = writeBatch("b2", orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
+    val (v1, vis1) = readSnapshot(1)
+    val read1 = agg(v1, "v1", vis1, filesOnDisk())
+    commit(2, b1 ++ b2)
+    val (v2, vis2) = readSnapshot(2)
+    val read2 = agg(v2, "v2", vis2, filesOnDisk())
+    read1.unionByName(read2).orderBy("snapshot", "o_orderstatus")
+  }
+
+  private val manifestIsolationSql =
+    """WITH v1 AS (
+      |  SELECT 'v1' AS snapshot, o_orderstatus, count(*) AS n_rows,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+      |    CAST(4 AS BIGINT) AS n_files_visible, CAST(8 AS BIGINT) AS n_files_on_disk
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_orderstatus),
+      |v2 AS (
+      |  SELECT 'v2' AS snapshot, o_orderstatus, count(*) AS n_rows,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+      |    CAST(8 AS BIGINT) AS n_files_visible, CAST(8 AS BIGINT) AS n_files_on_disk
+      |  FROM orders
+      |  GROUP BY o_orderstatus)
+      |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |ORDER BY snapshot, o_orderstatus""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("src_manifest_isolation", manifestIsolation, Some(manifestIsolationSql)),
     Op("src_snapshot_asof", snapshotAsof, Some(snapshotAsofSql)),
     Op("src_csv_corrupt", csvCorrupt, Some(csvCorruptSql)),
     Op("etl_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),

@@ -38,6 +38,23 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("src_manifest_isolation: v1 read skips on-disk uncommitted files; v2 sees all") {
+    val rows = Registry.byName("src_manifest_isolation").run(spark, sfDir).collect()
+    val orders = Tables.load(spark, sfDir, "orders")
+    val pre = orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+    val all = orders.count()
+    val v1 = rows.filter(_.getString(0) == "v1")
+    val v2 = rows.filter(_.getString(0) == "v2")
+    assert(v1.map(_.getLong(2)).sum == pre && v2.map(_.getLong(2)).sum == all)
+    // the dirty window really existed: during the v1 read, MORE files
+    // were on disk than the manifest exposed
+    v1.foreach { r =>
+      assert(r.getLong(4) == 4L && r.getLong(5) == 8L,
+        "v1 read must see 4 of 8 on-disk files")
+    }
+    v2.foreach(r => assert(r.getLong(4) == 8L && r.getLong(5) == 8L))
+  }
+
   test("writeParquet honors target file count") {
     val tmp = Files.createTempDirectory("graft_files").toString
     Sources.writeParquet(Tables.load(spark, sfDir, "lineitem"), tmp, targetFiles = Some(4))
