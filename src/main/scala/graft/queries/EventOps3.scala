@@ -67,6 +67,55 @@ object EventOps3 {
       |ORDER BY prev_type, cur_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // ev_lag_features — the FEATURE-STORE export: per-event causal
+  // features a model trains on (lag-1 value, time since previous
+  // event, rolling count/sum over the previous 3 events). The load-
+  // bearing property is CAUSALITY: every window frame ends at
+  // 1 PRECEDING — the current row never sees itself or its future
+  // (the target-leakage bug that silently inflates offline metrics;
+  // exp_split_leakage audits split leakage, this op is the row-level
+  // feature analogue, and the frame bound is gated — an off-by-one
+  // to CURRENT ROW changes every rolling value and hash-fails).
+  // First-event sentinels are -1 (not NULL — §5's nullable-column
+  // parity rule), empty rolling frames are 0.
+  //
+  // Plan shape: ONE user-keyed shuffle shared by all four windows
+  // (same partition + order ⇒ one sort, four frames); output is
+  // fact-sized by design — it IS the training table. Ties broken by
+  // event_id (total order, §7.1). At 100 TB: fact scan → one
+  // user-partitioned sort, embarrassingly parallel across users.
+  // ---------------------------------------------------------------
+  private def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val wr = w.rowsBetween(-3, -1)
+    withEs(s, dir)
+      .select(col("user_id"), col("es"), col("event_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("lag1_cents", coalesce(lag(col("cents"), 1).over(w), lit(-1L)))
+      .withColumn("gap_s", coalesce(col("es") - lag(col("es"), 1).over(w), lit(-1L)))
+      .withColumn("roll3_n", count(lit(1)).over(wr))
+      .withColumn("roll3_sum_cents", coalesce(sum(col("cents")).over(wr), lit(0L)))
+      .select("user_id", "es", "event_id", "event_type", "cents",
+        "lag1_cents", "gap_s", "roll3_n", "roll3_sum_cents")
+      .orderBy("user_id", "es", "event_id")
+  }
+
+  private val lagFeaturesSql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS es, event_id,
+      |    event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, es, event_id, event_type, cents,
+      |  coalesce(lag(cents, 1) OVER w, -1) AS lag1_cents,
+      |  coalesce(es - lag(es, 1) OVER w, -1) AS gap_s,
+      |  CAST(count(*) OVER wr AS BIGINT) AS roll3_n,
+      |  CAST(coalesce(sum(cents) OVER wr, 0) AS BIGINT) AS roll3_sum_cents
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id),
+      |  wr AS (PARTITION BY user_id ORDER BY es, event_id
+      |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+      |ORDER BY user_id, es, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // ev_markov_stationary — the STATIONARY DISTRIBUTION of the
   // ev_markov_transitions kernel (the long-run type mix the chain
   // converges to — journey simulators and capacity models read this,
@@ -1135,5 +1184,6 @@ object EventOps3 {
     Op("ev_markov_stationary", markovStationary, Some(markovStationarySql)),
     Op("ev_changepoint", changepoint, Some(changepointSql)),
     Op("ev_ab_lift", abLift, Some(abLiftSql)),
-    Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)))
+    Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)),
+    Op("ev_lag_features", lagFeatures, Some(lagFeaturesSql)))
 }

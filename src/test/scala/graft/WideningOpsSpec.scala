@@ -747,6 +747,29 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("ev_lag_features: causal frames never see the current row (brute re-derivation)") {
+    val got = run("ev_lag_features").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val byUser = got.groupBy(_._1)
+    byUser.values.foreach { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3))
+      seq.zipWithIndex.foreach { case ((_, es, id, cents, lag1, gap, n3, s3), i) =>
+        val prev = seq.slice(math.max(0, i - 3), i)
+        if (i == 0) assert(lag1 == -1L && gap == -1L, s"first-event sentinel at $id")
+        else {
+          assert(lag1 == seq(i - 1)._4 && gap == es - seq(i - 1)._2)
+        }
+        assert(n3 == prev.length.toLong, s"roll3_n at $id")
+        // CAUSALITY: the rolling sum is exactly the previous <=3 rows'
+        // cents — a frame that included the current row would add `cents`
+        assert(s3 == prev.map(_._4).sum, s"roll3_sum at $id")
+        assert(s3 + cents != s3 || cents == 0L)
+      }
+    }
+    assert(got.length == Tables.events(spark, sfDir).count())
+  }
+
   test("ev_markov_stationary: distribution equals a brute chain re-derivation and has converged") {
     val got = run("ev_markov_stationary").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
