@@ -67,6 +67,71 @@ object EventOps3 {
       |ORDER BY prev_type, cur_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // ev_asof_tolerance — FORWARD as-of join with a match tolerance:
+  // each purchase matched to the EARLIEST view at-or-after it within
+  // 2 h, per user — the "next-touch" direction ev_asof_join's
+  // backward fill can't express (post-purchase engagement, fulfil-
+  // ment-latency joins), plus the TOLERANCE every production as-of
+  // has (an unbounded as-of silently matches across days; the bound
+  // turns stale matches into visible -1 sentinels instead). Same
+  // single-shuffle composition as the backward op — tagged union +
+  // one FORWARD window (CURRENT ROW → UNBOUNDED FOLLOWING,
+  // first ignore-nulls); the tolerance is a post-filter on the
+  // matched gap, so the window stays frame-bounded and the plan is
+  // one user-keyed sort at any SF. Purchases order BEFORE same-
+  // second views (tag asc) so an exactly-simultaneous view matches —
+  // the at-or-after convention, mirroring the backward op's
+  // at-or-before.
+  // ---------------------------------------------------------------
+  private val AsofTolS = 7200L
+
+  private def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"), col("event_id"), col("value"), lit(0).as("tag"),
+        lit(null).cast("bigint").as("r_es"), lit(null).cast("bigint").as("r_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("es"), col("event_id"), lit(null).cast("double").as("value"),
+        lit(1).as("tag"), col("es").as("r_es"), col("event_id").as("r_id"))
+    val w = Window.partitionBy("user_id").orderBy("es", "tag", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases.unionByName(views)
+      .withColumn("m_es", first(col("r_es"), ignoreNulls = true).over(w))
+      .withColumn("m_id", first(col("r_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("user_id"), col("es"), col("event_id"), col("value"),
+        when(col("m_es").isNotNull && col("m_es") - col("es") <= AsofTolS, col("m_es"))
+          .otherwise(lit(-1L)).as("next_view_es"),
+        when(col("m_es").isNotNull && col("m_es") - col("es") <= AsofTolS, col("m_id"))
+          .otherwise(lit(-1L)).as("next_view_id"),
+        when(col("m_es").isNotNull && col("m_es") - col("es") <= AsofTolS,
+          col("m_es") - col("es")).otherwise(lit(-1L)).as("gap_s"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
+  private val asofToleranceSql =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS es, event_id, event_type, value FROM events),
+      |u AS (
+      |  SELECT user_id, es, event_id, value, 0 AS tag,
+      |         CAST(NULL AS BIGINT) AS r_es, CAST(NULL AS BIGINT) AS r_id
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, es, event_id, CAST(NULL AS DOUBLE), 1, es, event_id
+      |  FROM e WHERE event_type = 'view'),
+      |c AS (SELECT *,
+      |        first_value(r_es IGNORE NULLS) OVER w AS m_es,
+      |        first_value(r_id IGNORE NULLS) OVER w AS m_id
+      |      FROM u
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY es, tag, event_id
+      |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, es, event_id, value,
+      |  CASE WHEN m_es IS NOT NULL AND m_es - es <= $AsofTolS THEN m_es ELSE -1 END AS next_view_es,
+      |  CASE WHEN m_es IS NOT NULL AND m_es - es <= $AsofTolS THEN m_id ELSE -1 END AS next_view_id,
+      |  CASE WHEN m_es IS NOT NULL AND m_es - es <= $AsofTolS THEN m_es - es ELSE -1 END AS gap_s
+      |FROM c WHERE tag = 0
+      |ORDER BY user_id, es, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // ev_lag_features — the FEATURE-STORE export: per-event causal
   // features a model trains on (lag-1 value, time since previous
   // event, rolling count/sum over the previous 3 events). The load-
@@ -1185,5 +1250,6 @@ object EventOps3 {
     Op("ev_changepoint", changepoint, Some(changepointSql)),
     Op("ev_ab_lift", abLift, Some(abLiftSql)),
     Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)),
-    Op("ev_lag_features", lagFeatures, Some(lagFeaturesSql)))
+    Op("ev_lag_features", lagFeatures, Some(lagFeaturesSql)),
+    Op("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)))
 }

@@ -747,6 +747,32 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("ev_asof_tolerance: forward matches equal a brute nearest-future-view scan") {
+    val got = run("ev_asof_tolerance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("es"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val viewsByUser = ev.filter(_._4 == "view").groupBy(_._1)
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.length == purchases.length)
+    got.foreach { case (u, es, id, mEs, mId, gap) =>
+      val cand = viewsByUser.getOrElse(u, Array.empty).filter(_._2 >= es)
+      val best = cand.sortBy(v => (v._2, v._3)).headOption
+      best match {
+        case Some(v) if v._2 - es <= 7200L =>
+          assert(mEs == v._2 && mId == v._3 && gap == v._2 - es,
+            s"forward match at purchase $id")
+        case _ =>
+          assert(mEs == -1L && mId == -1L && gap == -1L, s"expected sentinel at $id")
+      }
+    }
+    // both branches genuinely exercised
+    assert(got.exists(_._6 >= 0) && got.exists(_._6 == -1L),
+      "need both matched and tolerance-expired purchases at gate scale")
+  }
+
   test("ev_lag_features: causal frames never see the current row (brute re-derivation)") {
     val got = run("ev_lag_features").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
