@@ -1383,7 +1383,78 @@ object Dedup {
       |FROM tx
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // dedup_url_canonical — URL-canonicalization dedup: the FIRST
+  // dedup pass every web corpus runs (CommonCrawl-style pipelines
+  // dedup by canonical URL before any content hashing — one page
+  // arrives under tracking-parameter, case, port and trailing-slash
+  // variants). The corpus is synthetic (no real URLs), so the op
+  // DERIVES a deterministic messy URL per doc first — scheme/host
+  // case, an explicit :443 port, a trailing slash and utm_* tracking
+  // params vary by doc_id residue, both engines synthesize the
+  // identical string (the txt_pii_scrub convention) — then
+  // canonicalizes with an ordered rule chain: lowercase → strip
+  // default port → drop utm_* params (explicit [a-z_] classes, never
+  // \\w — §5's regex-flavor rule; literal replace() for the
+  // fixed-position rules, so no backslash-flavor hazard at all) →
+  // collapse the path/query seam. Docs sharing a canonical URL form
+  // a dup group; min doc_id is the keeper. Plan: pure map for the
+  // synthesis + canonicalization, ONE shuffle on the canonical hash
+  // for the group window — linear at any SF (URL dedup is the cheap
+  // pass; that is WHY pipelines run it first).
+  // ---------------------------------------------------------------
+  private def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val url =
+      """concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+        |  CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE 'www.' END, source, '.Example.COM',
+        |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+        |  '/p/', CAST(doc_id % 10 AS STRING),
+        |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+        |  '?utm_source=feed&ref=', lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=c0' ELSE '' END)""".stripMargin
+    val canon =
+      """replace(replace(regexp_replace(replace(lower(url), ':443/', '/'),
+        |  '&utm_[a-z_]+=[a-z0-9]+', ''), '?utm_source=feed&', '?'), '/?', '?')""".stripMargin
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical_url")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("url", expr(url))
+      .withColumn("canonical_url", expr(canon))
+      .withColumn("dup_group_size", count(lit(1)).over(w))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("dup_group_size"), col("canonical_doc_id"),
+        (col("doc_id") === col("canonical_doc_id")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val urlCanonicalSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE 'www.' END) || source || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+      |    '?utm_source=feed&ref=' || lang ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=c0' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id, url,
+      |    replace(replace(regexp_replace(replace(lower(url), ':443/', '/'),
+      |      '&utm_[a-z_]+=[a-z0-9]+', '', 'g'), '?utm_source=feed&', '?'), '/?', '?')
+      |      AS canonical_url
+      |  FROM u)
+      |SELECT doc_id, url, canonical_url,
+      |  count(*) OVER w AS dup_group_size,
+      |  min(doc_id) OVER w AS canonical_doc_id,
+      |  CAST(CASE WHEN doc_id = min(doc_id) OVER w THEN 1 ELSE 0 END AS INT) AS is_canonical
+      |FROM c
+      |WINDOW w AS (PARTITION BY canonical_url)
+      |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("dedup_url_canonical", urlCanonical, Some(urlCanonicalSql)),
     Op("dedup_edit_distance", editDistance, Some(editDistanceSql)),
     Op("dedup_exact", exact, Some(exactSql)),
     Op("dedup_source_sketch", sourceSketch, Some(sourceSketchSql)),

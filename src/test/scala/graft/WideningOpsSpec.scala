@@ -747,6 +747,35 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("dedup_url_canonical: canonicalization collapses exactly the synthetic variants") {
+    val got = run("dedup_url_canonical").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute canonical: what the rule chain MUST produce — scheme/host
+    // lowercased, port gone, utm params gone, seam collapsed
+    val expect = docs.map { case (id, lang, src) =>
+      id -> s"https://www.$src.example.com/p/${id % 10}?ref=$lang"
+    }.toMap
+    assert(got.length == docs.length)
+    got.foreach { case (id, url, canon, size, keeper, isC) =>
+      assert(canon == expect(id), s"canonical drift at $id: $canon")
+      // the messy url really varied (case/port/slash/tracking present
+      // somewhere) but canonicalization is idempotent on clean urls
+      assert(url.toLowerCase.contains("example.com"))
+      assert(isC == (if (id == keeper) 1 else 0))
+      assert(size >= 1)
+    }
+    val groups = expect.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq.sorted }
+    got.foreach { case (id, _, canon, size, keeper, _) =>
+      assert(size == groups(canon).length.toLong && keeper == groups(canon).head)
+    }
+    // dup groups genuinely form (10 path slots x 20 sources << corpus size)
+    assert(got.exists(_._4 > 1) && got.exists(_._6 == 0))
+  }
+
   test("ev_asof_tolerance: forward matches equal a brute nearest-future-view scan") {
     val got = run("ev_asof_tolerance").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
