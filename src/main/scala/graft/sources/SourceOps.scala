@@ -528,7 +528,72 @@ object SourceOps {
       |SELECT * FROM v1 UNION ALL SELECT * FROM v2
       |ORDER BY snapshot, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------
+  // etl_vacuum_orphans — the VACUUM companion to
+  // src_manifest_isolation (a manifest-versioned lake accumulates
+  // orphan data files: failed writes, superseded versions,
+  // abandoned commits — the maintenance job every transactional
+  // format ships deletes files NOT referenced by the live manifest).
+  // The gate stages the real mess: batch-1 files + committed
+  // manifest v1, then batch-2 files WITH NO COMMIT (the failed
+  // write). The vacuum lists the data dir, diffs against the live
+  // manifest, DELETES the orphans (a real rm, not a plan), and
+  // re-reads the manifest to prove the live snapshot survived intact
+  // — emitted as before/after row counts the oracle pins, so a
+  // vacuum that deleted a LIVE file (the catastrophic bug this job
+  // can have) hash-fails on n_rows_after. File counts are
+  // deterministic (repartition(4) per batch).
+  // Scale shape: the diff is manifest-size × listing-size (metadata,
+  // not data); the deletes are per-file. At 100 TB both sides are
+  // distributed listings; an AGE guard (not modeled here — mtimes
+  // aren't deterministic) additionally protects in-flight writes.
+  // ---------------------------------------------------------------
+  private def vacuumOrphans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tmpDir("graft_vacuum")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.repartition(4).write.mode("overwrite").parquet(s"$root/data/$name")
+      new java.io.File(s"$root/data/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    }
+    val live = writeBatch("b1",
+      orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+    live.toDF("path").repartition(1).write.mode("overwrite")
+      .parquet(s"$root/manifests/v1")
+    // the failed write: data files land, the commit never happens
+    writeBatch("b2",
+      orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
+    val manifest = s.read.parquet(s"$root/manifests/v1")
+      .collect().map(_.getString(0)).toSet
+    def onDisk(): Seq[java.io.File] =
+      new java.io.File(s"$root/data").listFiles().flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    val before = onDisk()
+    val rowsBefore = s.read.parquet(manifest.toSeq.sorted: _*).count()
+    val orphans = before.filterNot(f => manifest.contains(f.getAbsolutePath))
+    orphans.foreach(f => { f.delete(); () }) // the actual vacuum
+    val after = onDisk()
+    require(after.map(_.getAbsolutePath).toSet == manifest,
+      "vacuum deleted a live file or missed an orphan")
+    val rowsAfter = s.read.parquet(manifest.toSeq.sorted: _*).count()
+    Seq((before.length.toLong, manifest.size.toLong, orphans.length.toLong,
+      after.length.toLong, rowsBefore, rowsAfter,
+      if (rowsBefore == rowsAfter) 1 else 0))
+      .toDF("n_files_before", "n_files_live", "n_orphans_deleted",
+        "n_files_after", "n_rows_before", "n_rows_after", "intact")
+  }
+
+  private val vacuumOrphansSql =
+    """SELECT CAST(8 AS BIGINT) AS n_files_before, CAST(4 AS BIGINT) AS n_files_live,
+      |  CAST(4 AS BIGINT) AS n_orphans_deleted, CAST(4 AS BIGINT) AS n_files_after,
+      |  count(*) AS n_rows_before, count(*) AS n_rows_after, CAST(1 AS INT) AS intact
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("etl_vacuum_orphans", vacuumOrphans, Some(vacuumOrphansSql)),
     Op("src_manifest_isolation", manifestIsolation, Some(manifestIsolationSql)),
     Op("src_snapshot_asof", snapshotAsof, Some(snapshotAsofSql)),
     Op("src_csv_corrupt", csvCorrupt, Some(csvCorruptSql)),
