@@ -688,6 +688,104 @@ object EtlOps3 {
   }
 
   // ---------------------------------------------------------------
+  // meta_schema_drift — catalog-version DRIFT DETECTION: the audit a
+  // metadata-driven warehouse runs before promoting a config change
+  // (the reference UPDATEs its config in place with no diff trail —
+  // 1. Metadata Creation.sql grants the UPDATE, nothing reviews it;
+  // here catalog versions are immutable parquet, so the diff is a
+  // QUERY). Catalog v2 applies a deterministic change set to the
+  // seeded v1 (an include flip, an alias change, a transform change,
+  // a dropped row, an added row — one of each drift class), both
+  // versions persist via MetaStore, and the DETECTION is engine-side:
+  // full outer join of the two column_config relations on column_id
+  // (the config row's identity — (table, name) is legitimately
+  // non-unique: derived columns reuse a source column), with one
+  // indicator per drift class. The oracle's expected relation is
+  // generated from the SAME typed catalogs at oracle-build time (the
+  // meta_lineage convention), so detector-vs-truth drift hash-fails.
+  // Config-sized end to end at any SF.
+  // ---------------------------------------------------------------
+  private def driftV2(cols: Seq[graft.meta.ColumnConfig]): Seq[graft.meta.ColumnConfig] =
+    cols.filterNot(_.columnId == 10).map { c =>
+      if (c.columnId == 3) c.copy(includeFlag = false)
+      else if (c.columnId == 6) c.copy(aliasName = Some("Return_Flag_V2"))
+      else if (c.columnId == 8) c.copy(transformationLogic = Some("CAST(year(l_shipdate) + 0 AS INT)"))
+      else c
+    } :+ graft.meta.ColumnConfig(99, 1, "l_comment", Some("Comment_Text"))
+
+  /** The diff rows (shared by the op's expectation and the oracle):
+    * (column_id, table_id, column_name, in_v1, in_v2, include_chg,
+    * alias_chg, transform_chg, any_drift).
+    */
+  private def driftRows: Seq[(Int, Int, String, Int, Int, Int, Int, Int, Int)] = {
+    val v1 = graft.meta.MetaStore.sample.columns
+    val v2 = driftV2(v1)
+    val ids = (v1.map(_.columnId) ++ v2.map(_.columnId)).distinct.sorted
+    ids.map { id =>
+      val a = v1.find(_.columnId == id)
+      val b = v2.find(_.columnId == id)
+      val name = b.orElse(a).get.columnName
+      val tid = b.orElse(a).get.tableId
+      val (inc, al, tr) = (a, b) match {
+        case (Some(x), Some(y)) =>
+          (if (x.includeFlag != y.includeFlag) 1 else 0,
+            if (x.aliasName != y.aliasName) 1 else 0,
+            if (x.transformationLogic != y.transformationLogic) 1 else 0)
+        case _ => (0, 0, 0)
+      }
+      val drift = if (a.isEmpty || b.isEmpty || inc + al + tr > 0) 1 else 0
+      (id, tid, name, if (a.isDefined) 1 else 0, if (b.isDefined) 1 else 0,
+        inc, al, tr, drift)
+    }
+  }
+
+  private def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.sources.SourceOps.tmpDir("graft_schema_drift")
+    val sample = graft.meta.MetaStore.sample
+    graft.meta.MetaStore.save(s, sample, s"$root/v1")
+    graft.meta.MetaStore.save(s, sample.copy(columns = driftV2(sample.columns)), s"$root/v2")
+    val a = s.read.parquet(s"$root/v1/column_config")
+      .select(col("columnId").as("column_id"), col("tableId").as("tid_a"),
+        col("columnName").as("name_a"), col("includeFlag").as("inc_a"),
+        col("aliasName").as("al_a"), col("transformationLogic").as("tr_a"))
+    val b = s.read.parquet(s"$root/v2/column_config")
+      .select(col("columnId").as("column_id"), col("tableId").as("tid_b"),
+        col("columnName").as("name_b"), col("includeFlag").as("inc_b"),
+        col("aliasName").as("al_b"), col("transformationLogic").as("tr_b"))
+    a.join(b, Seq("column_id"), "full_outer")
+      .select(col("column_id"),
+        coalesce(col("tid_b"), col("tid_a")).as("table_id"),
+        coalesce(col("name_b"), col("name_a")).as("column_name"),
+        col("name_a").isNotNull.cast("int").as("in_v1"),
+        col("name_b").isNotNull.cast("int").as("in_v2"),
+        (col("name_a").isNotNull && col("name_b").isNotNull &&
+          col("inc_a") =!= col("inc_b")).cast("int").as("include_chg"),
+        (col("name_a").isNotNull && col("name_b").isNotNull &&
+          coalesce(col("al_a"), lit("(null)")) =!= coalesce(col("al_b"), lit("(null)")))
+          .cast("int").as("alias_chg"),
+        (col("name_a").isNotNull && col("name_b").isNotNull &&
+          coalesce(col("tr_a"), lit("(null)")) =!= coalesce(col("tr_b"), lit("(null)")))
+          .cast("int").as("transform_chg"))
+      .withColumn("any_drift",
+        (col("in_v1") =!= col("in_v2")).cast("int")
+          .bitwiseOR(col("include_chg")).bitwiseOR(col("alias_chg"))
+          .bitwiseOR(col("transform_chg")))
+      .orderBy("column_id")
+  }
+
+  private val schemaDriftSql = {
+    val rows = driftRows.map { case (id, tid, name, i1, i2, inc, al, tr, d) =>
+      s"($id, $tid, '$name', $i1, $i2, $inc, $al, $tr, $d)"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+      |  $rows)
+      |  AS t(column_id, table_id, column_name, in_v1, in_v2,
+      |       include_chg, alias_chg, transform_chg, any_drift)
+      |ORDER BY column_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // etl_dp_counts — ε-differential-privacy noise injection for a
   // PUBLISHED aggregate, completing the privacy family: k-anonymity /
   // l-diversity / t-closeness AUDIT re-identification risk in the
@@ -859,5 +957,6 @@ object EtlOps3 {
     Op("meta_freshness", freshness, Some(freshnessSql)),
     Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)),
     Op("meta_jdbc_catalog", metaJdbcCatalog, Some(EtlOps.metaExtractSql)),
-    Op("etl_dp_counts", dpCounts, Some(dpCountsSql)))
+    Op("etl_dp_counts", dpCounts, Some(dpCountsSql)),
+    Op("meta_schema_drift", schemaDrift, Some(schemaDriftSql)))
 }
