@@ -200,8 +200,72 @@ object GrowthOps {
       |FROM bands
       |ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ev_segment_migration — period-over-period SEGMENT MIGRATION
+  // matrix (the growth-accounting view at segment grain: growth teams
+  // read "how many heavies became light" — ev_growth_accounting
+  // tracks the new/retained/churned user COUNTS, this tracks the
+  // intensity TRANSITIONS). The corpus splits at its midpoint day
+  // (derived identically in both engines from min/max day); each
+  // user's per-half PURCHASE-day count buckets into none/light/
+  // regular/heavy (0 / 1-3 / 4-6 / ≥7 purchase days — purchase days,
+  // not any-event days: the gate corpus's users touch the product
+  // near-daily, and a bucketing every user saturates gates a 1-row
+  // degenerate matrix), and the matrix
+  // counts (segment_1 → segment_2) with a row-normalized ppm share
+  // (truncating DIV over positives).
+  // Plan shape: one distinct over (user, day) — the only fact-sized
+  // shuffle — then user-grain aggregates, a user-keyed outer join of
+  // the two halves, and a |segments|²-row matrix aggregate with a
+  // window over that matrix only. At 100 TB: two map-side-combined
+  // passes over the distinct actives; nothing user-quadratic.
+  // ---------------------------------------------------------------
+  private def segBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c >= 7, "heavy").when(c >= 4, "regular").when(c >= 1, "light").otherwise("none")
+
+  private def segmentMigration(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), expr("ts DIV 1000000000 DIV 86400").as("d"))
+      .distinct()
+    val mid = ud.agg(expr("CAST((min(d) + max(d) + 1) DIV 2 AS BIGINT)")).head().getLong(0)
+    val h1 = ud.filter(col("d") < mid).groupBy("u").agg(count(lit(1)).as("n1"))
+    val h2 = ud.filter(col("d") >= mid).groupBy("u").agg(count(lit(1)).as("n2"))
+    val w = Window.partitionBy("segment_1")
+    h1.join(h2, Seq("u"), "full_outer")
+      .select(segBucket(coalesce(col("n1"), lit(0L))).as("segment_1"),
+        segBucket(coalesce(col("n2"), lit(0L))).as("segment_2"))
+      .groupBy("segment_1", "segment_2").agg(count(lit(1)).as("n_users"))
+      .withColumn("share_of_seg1_ppm",
+        expr("CAST(n_users * 1000000 DIV sum(n_users) OVER (PARTITION BY segment_1) AS BIGINT)"))
+      .orderBy("segment_1", "segment_2")
+  }
+
+  private val segmentMigrationSql =
+    """WITH ud AS (SELECT DISTINCT user_id AS u,
+      |    (epoch_ns(ts) // 1000000000) // 86400 AS d FROM events
+      |  WHERE event_type = 'purchase'),
+      |mid AS (SELECT CAST((min(d) + max(d) + 1) // 2 AS BIGINT) AS m FROM ud),
+      |h1 AS (SELECT u, count(*) AS n1 FROM ud WHERE d < (SELECT m FROM mid) GROUP BY u),
+      |h2 AS (SELECT u, count(*) AS n2 FROM ud WHERE d >= (SELECT m FROM mid) GROUP BY u),
+      |j AS (SELECT coalesce(h1.n1, 0) AS n1, coalesce(h2.n2, 0) AS n2
+      |      FROM h1 FULL OUTER JOIN h2 ON h1.u = h2.u),
+      |segs AS (SELECT
+      |    CASE WHEN n1 >= 7 THEN 'heavy' WHEN n1 >= 4 THEN 'regular'
+      |         WHEN n1 >= 1 THEN 'light' ELSE 'none' END AS segment_1,
+      |    CASE WHEN n2 >= 7 THEN 'heavy' WHEN n2 >= 4 THEN 'regular'
+      |         WHEN n2 >= 1 THEN 'light' ELSE 'none' END AS segment_2
+      |  FROM j),
+      |m AS (SELECT segment_1, segment_2, count(*) AS n_users FROM segs GROUP BY 1, 2)
+      |SELECT segment_1, segment_2, n_users,
+      |  CAST(n_users * 1000000 // sum(n_users) OVER (PARTITION BY segment_1) AS BIGINT)
+      |    AS share_of_seg1_ppm
+      |FROM m
+      |ORDER BY segment_1, segment_2""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("q_abc_pareto", abcPareto, Some(abcParetoSql)),
     Op("q_new_vs_repeat", newVsRepeat, Some(newVsRepeatSql)),
+    Op("ev_segment_migration", segmentMigration, Some(segmentMigrationSql)),
     Op("ev_entropy_profile", entropyProfile, Some(entropyProfileSql)))
 }
