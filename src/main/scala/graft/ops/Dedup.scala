@@ -974,17 +974,25 @@ object Dedup {
       assignedOpt: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
     val assigned = assignedOpt.getOrElse(ivfCellAssignments(emb))
-    val cand = assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    val av = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val bv = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(av, "vec_a").join(bv, "vec_b")
+    // cell-local scoring (r10, same rewrite as Similarity.
+    // knnGraphUnsorted): vectors attach to the probes·N assignment
+    // rows ONCE and pairs score inside the cell-keyed join — the
+    // previous pair-list-first plan shuffled a pair-sized relation
+    // of full vectors twice and spilled at the 30× corpus. The
+    // post-score (a, b) aggregate dedupes multi-cell duplicates over
+    // SKINNY rows; sim is identical across duplicates, so the gated
+    // output is bit-identical.
+    val aw = assigned.join(e, "vec_id")
+    val x = aw.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = aw.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(
         expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
       .filter(col("sim") >= tau)
-      .select("vec_a", "vec_b", "sim")
+      .groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
   }
 
   private[graft] def embeddingPairsIvf(emb: DataFrame, tau: Double): DataFrame =

@@ -736,18 +736,30 @@ object Similarity {
   private[ops] def knnGraphUnsorted(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val assigned = Dedup.stagedCellAssignments(s, dir)
-    val cand = assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    val av = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val bv = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // CELL-LOCAL scoring (r10): join the two assignment sides on the
+    // CELL key with vectors already attached, so the only wide-row
+    // shuffles are the 2·(probes·N) assignment rows — the previous
+    // plan generated the pair list first and then shuffled a
+    // pair-sized relation of full vectors TWICE (vec_a join, then
+    // vec_b join with the 64-float array riding along), which at the
+    // 30× corpus spilled: measured 205 s staging, 11.9× wall for 3×
+    // data. Duplicate pairs (two vectors sharing several probed
+    // cells) are deduped AFTER scoring by a skinny (a, b, sim)
+    // aggregate — sim is identical across duplicates by construction,
+    // so max() is a value-preserving dedupe and the gated output is
+    // bit-identical to the pair-first plan.
+    val aw = assigned.join(e, "vec_id")
+    val x = aw.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = aw.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
     // cosine is symmetric: score each UNORDERED pair once, then
     // mirror the skinny (a, b, sim) rows — half the dot products of
-    // mirroring the candidate set before the vector join
-    val pairSim = cand.join(av, "vec_a").join(bv, "vec_b")
+    // mirroring the candidate set
+    val pairSim = x.join(y, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cosine(expr("graft_array_dot(va, vb)"), col("na"), col("nb")))
-      .select("vec_a", "vec_b", "sim")
+      .groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
     val mirrored = pairSim.unionAll(
       pairSim.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))
     val w = Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))
