@@ -733,7 +733,7 @@ object Similarity {
     * the same RangePartitioning-samples-its-child reason the
     * embedding pair stage splits (Dedup.embeddingPairsIvfUnsorted).
     */
-  private[ops] def knnGraphUnsorted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnGraphUnsorted(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val assigned = Dedup.stagedCellAssignments(s, dir)
     // CELL-LOCAL scoring (r10): join the two assignment sides on the
