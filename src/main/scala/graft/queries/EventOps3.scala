@@ -67,6 +67,104 @@ object EventOps3 {
       |ORDER BY prev_type, cur_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // ev_cuped_stats — CUPED variance reduction for the A/B readout
+  // (the covariate adjustment every mature experimentation platform
+  // applies before calling a winner: adjusted_y = y − θ(x − x̄) with
+  // x the user's PRE-period metric and θ = cov(x,y)/var(x); it
+  // removes the between-user variance the pre-period already
+  // explains, where ev_ab_lift compares raw means). Everything is
+  // integer-exact and sign-safe: per-user x/y are pre/post-midpoint
+  // value sums quantized to whole dollars (cents DIV 100 — bounds
+  // the cross-moment products inside BIGINT at 10⁵-user scale; at
+  // 10⁹ users a deployment stratifies the moments per cohort and
+  // sums, same algebra); θ's numerator n·Σxy − Σx·Σy may be
+  // NEGATIVE, so θ_milli = sign(num)·(|num|·1000 DIV den) — the DIV
+  // only ever sees nonnegatives (§7.1), and den = n·Σx² − (Σx)² ≥ 0
+  // by Cauchy–Schwarz. The arm correction composes signs the same
+  // way: corr = sign(θ)·sign(dx)·(|θ_milli·dx_milli| DIV 1000).
+  // Emitted per arm: exact counts/sums, mean_milli values, the
+  // global θ beside them, and the CUPED-adjusted mean — plus the
+  // sufficient statistics (Σxy, Σx²) so any re-analysis can audit θ.
+  //
+  // Plan shape: one user-grain aggregate off one fact scan (the only
+  // data-sized stage, map-side-combinable on user_id), then 1-row
+  // global moments broadcast into a 2-row arm aggregate.
+  // ---------------------------------------------------------------
+  private def cupedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEs(s, dir)
+      .select(col("user_id"), expr("es DIV 86400").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100").as("v"))
+    val mid = ev.agg(expr("CAST((min(d) + max(d) + 1) DIV 2 AS BIGINT)")).head().getLong(0)
+    val perUser = ev.groupBy("user_id")
+      .agg(sum(when(col("d") < mid, col("v")).otherwise(0L)).as("x"),
+        sum(when(col("d") >= mid, col("v")).otherwise(0L)).as("y"))
+      .withColumn("arm", expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT) % 2"))
+    val g = perUser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")).head()
+    val (n, sx, sy, sxy, sxx) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val thetaMilli =
+      if (den == 0) 0L else (if (num < 0) -1L else 1L) * (math.abs(num) * 1000L / den)
+    val xbarMilli = sx * 1000L / n
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"))
+      .select(col("arm"), col("n_users"), col("sum_x"), col("sum_y"),
+        expr("sum_x * 1000 DIV n_users").as("x_mean_milli"),
+        expr("sum_y * 1000 DIV n_users").as("y_mean_milli"),
+        lit(thetaMilli).as("theta_milli"),
+        lit(num).as("theta_num"), lit(den).as("theta_den"))
+      .withColumn("dx_milli", col("x_mean_milli") - lit(xbarMilli))
+      .withColumn("corr_milli", expr(
+        s"""(CASE WHEN theta_milli * dx_milli >= 0 THEN 1 ELSE -1 END)
+           | * (abs(theta_milli * dx_milli) DIV 1000)""".stripMargin))
+      .withColumn("adj_mean_milli", col("y_mean_milli") - col("corr_milli"))
+      .orderBy("arm")
+  }
+
+  private val cupedStatsSql =
+    """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS d,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v
+      |  FROM events),
+      |mid AS (SELECT CAST((min(d) + max(d) + 1) // 2 AS BIGINT) AS m FROM e),
+      |pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN d < (SELECT m FROM mid) THEN v ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN d >= (SELECT m FROM mid) THEN v ELSE 0 END) AS BIGINT) AS y,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 2 AS arm
+      |  FROM e GROUP BY user_id),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx FROM pu),
+      |th AS (SELECT n, sx, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |    CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |         ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+      |              * (abs(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)) END AS theta_milli,
+      |    sx * 1000 // n AS xbar_milli
+      |  FROM g),
+      |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+      |  FROM pu GROUP BY arm),
+      |z AS (SELECT a.arm, a.n_users, a.sum_x, a.sum_y,
+      |    a.sum_x * 1000 // a.n_users AS x_mean_milli,
+      |    a.sum_y * 1000 // a.n_users AS y_mean_milli,
+      |    t.theta_milli, t.num AS theta_num, t.den AS theta_den,
+      |    a.sum_x * 1000 // a.n_users - t.xbar_milli AS dx_milli
+      |  FROM arms a CROSS JOIN th t)
+      |SELECT arm, n_users, sum_x, sum_y, x_mean_milli, y_mean_milli,
+      |  theta_milli, theta_num, theta_den, dx_milli,
+      |  (CASE WHEN theta_milli * dx_milli >= 0 THEN 1 ELSE -1 END)
+      |    * (abs(theta_milli * dx_milli) // 1000) AS corr_milli,
+      |  y_mean_milli - (CASE WHEN theta_milli * dx_milli >= 0 THEN 1 ELSE -1 END)
+      |    * (abs(theta_milli * dx_milli) // 1000) AS adj_mean_milli
+      |FROM z
+      |ORDER BY arm""".stripMargin
+
+  // ---------------------------------------------------------------
   // ev_asof_tolerance — FORWARD as-of join with a match tolerance:
   // each purchase matched to the EARLIEST view at-or-after it within
   // 2 h, per user — the "next-touch" direction ev_asof_join's
@@ -1251,5 +1349,6 @@ object EventOps3 {
     Op("ev_ab_lift", abLift, Some(abLiftSql)),
     Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)),
     Op("ev_lag_features", lagFeatures, Some(lagFeaturesSql)),
-    Op("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)))
+    Op("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
+    Op("ev_cuped_stats", cupedStats, Some(cupedStatsSql)))
 }

@@ -747,6 +747,52 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("ev_cuped_stats: moments, theta and adjusted means equal a brute CUPED re-derivation") {
+    val got = run("ev_cuped_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+        r.getLong(10), r.getLong(11)))
+    assert(got.length == 2)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    def h52(u: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val pu = ev.groupBy(_._1).map { case (u, rs) =>
+      (h52(u) % 2, rs.filter(_._2 < mid).map(_._3).sum, rs.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val n = pu.length.toLong
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxy = pu.map(r => r._2 * r._3).sum
+    val sxx = pu.map(r => r._2 * r._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val theta = (if (num < 0) -1L else 1L) * (math.abs(num) * 1000L / den)
+    // theta is milli-faithful to the float cov/var (libm-free quantization)
+    assert(math.abs(theta / 1000.0 - num.toDouble / den) <= 0.002)
+    val xbar = sx * 1000L / n
+    got.foreach { case (arm, nu, sxA, syA, xm, ym, th, tn, td, dx, corr, adj) =>
+      val g = pu.filter(_._1 == arm)
+      assert(nu == g.length && sxA == g.map(_._2).sum && syA == g.map(_._3).sum)
+      assert(xm == sxA * 1000 / nu && ym == syA * 1000 / nu)
+      assert(th == theta && tn == num && td == den)
+      assert(dx == xm - xbar)
+      val expectCorr = (if (theta * dx >= 0) 1L else -1L) * (math.abs(theta * dx) / 1000)
+      assert(corr == expectCorr && adj == ym - expectCorr)
+    }
+    // CUPED property: the adjustment moves the two arms TOWARD each
+    // other iff their pre-period means differ in theta's direction —
+    // verified by the identity above; additionally the correction is
+    // nonzero when theta and dx both are (adjustment really engages)
+    val engaged = got.exists(r => r._11 != 0L)
+    val dxs = got.map(_._10)
+    if (theta != 0 && dxs.exists(_.abs >= 1000)) assert(engaged, "CUPED never engaged")
+  }
+
   test("dedup_url_canonical: canonicalization collapses exactly the synthetic variants") {
     val got = run("dedup_url_canonical").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
