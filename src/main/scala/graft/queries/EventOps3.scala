@@ -67,6 +67,69 @@ object EventOps3 {
       |ORDER BY prev_type, cur_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // ev_powerlaw_fit — heavy-tail EXPONENT of the user-activity
+  // distribution (the Zipf/power-law audit every training-data and
+  // abuse team runs: α near 1 = classic Zipf concentration, α → 0 =
+  // uniform; a drifting α is bot traffic or a crawler bug): fit
+  // ln(count) = c − α·ln(rank) by least squares over the ranked
+  // per-user event counts, with BOTH logs through the shared integer
+  // milli-ln table (functions.IntLn — third consumer after txt_bm25
+  // and etl_dp_counts; zero runtime transcendentals, engine-exact).
+  // Slope algebra is the ev_cuped_stats sign-safe pattern: num =
+  // N·Σ(lr·lc) − Σlr·Σlc may be negative (it IS, for any decaying
+  // tail), den = N·Σlr² − (Σlr)² ≥ 0 by Cauchy–Schwarz, α_milli =
+  // sign-safe −(num·1000 DIV den); num/den emitted exact for audit,
+  // plus the top-rank count and the rank-1/rank-10 decade ratio the
+  // fit should roughly reproduce.
+  //
+  // Plan shape: one user-grain map-side-combined count off the fact
+  // scan; the rank window runs over the USER-dimension aggregate
+  // (the q_abc_pareto bounded-window justification), then a 1-row
+  // moment aggregate. Log products stay ≤ 2^60 at 10⁶ users.
+  // ---------------------------------------------------------------
+  private def powerlawFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntLn
+    val counts = withEs(s, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id"))).cast("bigint"))
+      .select(expr(IntLn.spark("r")).as("lr"), expr(IntLn.spark("n")).as("lc"),
+        col("r"), col("n"))
+    ranked.agg(count(lit(1)).as("nu"), sum(col("lr")).as("slr"),
+        sum(col("lc")).as("slc"), sum(col("lr") * col("lc")).as("slrlc"),
+        sum(col("lr") * col("lr")).as("slrlr"),
+        max(when(col("r") === 1, col("n"))).as("top_count"),
+        max(when(col("r") === 10, col("n"))).as("rank10_count"))
+      .select(col("nu").as("n_users"),
+        (col("nu") * col("slrlc") - col("slr") * col("slc")).as("num"),
+        (col("nu") * col("slrlr") - col("slr") * col("slr")).as("den"),
+        col("top_count"), coalesce(col("rank10_count"), lit(-1L)).as("rank10_count"))
+      .withColumn("alpha_milli", expr(
+        "(CASE WHEN num <= 0 THEN 1 ELSE -1 END) * (abs(num) * 1000 DIV den)"))
+      .select("n_users", "num", "den", "alpha_milli", "top_count", "rank10_count")
+  }
+
+  private val powerlawFitSql = {
+    import graft.functions.IntLn
+    s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      |r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS r FROM c),
+      |l AS (SELECT r, n, ${IntLn.duck("r")} AS lr, ${IntLn.duck("n")} AS lc FROM r),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(lr) AS BIGINT) AS slr,
+      |    CAST(sum(lc) AS BIGINT) AS slc, CAST(sum(lr * lc) AS BIGINT) AS slrlc,
+      |    CAST(sum(lr * lr) AS BIGINT) AS slrlr,
+      |    CAST(max(CASE WHEN r = 1 THEN n END) AS BIGINT) AS top_count,
+      |    CAST(coalesce(max(CASE WHEN r = 10 THEN n END), -1) AS BIGINT) AS rank10_count
+      |  FROM l)
+      |SELECT nu AS n_users,
+      |  nu * slrlc - slr * slc AS num,
+      |  nu * slrlr - slr * slr AS den,
+      |  (CASE WHEN nu * slrlc - slr * slc <= 0 THEN 1 ELSE -1 END)
+      |    * (abs(nu * slrlc - slr * slc) * 1000 // (nu * slrlr - slr * slr)) AS alpha_milli,
+      |  top_count, rank10_count
+      |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // ev_cuped_stats — CUPED variance reduction for the A/B readout
   // (the covariate adjustment every mature experimentation platform
   // applies before calling a winner: adjusted_y = y − θ(x − x̄) with
@@ -1350,5 +1413,6 @@ object EventOps3 {
     Op("ev_inter_event_time", interEventTime, Some(interEventTimeSql)),
     Op("ev_lag_features", lagFeatures, Some(lagFeaturesSql)),
     Op("ev_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
-    Op("ev_cuped_stats", cupedStats, Some(cupedStatsSql)))
+    Op("ev_cuped_stats", cupedStats, Some(cupedStatsSql)),
+    Op("ev_powerlaw_fit", powerlawFit, Some(powerlawFitSql)))
 }

@@ -747,6 +747,36 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(p => p._6 >= 0 && p._6 <= 1000000L))
   }
 
+  test("ev_powerlaw_fit: slope equals a brute table-ln regression and tracks float least-squares") {
+    val r = run("ev_powerlaw_fit").collect()(0)
+    val (nu, num, den, alpha) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val counts = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val ranked = counts.sortBy(x => (-x._2, x._1)).zipWithIndex
+      .map { case ((_, n), i) => (i + 1L, n) }
+    assert(nu == ranked.length.toLong)
+    import graft.functions.IntLn
+    val lr = ranked.map(x => IntLn.ref(x._1))
+    val lc = ranked.map(x => IntLn.ref(x._2))
+    val bNum = nu * lr.zip(lc).map { case (a, b) => a * b }.sum - lr.sum * lc.sum
+    val bDen = nu * lr.map(a => a * a).sum - lr.sum * lr.sum
+    assert(num == bNum && den == bDen, "moments differ from brute table-ln")
+    val bAlpha = (if (bNum <= 0) 1L else -1L) * (math.abs(bNum) * 1000L / bDen)
+    assert(alpha == bAlpha)
+    assert(r.getLong(4) == ranked.head._2)
+    // the integer fit tracks the REAL least-squares slope on ln-ln
+    // (libm in the test only) within the table quantization
+    val flr = ranked.map(x => math.log(x._1.toDouble))
+    val flc = ranked.map(x => math.log(x._2.toDouble))
+    val n = nu.toDouble
+    val fNum = n * flr.zip(flc).map { case (a, b) => a * b }.sum - flr.sum * flc.sum
+    val fDen = n * flr.map(a => a * a).sum - flr.sum * flr.sum
+    val fAlpha = -fNum / fDen
+    assert(math.abs(alpha / 1000.0 - fAlpha) <= 0.05 * math.max(math.abs(fAlpha), 0.2),
+      s"alpha ${alpha / 1000.0} drifted from float fit $fAlpha")
+  }
+
   test("ev_cuped_stats: moments, theta and adjusted means equal a brute CUPED re-derivation") {
     val got = run("ev_cuped_stats").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
