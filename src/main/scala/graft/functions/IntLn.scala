@@ -11,15 +11,18 @@ package graft.functions
   * 2^k · m with k = length(bin(x)) − 1 (both engines' bin() drop
   * leading zeros, so k is engine-identical), quantize the mantissa
   * into 64 buckets (idx = x·64 DIV 2^k − 64 ∈ [0, 64)), and read
-  * lnMilli(x) = Ln2Milli(k) + LnMantMilli(idx). Error ≤ ±6 milli
-  * (half a mantissa bucket) — spec-pinned against libm ln.
+  * lnMilli(x) = Ln2Milli(k) + LnMantMilli(idx). The mantissa table
+  * holds each bucket's MIDPOINT ln (ln(1 + (i+½)/64)), so the
+  * quantization error is symmetric: |lnMilli(x)/1000 − ln(x)| ≤
+  * ½·ln(65/64) + rounding ≈ ±8.3 milli (a left-edge table would be
+  * one-sided ≤ ~15.6 milli) — spec-pinned against libm ln.
   */
 object IntLn {
 
   val Ln2Milli: Seq[Long] =
     (0 until 64).map(k => math.round(k * math.log(2.0) * 1000.0))
   val LnMantMilli: Seq[Long] =
-    (0 until 64).map(i => math.round(math.log(1.0 + i / 64.0) * 1000.0))
+    (0 until 64).map(i => math.round(math.log(1.0 + (i + 0.5) / 64.0) * 1000.0))
   val Pow2: Seq[Long] = (0 until 55).map(k => 1L << k)
 
   /** lnMilli as a Spark SQL expression over `x` (column or literal). */

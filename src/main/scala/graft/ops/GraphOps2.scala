@@ -300,19 +300,36 @@ object GraphOps2 {
     var frontier = seeds
     var labeledIds = Set.empty[Int]
     var frontierIds = Set.empty[Int]
-    for (k <- 1 to LmRounds) {
-      val (next, nextIds) = Rounds.checkpoint(
-        frontier.join(edges, frontier("v") === edges("src"))
-          .select(col("lm"), col("dst").as("v")).distinct()
-          .join(labeled.select("lm", "v"), Seq("lm", "v"), "left_anti")
-          .withColumn("dist", lit(k.toLong)))
-      Rounds.free(frontier, frontierIds)
-      frontier = next
-      frontierIds = nextIds
-      val (lab2, labIds2) = Rounds.checkpoint(labeled.unionByName(next))
-      Rounds.free(labeled, labeledIds)
-      labeled = lab2
-      labeledIds = labIds2
+    // the round's freshly-created checkpoint until it is swapped into
+    // frontier/labeled — the failure path below must free it too, or
+    // an exception mid-loop parks the round's blocks for the run
+    // (same convention as Cc.minLabelComponents / PageRank)
+    var inflight: Option[(DataFrame, Set[Int])] = None
+    try {
+      for (k <- 1 to LmRounds) {
+        val (next, nextIds) = Rounds.checkpoint(
+          frontier.join(edges, frontier("v") === edges("src"))
+            .select(col("lm"), col("dst").as("v")).distinct()
+            .join(labeled.select("lm", "v"), Seq("lm", "v"), "left_anti")
+            .withColumn("dist", lit(k.toLong)))
+        inflight = Some((next, nextIds))
+        Rounds.free(frontier, frontierIds)
+        frontier = next
+        frontierIds = nextIds
+        inflight = None
+        val (lab2, labIds2) = Rounds.checkpoint(labeled.unionByName(next))
+        inflight = Some((lab2, labIds2))
+        Rounds.free(labeled, labeledIds)
+        labeled = lab2
+        labeledIds = labIds2
+        inflight = None
+      }
+    } catch {
+      case e: Throwable =>
+        inflight.foreach { case (df, ids) => Rounds.free(df, ids) }
+        Rounds.free(frontier, frontierIds)
+        Rounds.free(labeled, labeledIds)
+        throw e
     }
     val scored = labeled.filter(col("dist") > 0)
       .groupBy("v")

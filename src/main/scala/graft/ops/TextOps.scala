@@ -254,8 +254,9 @@ object TextOps {
   // engines — both bin()s drop leading zeros) and reads two 64-entry
   // milli-ln tables interpolated into BOTH plans as literals, so no
   // runtime transcendental executes on either engine and the
-  // cross-term mix is ln-faithful to ±6 milli (the mantissa table's
-  // 1/64 quantization; spec-pinned against real ln). Positive by
+  // cross-term mix is ln-faithful to ±8 milli per term (the mantissa
+  // table's 1/64 mid-bucket quantization; spec-pinned against real
+  // ln). Positive by
   // construction (df ≤ N ⇒ 2N+2 > 2df+1); domain x < 2^55 covers
   // any conceivable corpus count. Query = one rare + two common
   // terms so the idf spread and the saturation path are both

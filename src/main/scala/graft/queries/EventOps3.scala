@@ -85,7 +85,13 @@ object EventOps3 {
   // Plan shape: one user-grain map-side-combined count off the fact
   // scan; the rank window runs over the USER-dimension aggregate
   // (the q_abc_pareto bounded-window justification), then a 1-row
-  // moment aggregate. Log products stay ≤ 2^60 at 10⁶ users.
+  // moment aggregate. Overflow: per-row lr·lc ≤ ~1.5e9 so the BIGINT
+  // moment SUMS hold to ~5e9 users, but the determinant cross-terms
+  // nu·slrlc reach ~1.9e20 at 10⁶ users — past int64 near ~3e5 users
+  // (Spark non-ANSI would wrap silently, DuckDB errors) — so the
+  // final 1-row combination runs in DECIMAL(38,0)/HUGEINT and num/den
+  // are emitted as exact decimal STRINGS (engine-portable at any
+  // magnitude; alpha_milli itself is tiny and stays BIGINT).
   // ---------------------------------------------------------------
   private def powerlawFit(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.IntLn
@@ -101,12 +107,16 @@ object EventOps3 {
         max(when(col("r") === 1, col("n"))).as("top_count"),
         max(when(col("r") === 10, col("n"))).as("rank10_count"))
       .select(col("nu").as("n_users"),
-        (col("nu") * col("slrlc") - col("slr") * col("slc")).as("num"),
-        (col("nu") * col("slrlr") - col("slr") * col("slr")).as("den"),
+        (col("nu").cast("decimal(38,0)") * col("slrlc")
+          - col("slr").cast("decimal(38,0)") * col("slc")).as("numd"),
+        (col("nu").cast("decimal(38,0)") * col("slrlr")
+          - col("slr").cast("decimal(38,0)") * col("slr")).as("dend"),
         col("top_count"), coalesce(col("rank10_count"), lit(-1L)).as("rank10_count"))
       .withColumn("alpha_milli", expr(
-        "(CASE WHEN num <= 0 THEN 1 ELSE -1 END) * (abs(num) * 1000 DIV den)"))
-      .select("n_users", "num", "den", "alpha_milli", "top_count", "rank10_count")
+        "CAST((CASE WHEN numd <= 0 THEN 1 ELSE -1 END) * (abs(numd) * 1000 DIV dend) AS BIGINT)"))
+      .select(col("n_users"), col("numd").cast("string").as("num"),
+        col("dend").cast("string").as("den"), col("alpha_milli"),
+        col("top_count"), col("rank10_count"))
   }
 
   private val powerlawFitSql = {
@@ -119,14 +129,17 @@ object EventOps3 {
       |    CAST(sum(lr * lr) AS BIGINT) AS slrlr,
       |    CAST(max(CASE WHEN r = 1 THEN n END) AS BIGINT) AS top_count,
       |    CAST(coalesce(max(CASE WHEN r = 10 THEN n END), -1) AS BIGINT) AS rank10_count
-      |  FROM l)
+      |  FROM l),
+      |d AS (SELECT nu, top_count, rank10_count,
+      |    CAST(nu AS HUGEINT) * slrlc - CAST(slr AS HUGEINT) * slc AS numd,
+      |    CAST(nu AS HUGEINT) * slrlr - CAST(slr AS HUGEINT) * slr AS dend
+      |  FROM m)
       |SELECT nu AS n_users,
-      |  nu * slrlc - slr * slc AS num,
-      |  nu * slrlr - slr * slr AS den,
-      |  (CASE WHEN nu * slrlc - slr * slc <= 0 THEN 1 ELSE -1 END)
-      |    * (abs(nu * slrlc - slr * slc) * 1000 // (nu * slrlr - slr * slr)) AS alpha_milli,
+      |  CAST(numd AS VARCHAR) AS num, CAST(dend AS VARCHAR) AS den,
+      |  CAST((CASE WHEN numd <= 0 THEN 1 ELSE -1 END)
+      |    * (abs(numd) * 1000 // dend) AS BIGINT) AS alpha_milli,
       |  top_count, rank10_count
-      |FROM m""".stripMargin
+      |FROM d""".stripMargin
   }
 
   // ---------------------------------------------------------------

@@ -430,11 +430,12 @@ object StreamOps2 {
   }
 
   private val streamQuantileSql =
-    s"""WITH v AS (SELECT DISTINCT event_type AS t,
+    s"""WITH raw AS (SELECT event_type AS t,
       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
       |  FROM events),
-      |n AS (SELECT t, count(*) AS nt FROM v GROUP BY t),
+      |v AS (SELECT DISTINCT t, h, c FROM raw),
+      |n AS (SELECT t, count(*) AS nt FROM raw GROUP BY t),
       |r AS (SELECT t, h, c,
       |    row_number() OVER (PARTITION BY t ORDER BY h, c) AS rn FROM v),
       |samp AS (SELECT t, h, c FROM r WHERE rn <= $QuantK),
@@ -449,8 +450,8 @@ object StreamOps2 {
       |est AS (SELECT p.t, p.d, p.nt, p.ms, p.target, sr.c AS est_c, sr.h AS est_h
       |  FROM pick p JOIN sr ON sr.t = p.t AND sr.j = p.jstar),
       |ex AS (SELECT e.t, e.d, count(*) AS exact_rank
-      |  FROM v JOIN est e ON v.t = e.t
-      |    AND (v.c < e.est_c OR (v.c = e.est_c AND v.h < e.est_h))
+      |  FROM raw JOIN est e ON raw.t = e.t
+      |    AND (raw.c < e.est_c OR (raw.c = e.est_c AND raw.h < e.est_h))
       |  GROUP BY 1, 2)
       |SELECT e.t AS event_type, e.d AS decile, e.nt AS n_total, e.ms AS m_sample,
       |  e.target AS target_rank, e.est_c AS est_cents, e.est_h,

@@ -749,7 +749,9 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
 
   test("ev_powerlaw_fit: slope equals a brute table-ln regression and tracks float least-squares") {
     val r = run("ev_powerlaw_fit").collect()(0)
-    val (nu, num, den, alpha) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // num/den are exact decimal STRINGS (HUGEINT-scale audit columns)
+    val (nu, num, den, alpha) =
+      (r.getLong(0), BigInt(r.getString(1)), BigInt(r.getString(2)), r.getLong(3))
     val counts = Tables.events(spark, sfDir).groupBy("user_id")
       .agg(count(lit(1)).as("n")).collect()
       .map(x => (x.getLong(0), x.getLong(1)))
@@ -757,13 +759,15 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
       .map { case ((_, n), i) => (i + 1L, n) }
     assert(nu == ranked.length.toLong)
     import graft.functions.IntLn
-    val lr = ranked.map(x => IntLn.ref(x._1))
-    val lc = ranked.map(x => IntLn.ref(x._2))
-    val bNum = nu * lr.zip(lc).map { case (a, b) => a * b }.sum - lr.sum * lc.sum
-    val bDen = nu * lr.map(a => a * a).sum - lr.sum * lr.sum
+    val lr = ranked.map(x => BigInt(IntLn.ref(x._1)))
+    val lc = ranked.map(x => BigInt(IntLn.ref(x._2)))
+    // brute determinants in BigInt — the op's own combination is
+    // DECIMAL(38,0)/HUGEINT, overflow-safe far past the int64 bound
+    val bNum = BigInt(nu) * lr.zip(lc).map { case (a, b) => a * b }.sum - lr.sum * lc.sum
+    val bDen = BigInt(nu) * lr.map(a => a * a).sum - lr.sum * lr.sum
     assert(num == bNum && den == bDen, "moments differ from brute table-ln")
-    val bAlpha = (if (bNum <= 0) 1L else -1L) * (math.abs(bNum) * 1000L / bDen)
-    assert(alpha == bAlpha)
+    val bAlpha = (if (bNum <= 0) BigInt(1) else BigInt(-1)) * (bNum.abs * 1000 / bDen)
+    assert(BigInt(alpha) == bAlpha)
     assert(r.getLong(4) == ranked.head._2)
     // the integer fit tracks the REAL least-squares slope on ln-ln
     // (libm in the test only) within the table quantization
