@@ -28,9 +28,11 @@ object IncrementalTracker {
 
   def loadWatermarks(spark: SparkSession, dir: String): Map[String, String] = {
     import spark.implicits._
-    val path = new java.io.File(s"$dir/watermarks")
-    if (!path.exists()) Map.empty
-    else spark.read.parquet(path.toString).as[Watermark].collect()
+    // existence probe via the Hadoop FileSystem — the watermark store
+    // lives beside the data (object-store paths included), never on
+    // the driver's POSIX view
+    if (!graft.sources.Fs.exists(spark, s"$dir/watermarks")) Map.empty
+    else spark.read.parquet(s"$dir/watermarks").as[Watermark].collect()
       .map(w => w.tableName -> w.watermark).toMap
   }
 

@@ -434,8 +434,8 @@ object SourceOps {
         .write.mode("overwrite").parquet(s"$out/snapshot_date=1995-0$k-01")
     }
     val asof = "1995-02-15"
-    val chosen = new java.io.File(out).listFiles()
-      .map(_.getName).filter(_.startsWith("snapshot_date="))
+    val chosen = Fs.listChildren(s, out)
+      .map(_._1).filter(_.startsWith("snapshot_date="))
       .map(_.stripPrefix("snapshot_date="))
       .filter(_ <= asof).max // ISO dates: string order IS date order
     s.read.parquet(s"$out/snapshot_date=$chosen")
@@ -478,15 +478,15 @@ object SourceOps {
         col("o_orderdate"))
     def writeBatch(name: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
       df.repartition(4).write.mode("overwrite").parquet(s"$root/data/$name")
-      new java.io.File(s"$root/data/$name").listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+      Fs.listChildren(s, s"$root/data/$name")
+        .collect { case (n, p) if n.endsWith(".parquet") => p }.sorted
     }
     def commit(version: Int, files: Seq[String]): Unit =
       files.toDF("path").repartition(1).write.mode("overwrite")
         .parquet(s"$root/manifests/v$version")
     def filesOnDisk(): Long =
-      new java.io.File(s"$root/data").listFiles().flatMap(_.listFiles())
-        .count(_.getName.endsWith(".parquet")).toLong
+      Fs.listGrandchildren(s, s"$root/data")
+        .count(_._1.endsWith(".parquet")).toLong
     def readSnapshot(version: Int): (org.apache.spark.sql.DataFrame, Long) = {
       val paths = s.read.parquet(s"$root/manifests/v$version")
         .collect().map(_.getString(0)).sorted
@@ -555,8 +555,8 @@ object SourceOps {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
     def writeBatch(name: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
       df.repartition(4).write.mode("overwrite").parquet(s"$root/data/$name")
-      new java.io.File(s"$root/data/$name").listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+      Fs.listChildren(s, s"$root/data/$name")
+        .collect { case (n, p) if n.endsWith(".parquet") => p }.sorted
     }
     val live = writeBatch("b1",
       orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
@@ -567,15 +567,17 @@ object SourceOps {
       orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
     val manifest = s.read.parquet(s"$root/manifests/v1")
       .collect().map(_.getString(0)).toSet
-    def onDisk(): Seq[java.io.File] =
-      new java.io.File(s"$root/data").listFiles().flatMap(_.listFiles())
-        .filter(_.getName.endsWith(".parquet")).toSeq
+    // listings and deletes go through the Hadoop FileSystem (never a
+    // POSIX file handle) so the vacuum works unchanged on s3a:/hdfs:
+    def onDisk(): Seq[String] =
+      Fs.listGrandchildren(s, s"$root/data")
+        .collect { case (n, p) if n.endsWith(".parquet") => p }
     val before = onDisk()
     val rowsBefore = s.read.parquet(manifest.toSeq.sorted: _*).count()
-    val orphans = before.filterNot(f => manifest.contains(f.getAbsolutePath))
-    orphans.foreach(f => { f.delete(); () }) // the actual vacuum
+    val orphans = before.filterNot(manifest.contains)
+    orphans.foreach(p => { Fs.delete(s, p); () }) // the actual vacuum
     val after = onDisk()
-    require(after.map(_.getAbsolutePath).toSet == manifest,
+    require(after.toSet == manifest,
       "vacuum deleted a live file or missed an orphan")
     val rowsAfter = s.read.parquet(manifest.toSeq.sorted: _*).count()
     Seq((before.length.toLong, manifest.size.toLong, orphans.length.toLong,
