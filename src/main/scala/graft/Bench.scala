@@ -40,8 +40,19 @@ object Bench {
     // cost is its own labeled line, and per-op numbers then measure
     // pure consumption (stable across runs) instead of whichever
     // consumer happened to pay a stage bill first.
-    graft.ops.Dedup.resetPairStage()
-    val staging = graft.ops.Dedup.stageAllTimed(spark, sfDir)
+    // Staging is measured with the SAME min-of-N estimator as the ops
+    // (default 2 passes; r10 showed a cold/contended single-shot
+    // staging capture reading 64 s where warm same-code runs read
+    // ~13.5 s — min-of-N plus the emitted staging_passes/staging_mode
+    // metadata makes capture temperature self-explaining).
+    val stagingPasses = sys.env.getOrElse("SPARK_GRAFT_STAGING_PASSES", "2").toInt
+    val stagingRuns: Seq[Seq[(String, Double)]] = (1 to stagingPasses).map { _ =>
+      graft.ops.Dedup.resetPairStage()
+      graft.ops.Dedup.stageAllTimed(spark, sfDir)
+    }
+    val staging: Seq[(String, Double)] = stagingRuns.head.map(_._1).map { k =>
+      k -> stagingRuns.map(_.collectFirst { case (`k`, v) => v }.get).min
+    }
     val stagingTotal = staging.map(_._2).sum
     // a failing query records as an ERROR (-1 marker, excluded from
     // the total) — elapsed-to-failure must never masquerade as a fast
@@ -71,7 +82,7 @@ object Bench {
     val opsTotal = results.map(_._2).filter(_ >= 0).sum
     val total = opsTotal + stagingTotal
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$st,"ops_total":$opsTotal,"staging_total":$stagingTotal,"passes":$passes,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$st,"ops_total":$opsTotal,"staging_total":$stagingTotal,"passes":$passes,"staging_passes":$stagingPasses,"staging_mode":"jvm-warm_artifact-cold_min_of_$stagingPasses","errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is the contract, but at 190+ queries it runs
     // ~6 KB — longer than the 2000-char output tail the driver keeps,
@@ -89,7 +100,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, s) => "\"" + f + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$famTotals,"staging_total":$stagingTotal,"n_queries":${results.size},"passes":$passes,"errors":$errors,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$famTotals,"staging_total":$stagingTotal,"staging_passes":$stagingPasses,"n_queries":${results.size},"passes":$passes,"errors":$errors,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (results.exists(_._2 < 0)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
