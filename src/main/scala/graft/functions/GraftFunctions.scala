@@ -26,6 +26,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash32", exprs => MinHash32(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_count", exprs => BpeCount(exprs.head), "scala_udf")
   }
 
   private val localMd5 = new ThreadLocal[MessageDigest] {

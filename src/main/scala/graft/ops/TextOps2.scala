@@ -301,9 +301,85 @@ object TextOps2 {
       |ORDER BY head_k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // txt_bpe_tokens — TOKENIZER-FAITHFUL token accounting (r11): the
+  // curation gates budgeted in whitespace tokens, which mis-estimate
+  // what a real subword tokenizer charges by 1.3–2×; this op counts
+  // COMPILE-TIME-BPE tokens per document (functions.Bpe: rank-ordered
+  // merge table embedded like the IntLn/IntProbit constants; greedy
+  // lowest-rank-first merge-all inference, the GPT-2 convention).
+  // Pre-tokenizer: ASCII-letter runs [A-Za-z]+ extracted FIRST, then
+  // per-word lower() — lowering only pure-ASCII words keeps the two
+  // engines' unicode case rules out of the parity surface. Emits
+  // whitespace-free evidence beside the count: word count, letter
+  // count, and tokens-per-char ppm (the compression a trained BPE is
+  // FOR — here ~0.5–0.8 of chars, vs 1.0 for char-level).
+  //
+  // Plan shape: PURE MAP — the word array never explodes; per-doc
+  // sums run as aggregate() HOFs over the extracted array with the
+  // native graft_bpe_count kernel per word, so the only exchange is
+  // the gate's orderBy. Each occurrence re-runs the ~µs kernel; at
+  // 100 TB a deployment may instead dedupe the vocab and broadcast-
+  // join word→len, trading two vocab-grain shuffles for the kernel —
+  // the map-only form wins until the kernel dominates the scan.
+  // The DuckDB oracle derives the SAME counts through a RECURSIVE
+  // CTE applying the same merge table over the same double-separator
+  // encoding (a third, spec-side derivation pair-scans token lists).
+  // ---------------------------------------------------------------
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w))").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("n_chars"),
+        expr("aggregate(ws, 0L, (a, w) -> a + graft_bpe_count(w))").as("n_bpe_tokens"))
+      .withColumn("bpe_ratio_ppm", expr(
+        "CASE WHEN n_chars = 0 THEN 0L ELSE n_bpe_tokens * 1000000 DIV n_chars END"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeTokensSql = {
+    import graft.functions.Bpe
+    s"""WITH RECURSIVE
+      |m(rank, pat, rep) AS (VALUES ${Bpe.duckMergesValues}),
+      |wd AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+      |       FROM documents),
+      |v AS (SELECT DISTINCT w FROM wd),
+      |it AS (
+      |  SELECT w, ${Bpe.duckEnc("w")} AS s FROM v
+      |  UNION ALL
+      |  SELECT w, replace(s, m.pat, m.rep) AS s
+      |  FROM (SELECT w, s,
+      |          (SELECT min(rank) FROM m WHERE contains(j.s, m.pat)) AS br
+      |        FROM it j) j2
+      |  JOIN m ON m.rank = j2.br),
+      |fin AS (
+      |  SELECT w, s FROM it
+      |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(it.s, m.pat))),
+      |toks AS (SELECT w,
+      |    CAST((length(s) - length(replace(s, '${Bpe.Sep}', ''))) // 2 AS BIGINT) AS t
+      |  FROM fin),
+      |per AS (
+      |  SELECT wd.doc_id, count(*) AS n_words,
+      |    CAST(sum(length(wd.w)) AS BIGINT) AS n_chars,
+      |    CAST(sum(t.t) AS BIGINT) AS n_bpe_tokens
+      |  FROM wd JOIN toks t ON wd.w = t.w GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_words, 0) AS n_words,
+      |  coalesce(p.n_chars, 0) AS n_chars,
+      |  coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  CASE WHEN coalesce(p.n_chars, 0) = 0 THEN 0
+      |       ELSE coalesce(p.n_bpe_tokens, 0) * 1000000 // p.n_chars END AS bpe_ratio_ppm
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("txt_collocations", collocations, Some(collocationsSql)),
     Op("txt_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Op("txt_dup_coverage", dupCoverage, Some(dupCoverageSql)),
-    Op("txt_zipf_coverage", zipfCoverage, Some(zipfCoverageSql)))
+    Op("txt_zipf_coverage", zipfCoverage, Some(zipfCoverageSql)),
+    Op("txt_bpe_tokens", bpeTokens, Some(bpeTokensSql)))
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, GraftFunctions, MinHash32, Shingles3, SimHash60}
+import graft.functions.{ArrayDot, BpeCount, GraftFunctions, MinHash32, Shingles3, SimHash60}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
@@ -33,7 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_simhash60" -> (es => SimHash60(es.head)),
       "graft_shingles3" -> (es => Shingles3(es.head)),
       "graft_minhash32" -> (es => MinHash32(es.head)),
-      "graft_array_dot" -> (es => ArrayDot(es(0), es(1))))
+      "graft_array_dot" -> (es => ArrayDot(es(0), es(1))),
+      "graft_bpe_count" -> (es => BpeCount(es.head)))
     fns.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

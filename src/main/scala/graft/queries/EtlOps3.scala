@@ -863,6 +863,70 @@ object EtlOps3 {
   }
 
   // ---------------------------------------------------------------
+  // etl_dp_gaussian — the GAUSSIAN mechanism (zCDP), the release
+  // mechanism modern DP deployments actually run (composes as
+  // ρ-zCDP: k releases at ρ each cost k·ρ total, the clean
+  // accounting Laplace/ε lacks): noise = σ·z with z a standard-
+  // normal draw and σ = Δ/√(2ρ) for sensitivity-1 counts — ρ = ¼
+  // here, σ = √2 ≈ 1.414 (σ_milli = 1414, the declared milli
+  // quantization of the irrational). z comes from the shared
+  // integer probit table (functions.IntProbit — the IntLn pattern's
+  // fourth consumer family: 1024-bucket mid-point Φ⁻¹ milli table
+  // interpolated into BOTH plans, zero runtime transcendentals,
+  // tails clipped at ±3.3σ by construction — the standard
+  // quantized-Gaussian truncation, visible as |z_milli| ≤ 3300).
+  // Same declared pseudo-randomness stand-in as etl_dp_counts (md5
+  // of the group key, 'gauss|'-salted so the two mechanisms draw
+  // DIFFERENT noise), same quasi-identifier grid, same milli-
+  // precision release with exact audit columns beside it. Sign
+  // safety per §7.1: noise_milli = sign(z)·(σ_milli·|z_milli| DIV
+  // 1000) — the DIV only ever sees nonnegatives.
+  // Plan shape: identical to etl_dp_counts — one map-side-combined
+  // groupBy over the dimension table, per-row table lookups,
+  // config-grid-sized output at any SF.
+  // ---------------------------------------------------------------
+  private val DpSigmaMilli = 1414L // σ = √2 = 1/sqrt(2ρ) at ρ = 1/4
+  private val DpRhoPpm = 250000L
+
+  private def dpGaussian(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntProbit
+    val grid = Tables.load(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+    grid
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat('gauss|', CAST(c_nationkey AS STRING), '|', c_mktsegment)), 1, 13), 16, 10) AS BIGINT)"))
+      .withColumn("z_milli", expr(s"CAST(${IntProbit.spark("h")} AS BIGINT)"))
+      .withColumn("noise_milli", expr(
+        s"CAST((CASE WHEN z_milli < 0 THEN -1 ELSE 1 END) * (($DpSigmaMilli * abs(z_milli)) DIV 1000) AS BIGINT)"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("z_milli"), col("noise_milli"),
+        (col("n") * 1000 + col("noise_milli")).as("noisy_n_milli"),
+        lit(DpSigmaMilli).as("sigma_milli"), lit(DpRhoPpm).as("rho_ppm"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val dpGaussianSql = {
+    import graft.functions.IntProbit
+    s"""WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |h AS (SELECT *,
+      |    ('0x' || substr(md5('gauss|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 13))::BIGINT AS h
+      |  FROM g),
+      |z AS (SELECT *, CAST(${IntProbit.duck("h")} AS BIGINT) AS z_milli FROM h),
+      |nz AS (SELECT *,
+      |    CAST((CASE WHEN z_milli < 0 THEN -1 ELSE 1 END)
+      |      * (($DpSigmaMilli * abs(z_milli)) // 1000) AS BIGINT) AS noise_milli
+      |  FROM z)
+      |SELECT c_nationkey, c_mktsegment, n, z_milli, noise_milli,
+      |  n * 1000 + noise_milli AS noisy_n_milli,
+      |  CAST($DpSigmaMilli AS BIGINT) AS sigma_milli,
+      |  CAST($DpRhoPpm AS BIGINT) AS rho_ppm
+      |FROM nz
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // meta_dag_critical_path — the reference DAG's BARRIER STRUCTURE
   // as an analyzable relation (ref: dag/SMFG_DW_ETL_DAG.py: INIT →
   // per-table extract tasks fanned out under a concurrency pool →
@@ -958,5 +1022,6 @@ object EtlOps3 {
     Op("meta_update_roundtrip", metaUpdateRoundtrip, Some(metaUpdateRoundtripSql)),
     Op("meta_jdbc_catalog", metaJdbcCatalog, Some(EtlOps.metaExtractSql)),
     Op("etl_dp_counts", dpCounts, Some(dpCountsSql)),
+    Op("etl_dp_gaussian", dpGaussian, Some(dpGaussianSql)),
     Op("meta_schema_drift", schemaDrift, Some(schemaDriftSql)))
 }

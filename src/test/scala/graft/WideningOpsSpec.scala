@@ -1062,6 +1062,129 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(nonzero * 10 > got.length * 9, s"only $nonzero/${got.length} groups perturbed")
   }
 
+  test("etl_dp_gaussian: noise equals the brute probit draw; the table is Φ-faithful, antisymmetric, clipped") {
+    import graft.functions.IntProbit
+    // table pins (commons-math3 allowed in the TEST only):
+    // forward-CDF faithfulness — Φ(z_i/1000) recovers each bucket's
+    // midpoint probability within the bucket+rounding quantization
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution()
+    (0 until IntProbit.Buckets).foreach { i =>
+      val p = (i + 0.5) / IntProbit.Buckets
+      val back = nd.cumulativeProbability(IntProbit.ProbitMilli(i) / 1000.0)
+      assert(math.abs(back - p) <= 0.0012, s"bucket $i: Φ(z)=$back vs $p")
+    }
+    // antisymmetry z(i) = −z(1023−i) (±1 milli of rounding), monotone,
+    // and the documented ±3.3σ tail clip
+    (0 until IntProbit.Buckets).foreach { i =>
+      assert(math.abs(IntProbit.ProbitMilli(i)
+        + IntProbit.ProbitMilli(IntProbit.Buckets - 1 - i)) <= 1)
+      if (i > 0) assert(IntProbit.ProbitMilli(i) >= IntProbit.ProbitMilli(i - 1))
+    }
+    assert(IntProbit.ProbitMilli.head <= -3280 && IntProbit.ProbitMilli.head >= -3310)
+    assert(IntProbit.ProbitMilli.forall(z => math.abs(z) <= 3300))
+    // op vs brute re-derivation
+    val got = run("etl_dp_gaussian").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    def h52(key: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 13), 16)
+    val exact = Tables.load(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.length == exact.size)
+    got.foreach { case (nk, seg, n, z, noise, noisy, sigma, rho) =>
+      assert(n == exact((nk, seg)) && sigma == 1414L && rho == 250000L)
+      val bz = IntProbit.ref(h52(s"gauss|$nk|$seg"))
+      assert(z == bz, s"z mismatch at ($nk,$seg)")
+      val bn = (if (bz < 0) -1L else 1L) * (1414L * math.abs(bz) / 1000L)
+      assert(noise == bn && noisy == n * 1000 + noise)
+    }
+    // distributional sanity: about 68% of draws within 1σ (|z| ≤ 1000)
+    // — hash-deterministic, so loose band, never flaky
+    val within = got.count(x => math.abs(x._4) <= 1000)
+    assert(within * 10 >= got.length * 5 && within * 10 <= got.length * 9,
+      s"$within/${got.length} draws within 1σ")
+  }
+
+  test("txt_bpe_tokens: counts equal a classical pair-scan BPE; merge semantics hand-pinned") {
+    import graft.functions.Bpe
+    assert(Bpe.Merges.distinct.size == Bpe.Merges.size, "duplicate merge rule")
+    // INDEPENDENT derivation: tokens as a vector, argmin rank over
+    // adjacent pairs, merge-all left-to-right — the classical BPE
+    // algorithm, never the op's string-replace engine
+    val rank = Bpe.Merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    def brute(word: String): Vector[String] = {
+      var toks = word.map(_.toString).toVector
+      var done = toks.length <= 1
+      while (!done) {
+        toks.zip(toks.tail).flatMap(rank.get(_)).minOption match {
+          case None => done = true
+          case Some(r) =>
+            val (a, b) = Bpe.Merges(r - 1)
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            toks = out.result()
+            done = toks.length <= 1
+        }
+      }
+      toks
+    }
+    // hand-pinned merge semantics: rank order, chaining, left-to-right
+    // non-overlapping merge-all, and the no-rule identity
+    assert(Bpe.tokens("the") == Seq("the"))       // t+h → th, th+e → the
+    assert(Bpe.tokens("than") == Seq("th", "an")) // rank(t,h)=1 fires before rank(a,n)=4
+    assert(Bpe.tokens("lll") == Seq("ll", "l"))   // (l,l) merges left-to-right non-overlapping
+    assert(Bpe.tokens("xqz") == Seq("x", "q", "z"))
+    assert(Bpe.tokens("nation") == brute("nation")) // t+i → ti, ti+on → tion chain
+    // full corpus vocab: string-replace engine == pair-scan brute,
+    // token-for-token; tokens always concatenate back to the word
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr(
+        "explode(transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w)))").as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(words.length > 20, s"degenerate vocab: ${words.length}")
+    // crafted words drive every rule family the small corpus vocab
+    // misses: chained merges, repeats, rule-order races, long words
+    val crafted = Seq("nation", "nations", "international", "theather", "thethe",
+      "andandand", "tition", "ingesting", "wherether", "mathematical",
+      "erserters", "llllll", "abcdefghijklmnopqrstuvwxyz", "aaaaaaa", "thetherthe")
+    (words ++ crafted).foreach { w =>
+      val t = Bpe.tokens(w)
+      assert(t == brute(w), s"engines disagree at '$w': $t vs ${brute(w)}")
+      assert(t.mkString == w, s"tokens don't concatenate back at '$w'")
+    }
+    // op output equals the brute totals per document
+    val got = run("txt_bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        "[A-Za-z]+".r.findAllIn(r.getString(1)).map(_.toLowerCase).toSeq))
+    assert(got.length == docs.length)
+    val bruteMap = docs.map { case (id, ws) =>
+      id -> (ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => brute(w).length.toLong).sum)
+    }.toMap
+    var (totChars, totToks) = (0L, 0L)
+    got.foreach { case (id, nw, nc, nt, ratio) =>
+      val (bw, bc, bt) = bruteMap(id)
+      assert(nw == bw && nc == bc && nt == bt, s"doc $id: ($nw,$nc,$nt) vs ($bw,$bc,$bt)")
+      assert(ratio == (if (bc == 0) 0L else bt * 1000000L / bc))
+      totChars += bc; totToks += bt
+    }
+    // the point of a tokenizer: it compresses — fewer tokens than
+    // chars, more tokens than words
+    assert(totToks < totChars, "BPE must beat char-level")
+    assert(totToks > bruteMap.values.map(_._1).sum, "BPE can't beat word-level")
+  }
+
   test("etl_salted_agg: two-phase salted result equals the direct aggregate") {
     val salted = run("etl_salted_agg")
     val direct = Tables.load(spark, sfDir, "lineitem")
