@@ -845,7 +845,8 @@ object Dedup {
   // ---------------------------------------------------------------
   // dedup_embedding — cosine near-dup pairs ≥ 0.4 (rounded to 4 dp;
   // double-precision math both sides), candidates from √N-cell IVF
-  // quantization (Lloyd-refined, nprobe=4), exact cosine verify. The
+  // quantization (Lloyd-refined, asymmetric probe: nprobe=8 probe
+  // side × primary-cell index side), exact cosine verify. The
   // oracle replicates the cell grid, so the hash gate checks the
   // REAL scale path.
   // ---------------------------------------------------------------
@@ -928,28 +929,33 @@ object Dedup {
   /** Cell grid: stride min(2√N, 96) — cells of ~2√N vectors while
     * the corpus is small, CONSTANT ~96-vector cells beyond N≈2.3k so
     * the candidate multiset grows LINEARLY (cells × const²) instead
-    * of N^1.5/N²; nprobe=4. Measured against brute truth:
-    * (stride mult, probe) = (2, 4) gives 58/59 = 0.983 recall at
-    * sf0.01 (above the banded generator's 0.97) and 830/920 = 0.90
-    * at sf0.1 where the cap is active — the price of a BOUNDED plan
-    * at this op's deliberately wide τ = 0.4 (the synthetic corpus's
-    * near-dup regime; max pair sim 0.51). A production near-dup
-    * corpus (τ ≥ 0.85) concentrates true pairs at distance ≈ 0 where
-    * constant cells lose almost nothing; the cap is the recall/cost
-    * dial either way. The N·k assignment stays trivial into the
-    * millions of vectors; beyond that a deployment adds a coarse
-    * first-level quantizer (standard two-level IVF) — the per-cell
-    * pair work is already bounded.
+    * of N^1.5/N². Probing is ASYMMETRIC (r11): the probe side takes
+    * its nprobe = 8 nearest cells, the index side only its PRIMARY —
+    * the classical IVF search shape. The r11 sweep against brute
+    * truth at sf0.01 (τ = 0.4 pair recall / knn top-3 recall):
+    * symmetric 4×4 (the r10 plan) = 0.983 / 0.973; asym 4/1 = 0.831
+    * / 0.811; asym 6/1 = 0.915 / 0.934; asym 8/1 = 1.000 / 0.987 —
+    * asym 8/1 DOMINATES the symmetric plan at the same ~8N²/C dot
+    * count with a 4× smaller index side of every candidate join, so
+    * it ships. The deliberately wide τ = 0.4 is the synthetic
+    * corpus's near-dup regime (max pair sim 0.51); a production
+    * near-dup corpus (τ ≥ 0.85) concentrates true pairs at distance
+    * ≈ 0 where the probe count can drop. The N·k assignment stays
+    * trivial into the millions of vectors; beyond that a deployment
+    * adds a coarse first-level quantizer (standard two-level IVF) —
+    * the per-cell pair work is already bounded.
     */
   private[ops] val IvfStrideMult = 2.0
-  private[ops] val IvfProbe = 4
+  private[ops] val IvfProbe = 8
   private[ops] val IvfMaxStride = 96L
 
   /** Cell assignments over the shared √N Lloyd-refined grid (Spark
     * side of [[ivfCellsDuck]]'s ranked `ar`) — reused by
     * sim_knn_graph so graph edges come from the same cells as the
-    * dedup pairs. `probes` = 4 gives the dedup candidate side;
-    * `probes` = 1 the primary (index-side) assignment.
+    * dedup pairs. Emits (vec_id, cell, crank) with crank ∈ [1,
+    * probes]: crank = 1 is the PRIMARY cell (the index side of the
+    * asymmetric candidate join), ranks 2..probes are the probe-side
+    * expansion.
     */
   private[ops] def ivfCellAssignments(emb: DataFrame, probes: Int = IvfProbe): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
@@ -959,8 +965,8 @@ object Dedup {
     val stride = math.min(
       math.ceil(IvfStrideMult * math.sqrt(e.count().toDouble)).toLong, IvfMaxStride)
     val cent = Similarity.refinedCentroids(e, stride)
-    Similarity.assignTo(e, cent, "vec_id", probes)
-      .select(col("vec_id"), col("cell"))
+    Similarity.assignTo(e, cent, "vec_id", probes, keepRank = true)
+      .select(col("vec_id"), col("cell"), col("crank"))
   }
 
   /** Unsorted pair generation — what the stage WRITES. The sort
@@ -982,16 +988,26 @@ object Dedup {
     // post-score (a, b) aggregate dedupes multi-cell duplicates over
     // SKINNY rows; sim is identical across duplicates, so the gated
     // output is bit-identical.
+    // ASYMMETRIC probe (r11): the probe side keeps all nprobe=8
+    // assignments, the index side only the PRIMARY (crank = 1) cell
+    // — the classical IVF search shape. A pair surfaces iff either
+    // vector probes the other's primary cell; at the same ~8N²/C dot
+    // count as the old symmetric 4×4 this MEASURES BETTER recall
+    // (1.000 vs 0.983 pair recall at sf0.01 — sweep table at
+    // IvfProbe) and shrinks the index side of every candidate join
+    // 8×; full numbers in DedupInvariantSpec + SCALING_r11.md.
     val aw = assigned.join(e, "vec_id")
     val x = aw.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val y = aw.select(col("cell"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
+    val y = aw.filter(col("crank") === 1).select(col("cell"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     x.join(y, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b"))
       .withColumn("sim", round(
         expr("graft_array_dot(va, vb)") / sqrt(col("na") * col("nb")), 4))
       .filter(col("sim") >= tau)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
       .groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
   }
 
@@ -1033,9 +1049,11 @@ object Dedup {
     embeddingNearDupPairs(s, dir).orderBy("vec_a", "vec_b")
 
   /** Shared oracle fragment: the √N-cell Lloyd-refined IVF grid with
-    * nprobe=4 assignments (CTE `a2`: vec_id → probed cell) — used by
-    * both dedup_embedding and sim_knn_graph so the two ops provably
-    * search the same grid.
+    * nprobe=8 probe-side assignments (CTE `a2`: vec_id → probed
+    * cell) and the primary index-side assignment (CTE `a1`, cr = 1)
+    * — used by dedup_embedding, dedup_semantic and sim_knn_graph so
+    * the ops provably search the same grid with the same asymmetric
+    * probe.
     */
   private[ops] val ivfCellsDuck =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1066,12 +1084,14 @@ object Dedup {
       |    row_number() OVER (PARTITION BY x.vec_id
       |      ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
       |  FROM n x CROSS JOIN centf c),
-      |a2 AS (SELECT vec_id, cid AS cell FROM ar WHERE cr <= 4)""".stripMargin
+      |a2 AS (SELECT vec_id, cid AS cell FROM ar WHERE cr <= $IvfProbe),
+      |a1 AS (SELECT vec_id, cid AS cell FROM ar WHERE cr = 1)""".stripMargin
 
   private val embeddingDedupSql =
     s"""$ivfCellsDuck,
-      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      |         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
+      |           greatest(x.vec_id, y.vec_id) AS vec_b
+      |         FROM a2 x JOIN a1 y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
       |p AS (SELECT vec_a, vec_b,
       |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim
       |      FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
@@ -1163,8 +1183,9 @@ object Dedup {
 
   private val semanticDedupSql =
     s"""$ivfCellsDuck,
-      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      |         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
+      |           greatest(x.vec_id, y.vec_id) AS vec_b
+      |         FROM a2 x JOIN a1 y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
       |p AS (SELECT vec_a, vec_b,
       |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim
       |      FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id),

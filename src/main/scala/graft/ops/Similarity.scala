@@ -176,17 +176,21 @@ object Similarity {
 
   /** Assign each row of `df` to its `probes` nearest centroids
     * (rounded cosine, cid tiebreak). `cent` must be broadcastable:
-    * (cid, centv, centn).
+    * (cid, centv, centn). With `keepRank` the 1-based cell rank
+    * survives as `crank` — rank 1 is the PRIMARY (index-side) cell
+    * the asymmetric pair stages key on.
     */
-  private[graft] def assignTo(df: DataFrame, cent: DataFrame, idCol: String, probes: Int): DataFrame = {
+  private[graft] def assignTo(df: DataFrame, cent: DataFrame, idCol: String,
+      probes: Int, keepRank: Boolean = false): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-    df.join(broadcast(cent), lit(true))
+    val out = df.join(broadcast(cent), lit(true))
       .withColumn("csim", cosine(
         expr("graft_array_dot(v, centv)"), col("nrm"), col("centn")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= probes)
       .withColumnRenamed("cid", "cell")
-      .drop("centv", "centn", "csim", "crank")
+      .drop("centv", "centn", "csim")
+    if (keepRank) out else out.drop("crank")
   }
 
   /** Refined centroids: one Lloyd iteration over the seed assignment
@@ -718,9 +722,10 @@ object Similarity {
   // vector's top-3 neighbors), the building block of semantic dedup
   // (SemDeDup-style: cluster the graph, keep one doc per clique) and
   // of graph-based ANN indexes. Candidate edges come ONLY from the
-  // shared √N Lloyd-refined IVF grid (nprobe=4) that dedup_embedding
+  // shared √N Lloyd-refined IVF grid (asymmetric probe: nprobe=8
+  // probe side × primary-cell index side) that dedup_embedding
   // searches — cells are capped at ~96 vectors, so each vector ranks
-  // a BOUNDED candidate set (~4·cell) and total work stays linear in
+  // a BOUNDED candidate set (~8·cell) and total work stays linear in
   // N, never the N² all-pairs graph. Exact cosine on candidates,
   // rounded-sim ranking with neighbor-id tiebreak; vectors whose
   // probed cells hold fewer than k candidates emit fewer edges (an
@@ -749,16 +754,23 @@ object Similarity {
     // so max() is a value-preserving dedupe and the gated output is
     // bit-identical to the pair-first plan.
     val aw = assigned.join(e, "vec_id")
+    // ASYMMETRIC probe (r11, same shape as Dedup's pair stage): the
+    // probe side keeps all nprobe=8 cells, the index side only the
+    // PRIMARY (crank = 1) — candidate edges are vectors whose primary
+    // cell one endpoint probes, the classical IVF search (top-3
+    // recall 0.987 vs the r10 symmetric plan's 0.973 at the same dot
+    // count). Cosine is symmetric: each surviving UNORDERED pair
+    // scores once (both orderings collapse via least/greatest before
+    // the skinny aggregate), then mirrors.
     val x = aw.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val y = aw.select(col("cell"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    // cosine is symmetric: score each UNORDERED pair once, then
-    // mirror the skinny (a, b, sim) rows — half the dot products of
-    // mirroring the candidate set
+    val y = aw.filter(col("crank") === 1).select(col("cell"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     val pairSim = x.join(y, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b"))
       .withColumn("sim", cosine(expr("graft_array_dot(va, vb)"), col("na"), col("nb")))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
       .groupBy("vec_a", "vec_b").agg(max(col("sim")).as("sim"))
     val mirrored = pairSim.unionAll(
       pairSim.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("sim")))
@@ -806,8 +818,9 @@ object Similarity {
     */
   private[ops] val knnEdgesDuck =
     s"""${Dedup.ivfCellsDuck},
-      |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      |         FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      |cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS vec_a,
+      |           greatest(x.vec_id, y.vec_id) AS vec_b
+      |         FROM a2 x JOIN a1 y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
       |m AS (SELECT vec_a, vec_b FROM cand UNION ALL SELECT vec_b, vec_a FROM cand),
       |p AS (SELECT vec_a, vec_b,
       |        round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS sim

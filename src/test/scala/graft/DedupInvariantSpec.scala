@@ -155,6 +155,7 @@ class DedupInvariantSpec extends AnyFunSuite with SparkSuite {
     val nLsh = lsh.count()
     assert(lsh.join(brute, Seq("vec_a", "vec_b"), "left_anti").count() == 0,
       "candidate path produced a pair below the threshold (verify step broken)")
+    info(s"embedding-dedup recall vs brute: $nLsh/$nBrute")
     assert(nBrute > 0 && nLsh * 10 >= nBrute * 9, s"recall $nLsh/$nBrute < 0.9")
   }
 
