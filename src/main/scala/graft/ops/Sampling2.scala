@@ -302,10 +302,96 @@ object Sampling2 {
       |FROM e CROSS JOIN et CROSS JOIN tot t
       |ORDER BY e.q DESC, e.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // exp_preference_pairs — PREFERENCE-PAIR mining for DPO/RLHF-style
+  // curation (the dataset a preference trainer consumes is (chosen,
+  // rejected) pairs; mining them from a scored corpus is the
+  // standard bootstrap before human labels exist): per SOURCE, rank
+  // documents by the house quality score (txt_quality's exact
+  // integer-ppm composite, re-derived inline so the pairs provably
+  // rank on the gated metric), then pair the i-th BEST with the i-th
+  // WORST — chosen = quality rank i ≤ n/4, rejected = rank n−i+1,
+  // so every pair spans at least half the source's quality range and
+  // pairs never share a document. The quality GAP is emitted as
+  // data (plus is_strong = gap ≥ 0.1) rather than filtered, so the
+  // pair yield is deterministic corpus-wide.
+  //
+  // Plan shape: doc-grain map for the score, one rank window
+  // PARTITIONED by source (the standard per-group sort; a pathological
+  // single giant source would call for a two-phase bucketed rank —
+  // sources here are bounded), a per-source count aggregate joined
+  // back source-keyed, one self-join on (source, mirrored rank).
+  // Output is |docs|/4-sized.
+  // ---------------------------------------------------------------
+  private def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = TextOps.stopList
+    val q = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("split(trim(text), '\\\\s+')").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, x -> x IN ($stopList)))"))
+      .withColumn("short_cnt", expr("size(filter(toks, x -> length(x) <= 2))"))
+      .withColumn("dup_cnt", col("n") - size(array_distinct(col("toks"))))
+      .select(col("doc_id"), col("source"),
+        expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n")
+          .as("q_ppm"))
+    val ranked = q
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("q_ppm").desc, col("doc_id"))).cast("bigint"))
+    val counts = q.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val withN = ranked.join(counts, "source")
+    val chosen = withN.filter(expr("rn <= n_docs DIV 4"))
+      .select(col("source"), col("rn").as("pair_id"),
+        col("doc_id").as("chosen_doc"), col("q_ppm").as("q_chosen_ppm"),
+        col("n_docs"))
+    val rejected = withN
+      .select(col("source").as("rsource"), col("rn").as("rrn"),
+        col("doc_id").as("rejected_doc"), col("q_ppm").as("q_rejected_ppm"))
+    chosen
+      .join(rejected, col("source") === col("rsource") &&
+        col("rrn") === col("n_docs") - col("pair_id") + 1)
+      .select(col("source"), col("pair_id"), col("chosen_doc"), col("rejected_doc"),
+        col("q_chosen_ppm"), col("q_rejected_ppm"),
+        (col("q_chosen_ppm") - col("q_rejected_ppm")).as("gap_ppm"))
+      .withColumn("is_strong",
+        when(col("gap_ppm") >= 100000L, 1).otherwise(0).cast("int"))
+      .orderBy("source", "pair_id")
+  }
+
+  private val preferencePairsSql = {
+    val stopList = TextOps.stopList
+    s"""WITH q AS (
+      |  SELECT doc_id, source,
+      |    (10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) // n AS q_ppm
+      |  FROM (
+      |    SELECT doc_id, source, len(toks) AS n,
+      |      len(list_filter(toks, x -> x IN ($stopList))) AS stop_cnt,
+      |      len(list_filter(toks, x -> length(x) <= 2)) AS short_cnt,
+      |      len(toks) - len(list_distinct(toks)) AS dup_cnt
+      |    FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |          FROM documents) t) x),
+      |r AS (SELECT *, CAST(row_number() OVER (
+      |        PARTITION BY source ORDER BY q_ppm DESC, doc_id) AS BIGINT) AS rn
+      |      FROM q),
+      |c AS (SELECT source, count(*) AS n_docs FROM q GROUP BY 1),
+      |wn AS (SELECT r.*, c.n_docs FROM r JOIN c USING (source))
+      |SELECT ch.source, ch.rn AS pair_id, ch.doc_id AS chosen_doc,
+      |  rj.doc_id AS rejected_doc, ch.q_ppm AS q_chosen_ppm,
+      |  rj.q_ppm AS q_rejected_ppm,
+      |  ch.q_ppm - rj.q_ppm AS gap_ppm,
+      |  CAST(CASE WHEN ch.q_ppm - rj.q_ppm >= 100000 THEN 1 ELSE 0 END AS INT) AS is_strong
+      |FROM wn ch JOIN wn rj
+      |  ON ch.source = rj.source AND rj.rn = ch.n_docs - ch.rn + 1
+      |WHERE ch.rn <= ch.n_docs // 4
+      |ORDER BY ch.source, pair_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("samp_priority", prioritySample, Some(prioritySampleSql)),
     Op("samp_bottomk", bottomK, Some(bottomKSql)),
     Op("exp_kfold", kfold, Some(kfoldSql)),
     Op("samp_poisson_bootstrap", bootstrap, Some(bootstrapSql)),
-    Op("samp_neyman_alloc", neymanAlloc, Some(neymanAllocSql)))
+    Op("samp_neyman_alloc", neymanAlloc, Some(neymanAllocSql)),
+    Op("exp_preference_pairs", preferencePairs, Some(preferencePairsSql)))
 }

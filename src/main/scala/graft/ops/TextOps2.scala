@@ -376,10 +376,95 @@ object TextOps2 {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // txt_bpe_train — BPE merge-table LEARNING (Sennrich 2016), the
+  // training step whose OUTPUT is what txt_bpe_tokens' compile-time
+  // table stands in for: K rounds of (count adjacent token pairs
+  // over the vocab weighted by word frequency → merge the most
+  // frequent pair everywhere → repeat). Same pre-tokenizer and
+  // double-separator encoding as inference; pair counting is
+  // ALL-adjacent-positions (the standard learn_bpe convention —
+  // "aaa" counts (a,a) twice) while the merge application is
+  // non-overlapping left-to-right (replace-all), both engine-
+  // identical. Argmax tie-break (count DESC, left, right) makes the
+  // learned table a total function of the corpus.
+  //
+  // Plan shape: the vocab (DISTINCT word + frequency) is built once
+  // off the corpus scan and localCheckpoint'd; each round is one
+  // vocab-grain pair aggregate + a 1-ROW argmax collect (the merge
+  // DECISION is config data — the ev_markov driver-side convention)
+  // + a map-only replace. At 100 TB the vocab relation is the only
+  // distributed state and rounds stay vocab-grain; K is a compile-
+  // time constant. The DuckDB oracle unrolls the same K rounds as
+  // chained CTEs over the same encoding.
+  // ---------------------------------------------------------------
+  private[graft] val BpeTrainRounds = 8
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.load(s, dir, "documents")
+      .select(explode(expr(
+        "transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w))")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("s", expr("regexp_replace(w, '(.)', '|$1|')"))
+      .localCheckpoint()
+    var v = vocab
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var continue = true
+    var r = 1
+    while (continue && r <= BpeTrainRounds) {
+      val top = v
+        .withColumn("t", expr("split(trim(BOTH '|' FROM s), '\\\\|\\\\|')"))
+        .filter(size(col("t")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, c))
+        v = v.withColumn("s", expr(s"replace(s, '|$a||$b|', '|$a$b|')"))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "pair_left", "pair_right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  private val bpeTrainSql = {
+    def round(i: Int): String =
+      s"""p$i AS (
+        |  SELECT a, b, CAST(sum(f) AS BIGINT) AS c FROM (
+        |    SELECT f, t[i] AS a, t[i + 1] AS b FROM (
+        |      SELECT f, t, unnest(range(1, len(t))) AS i FROM (
+        |        SELECT f, string_split(trim(s, '|'), '||') AS t FROM v${i - 1}) z) y)
+        |  GROUP BY a, b),
+        |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+        |v$i AS (SELECT w, f, replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+        |        FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map(round).mkString(",\n")
+    val out = (1 to BpeTrainRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, a AS pair_left, b AS pair_right, a || b AS merged, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v0 AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+      |    regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+      |  FROM (SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+      |        FROM documents) u
+      |  GROUP BY w),
+      |$rounds
+      |$out
+      |ORDER BY rank""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("txt_collocations", collocations, Some(collocationsSql)),
     Op("txt_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     Op("txt_dup_coverage", dupCoverage, Some(dupCoverageSql)),
     Op("txt_zipf_coverage", zipfCoverage, Some(zipfCoverageSql)),
-    Op("txt_bpe_tokens", bpeTokens, Some(bpeTokensSql)))
+    Op("txt_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Op("txt_bpe_train", bpeTrain, Some(bpeTrainSql)))
 }

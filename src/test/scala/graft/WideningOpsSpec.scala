@@ -1185,6 +1185,107 @@ class WideningOpsSpec extends AnyFunSuite with SparkSuite {
     assert(totToks > bruteMap.values.map(_._1).sum, "BPE can't beat word-level")
   }
 
+  test("txt_bpe_train: learned merges equal a brute pair-list trainer round-for-round") {
+    val got = run("txt_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.length == graft.ops.TextOps2.BpeTrainRounds)
+    // INDEPENDENT derivation: vocab as token VECTORS (never the op's
+    // separator-string encoding) — count all adjacent positions
+    // weighted by word frequency, merge the argmax non-overlapping
+    // left-to-right, K rounds
+    val vocab0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr(
+        "explode(transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w)))").as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab = vocab0.map { case (w, f) => (w.map(_.toString).toVector, f) }.toSeq
+    val expect = (1 to graft.ops.TextOps2.BpeTrainRounds).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (t, f) =>
+        (0 until t.length - 1).foreach { i =>
+          counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + f
+        }
+      }
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      vocab = vocab.map { case (t, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += t(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r.toLong, a, b, a + b, c)
+    }
+    assert(got.toSeq == expect, s"learned merges differ:\n${got.toSeq}\nvs\n$expect")
+    // the learned table is usable by the inference engine: applying
+    // the K learned merges (greedy lowest-rank-first) re-tokenizes
+    // every vocab word to exactly the brute trainer's final state
+    val learned = got.map(m => (m._2, m._3)).toSeq
+    def applyLearned(word: String): Vector[String] = {
+      var t = word.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        learned.zipWithIndex
+          .filter { case ((a, b), _) => t.zip(t.tail).contains((a, b)) }
+          .sortBy(_._2).headOption match {
+          case None => done = true
+          case Some(((a, b), _)) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+              else { out += t(i); i += 1 }
+            }
+            t = out.result()
+        }
+      }
+      t
+    }
+    val fin = vocab.map { case (t, _) => t.mkString -> t }.toMap
+    vocab0.keys.toSeq.sorted.take(100).foreach { w =>
+      val inf = applyLearned(w)
+      assert(inf == fin(w), s"inference differs from training state at '$w': $inf vs ${fin(w)}")
+      assert(inf.mkString == w)
+    }
+  }
+
+  test("exp_preference_pairs: pairs equal a brute quality-rank mirror; invariants hold") {
+    val got = run("exp_preference_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+    // brute: same whitespace tokens + integer quality composite, then
+    // per-source sort and i-th-best / i-th-worst mirror pairing
+    val stop = Set("the", "a", "of", "to", "and", "in", "on", "is")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).trim.split("\\s+").toSeq
+        val n = toks.length.toLong
+        val stopc = toks.count(stop.contains).toLong
+        val shortc = toks.count(_.length <= 2).toLong
+        val dupc = n - toks.distinct.length
+        val q = (10 * n - (5 * dupc + 3 * stopc + 2 * shortc)) * 100000L / n
+        (r.getString(1), r.getLong(0), q)
+      }
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val ranked = ds.sortBy(d => (-d._3, d._2)).toVector
+      val n = ranked.length
+      (1 to n / 4).map { i =>
+        val ch = ranked(i - 1); val rj = ranked(n - i)
+        (src, i.toLong, ch._2, rj._2, ch._3, rj._3, ch._3 - rj._3,
+          if (ch._3 - rj._3 >= 100000L) 1 else 0)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expect, "pairs differ from brute mirror pairing")
+    // invariants: no doc appears twice; chosen always >= rejected
+    val used = got.flatMap(p => Seq(p._3, p._4))
+    assert(used.distinct.length == used.length, "a document appears in two pairs")
+    assert(got.forall(p => p._5 >= p._6 && p._7 == p._5 - p._6))
+    assert(got.nonEmpty)
+  }
+
   test("etl_salted_agg: two-phase salted result equals the direct aggregate") {
     val salted = run("etl_salted_agg")
     val direct = Tables.load(spark, sfDir, "lineitem")
