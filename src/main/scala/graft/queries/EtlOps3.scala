@@ -31,13 +31,26 @@ object EtlOps3 {
   // sf0.01 — blocking+edit-distance is genuinely lossy on 2-token
   // names, and the gate pins exactly how lossy).
   //
-  // Scale shape: the join is block-keyed — never all-pairs; block
-  // cardinality is |brands|×|skeletons| and n_candidates is emitted
-  // per row, so block blowup is AUDITED in the output itself (the
-  // hot-shingle-cap convention). Real deployments block on
-  // high-cardinality normalized keys (phone/email/address); the
-  // verify stage (short-string Levenshtein inside a block) is the
-  // part that carries to 100 TB unchanged.
+  // Scale shape: the join is block-keyed — never all-pairs. The
+  // block key is MULTI-FIELD (r11): (brand, consonant skeleton of
+  // token 1, consonant skeleton of token 2, exact name LENGTH) —
+  // every component is corruption-INVARIANT (the noise substitutes
+  // characters 1:1, so length is preserved; stripping [0-9aeiou]
+  // erases vowels and their leet images alike), so the TRUE match
+  // always lands in its dirty record's block and recall is
+  // unchanged by construction. The r11 three-point isolated slope
+  // exposed why one skeleton wasn't enough: a one-token block
+  // vocabulary is BOUNDED (brands × word list), so blocks grow
+  // linearly with data and candidates quadratically — measured
+  // 0.96 s / 3.68 s / 17.1 s at sf0.1/sf1/sf3 (4.7× per 3× in the
+  // top segment). The two extra invariant fields multiply the block
+  // vocabulary by ~|word list|·|length spread|, restoring ~linear
+  // candidates through any realistic corpus; n_candidates is still
+  // emitted per row, so residual block blowup stays AUDITED in the
+  // output itself (the hot-shingle-cap convention). Real deployments
+  // block on high-cardinality normalized keys (phone/email/address);
+  // the verify stage (short-string Levenshtein inside a block) is
+  // the part that carries to 100 TB unchanged.
   // ---------------------------------------------------------------
   private def corrupt(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(c, "a", "4"), "e", "3"), "o", "0")
@@ -45,14 +58,19 @@ object EtlOps3 {
   private def entityResolution(s: SparkSession, dir: String): DataFrame = {
     def skeleton(c: Column): Column =
       regexp_replace(lower(regexp_extract(c, "^(\\S+)", 1)), "[0-9aeiou]", "")
+    def skeleton2(c: Column): Column =
+      regexp_replace(lower(regexp_extract(c, "^\\S+\\s+(\\S+)", 1)), "[0-9aeiou]", "")
     val part = Tables.load(s, dir, "part")
     val clean = part.select(col("p_partkey"), col("p_name"), col("p_brand"),
-      skeleton(col("p_name")).as("blk"))
+      skeleton(col("p_name")).as("blk"), skeleton2(col("p_name")).as("blk2"),
+      length(col("p_name")).as("blen"))
     val dirty = part.filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("dirty_key"),
         corrupt(col("p_name")).as("dirty_name"), col("p_brand"))
       .withColumn("blk", skeleton(col("dirty_name")))
-    val cand = dirty.join(clean, Seq("p_brand", "blk"))
+      .withColumn("blk2", skeleton2(col("dirty_name")))
+      .withColumn("blen", length(col("dirty_name")))
+    val cand = dirty.join(clean, Seq("p_brand", "blk", "blk2", "blen"))
       .select(col("dirty_key"), col("dirty_name"), col("p_partkey").as("cand_key"),
         levenshtein(col("dirty_name"), col("p_name")).as("dist"))
     val byDirty = Window.partitionBy("dirty_key")
@@ -69,7 +87,9 @@ object EtlOps3 {
   private val entityResolutionSql =
     """WITH clean AS (
       |  SELECT p_partkey, p_name, p_brand,
-      |    regexp_replace(lower(regexp_extract(p_name, '^(\S+)', 1)), '[0-9aeiou]', '', 'g') AS blk
+      |    regexp_replace(lower(regexp_extract(p_name, '^(\S+)', 1)), '[0-9aeiou]', '', 'g') AS blk,
+      |    regexp_replace(lower(regexp_extract(p_name, '^\S+\s+(\S+)', 1)), '[0-9aeiou]', '', 'g') AS blk2,
+      |    length(p_name) AS blen
       |  FROM part),
       |dirty AS (
       |  SELECT p_partkey AS dirty_key,
@@ -77,12 +97,17 @@ object EtlOps3 {
       |    p_brand,
       |    regexp_replace(lower(regexp_extract(
       |      replace(replace(replace(p_name, 'a', '4'), 'e', '3'), 'o', '0'),
-      |      '^(\S+)', 1)), '[0-9aeiou]', '', 'g') AS blk
+      |      '^(\S+)', 1)), '[0-9aeiou]', '', 'g') AS blk,
+      |    regexp_replace(lower(regexp_extract(
+      |      replace(replace(replace(p_name, 'a', '4'), 'e', '3'), 'o', '0'),
+      |      '^\S+\s+(\S+)', 1)), '[0-9aeiou]', '', 'g') AS blk2,
+      |    length(p_name) AS blen
       |  FROM part WHERE p_partkey % 10 = 0),
       |cand AS (
       |  SELECT d.dirty_key, d.dirty_name, c.p_partkey AS cand_key,
       |    levenshtein(d.dirty_name, c.p_name) AS dist
-      |  FROM dirty d JOIN clean c ON d.p_brand = c.p_brand AND d.blk = c.blk),
+      |  FROM dirty d JOIN clean c ON d.p_brand = c.p_brand AND d.blk = c.blk
+      |    AND d.blk2 = c.blk2 AND d.blen = c.blen),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY dirty_key ORDER BY dist, cand_key) AS rn,
       |    count(*) OVER (PARTITION BY dirty_key) AS n_candidates
