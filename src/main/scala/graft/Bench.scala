@@ -45,7 +45,15 @@ object Bench {
     // staging capture reading 64 s where warm same-code runs read
     // ~13.5 s — min-of-N plus the emitted staging_passes/staging_mode
     // metadata makes capture temperature self-explaining).
-    val stagingPasses = sys.env.getOrElse("SPARK_GRAFT_STAGING_PASSES", "2").toInt
+    val stagingPasses = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_STAGING_PASSES", "2")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STAGING_PASSES must be an integer >= 1, got '$raw'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_STAGING_PASSES must be >= 1, got $n")
+      n
+    }
     val stagingRuns: Seq[Seq[(String, Double)]] = (1 to stagingPasses).map { _ =>
       graft.ops.Dedup.resetPairStage()
       graft.ops.Dedup.stageAllTimed(spark, sfDir)

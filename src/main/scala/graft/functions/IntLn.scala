@@ -16,6 +16,13 @@ package graft.functions
   * quantization error is symmetric: |lnMilli(x)/1000 − ln(x)| ≤
   * ½·ln(65/64) + rounding ≈ ±8.3 milli (a left-edge table would be
   * one-sided ≤ ~15.6 milli) — spec-pinned against libm ln.
+  *
+  * Edge value: lnMilli(1) = 8, NOT 0 — x = 1 lands in mantissa
+  * bucket 0, whose midpoint is ln(1 + ½/64) ≈ 0.0078. Every current
+  * consumer either takes DIFFERENCES of lnMilli values (the +8
+  * cancels) or tolerates the ±8.3-milli band; a consumer that needs
+  * an absolute zero anchor at x = 1 must special-case it — do not
+  * assume lnMilli(1) == 0.
   */
 object IntLn {
 

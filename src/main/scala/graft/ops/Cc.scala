@@ -89,10 +89,11 @@ private[graft] object Cc {
     } catch {
       case e: Throwable =>
         // failure path: release the loop's storage (including an
-        // in-flight round not yet swapped in) before propagating
-        inflight.foreach { case (df, ids) => Rounds.free(df, ids) }
-        Rounds.free(labels, labelIds)
-        edges.unpersist(blocking = false)
+        // in-flight round not yet swapped in) before propagating;
+        // freeQuietly so a cleanup failure can never mask e
+        inflight.foreach { case (df, ids) => Rounds.freeQuietly(df, ids) }
+        Rounds.freeQuietly(labels, labelIds)
+        try edges.unpersist(blocking = false) catch { case _: Throwable => () }
         throw e
     }
     // the FINAL round's checkpoint stays persisted — the returned plan

@@ -282,7 +282,7 @@ object GraphOps {
           .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass"))
           .join(mass.select(col("v"), col("mass").as("prev")), "v"))
         try residual = next.agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
-        catch { case e: Throwable => Rounds.free(next, ids); throw e }
+        catch { case e: Throwable => Rounds.freeQuietly(next, ids); throw e }
         Rounds.free(mass, massIds)
         mass = next.select(col("v"), col("mass"))
         massIds = ids
@@ -297,7 +297,7 @@ object GraphOps {
       // cap-exceeded throw) must not stay parked — same convention as
       // Cc.minLabelComponents
       case e: Throwable =>
-        Rounds.free(mass, massIds)
+        Rounds.freeQuietly(mass, massIds)
         throw e
     }
     mass.select(col("v"),

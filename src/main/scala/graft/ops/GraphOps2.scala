@@ -326,9 +326,10 @@ object GraphOps2 {
       }
     } catch {
       case e: Throwable =>
-        inflight.foreach { case (df, ids) => Rounds.free(df, ids) }
-        Rounds.free(frontier, frontierIds)
-        Rounds.free(labeled, labeledIds)
+        // freeQuietly: a cleanup failure (dead context) must not mask e
+        inflight.foreach { case (df, ids) => Rounds.freeQuietly(df, ids) }
+        Rounds.freeQuietly(frontier, frontierIds)
+        Rounds.freeQuietly(labeled, labeledIds)
         throw e
     }
     val scored = labeled.filter(col("dist") > 0)

@@ -46,6 +46,15 @@ private[ops] object Rounds {
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** [[free]] for FAILURE paths: swallows secondary errors (e.g. a
+    * dead SparkContext after an executor loss) so the cleanup inside
+    * a catch block can never mask the original Throwable being
+    * rethrown. Success-path frees keep using [[free]] — there an
+    * unpersist failure is worth surfacing.
+    */
+  def freeQuietly(df: DataFrame, ids: Set[Int]): Unit =
+    try free(df, ids) catch { case _: Throwable => () }
+
   /** All RDD ids reachable through `rdd`'s dependency graph
     * (including itself). The checkpointed block manager RDD is an
     * ancestor of the returned Dataset's physical scan, so it is

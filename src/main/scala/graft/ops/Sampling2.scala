@@ -316,12 +316,20 @@ object Sampling2 {
   // data (plus is_strong = gap ≥ 0.1) rather than filtered, so the
   // pair yield is deterministic corpus-wide.
   //
-  // Plan shape: doc-grain map for the score, one rank window
-  // PARTITIONED by source (the standard per-group sort; a pathological
-  // single giant source would call for a two-phase bucketed rank —
-  // sources here are bounded), a per-source count aggregate joined
-  // back source-keyed, one self-join on (source, mirrored rank).
-  // Output is |docs|/4-sized.
+  // Plan shape: doc-grain map for the score, then a TWO-PHASE
+  // bucketed rank instead of one window partitioned by source alone
+  // (a pathological single giant source would make that one hot sort
+  // partition — VERDICT r11 item 3): q_ppm is bounded in
+  // [0, 1_000_000] by construction (each penalty count ≤ n, so the
+  // numerator sits in [0, 10n]), so a fixed 10_000-wide grid gives
+  // ≤ 101 buckets; per-(source, bucket) counts are a bounded
+  // relation whose descending running sum yields each bucket's rank
+  // offset, and the doc-grain window partitions by (source, bucket)
+  // — the largest sort partition is one score-bucket of one source
+  // (~1/100th of it), not the whole source. rn is bit-identical to
+  // the single-window rank (bucket order == q_ppm order). Then a
+  // per-source count aggregate joined back source-keyed, one
+  // self-join on (source, mirrored rank). Output is |docs|/4-sized.
   // ---------------------------------------------------------------
   private def preferencePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -336,9 +344,19 @@ object Sampling2 {
       .select(col("doc_id"), col("source"),
         expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n")
           .as("q_ppm"))
-    val ranked = q
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy(col("q_ppm").desc, col("doc_id"))).cast("bigint"))
+    val bucketed = q.withColumn("bkt", expr("q_ppm DIV 10000"))
+    val offsets = bucketed.groupBy("source", "bkt")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.partitionBy("source")
+          .orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "off")
+    val ranked = bucketed.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("rn", col("off") + row_number().over(
+        Window.partitionBy("source", "bkt")
+          .orderBy(col("q_ppm").desc, col("doc_id"))).cast("bigint"))
+      .drop("bkt", "off")
     val counts = q.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val withN = ranked.join(counts, "source")
     val chosen = withN.filter(expr("rn <= n_docs DIV 4"))

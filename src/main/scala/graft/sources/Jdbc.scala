@@ -133,11 +133,49 @@ object Jdbc {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** True iff `spec.table` holds MORE than `threshold` rows, probed
+    * with `OFFSET threshold FETCH NEXT 1` — the server skips up to
+    * `threshold` rows and ships AT MOST ONE, so the probe is cheap at
+    * any table size (never a COUNT(*), which would full-scan the very
+    * table the caller is worried about).
+    */
+  private[graft] def hasMoreRowsThan(spec: JdbcSourceSpec, threshold: Long): Boolean = {
+    Class.forName(spec.driver)
+    val conn = DriverManager.getConnection(spec.url)
+    try conn.createStatement().executeQuery(
+      s"SELECT 1 FROM ${spec.table} OFFSET $threshold ROWS FETCH NEXT 1 ROWS ONLY")
+      .next()
+    finally conn.close()
+  }
+
+  /** The single-connection funnel warning, scoped to DATA-SIZED
+    * tables (VERDICT r11 item 4): for a config-sized table one
+    * connection is the CORRECT plan, and warning there teaches
+    * operators to ignore the warning exactly where it matters. Fires
+    * only above `threshold` rows (default: one reference batch —
+    * a table bigger than one batch deserves a partitioned read).
+    * Returns the message rather than logging so the decision is
+    * spec-testable; a probe failure fails open (warn) — an
+    * unprobeable table must not silently serialize.
+    */
+  private[graft] def unpartitionedWarning(
+      spec: JdbcSourceSpec, threshold: Long = DefaultBatchSize.toLong): Option[String] = {
+    val dataSized =
+      try hasMoreRowsThan(spec, threshold)
+      catch { case _: java.sql.SQLException => true }
+    if (dataSized)
+      Some(s"Jdbc.read(${spec.table}): no partitionColumn on a >$threshold-row table — " +
+        "the whole table funnels through ONE connection; set partitionColumn for a parallel scan")
+    else None
+  }
+
   /** Parallel read: bounded range scan per partition when
     * `partitionColumn` is set — with the partition count DERIVED from
     * the key bounds (DefaultBatchSize rows each) unless the spec
-    * pins one explicitly. No partition column = one connection; that
-    * choice is loud (warn), never implicit sizing.
+    * pins one explicitly. No partition column = one connection; for a
+    * data-sized table that choice is loud (warn), never implicit
+    * sizing — config-sized tables stay quiet (one connection is the
+    * right plan there).
     */
   def read(spark: SparkSession, spec: JdbcSourceSpec): DataFrame =
     spec.partitionColumn match {
@@ -148,8 +186,7 @@ object Jdbc {
           else partitionsFor(bounds, DefaultBatchSize)
         spark.read.jdbc(spec.url, spec.table, col, bounds._1, bounds._2, n, props(spec))
       case None =>
-        log.warn(s"Jdbc.read(${spec.table}): no partitionColumn — the whole table " +
-          "funnels through ONE connection; set partitionColumn for a parallel scan")
+        unpartitionedWarning(spec).foreach(log.warn(_))
         spark.read.jdbc(spec.url, spec.table, props(spec))
     }
 

@@ -52,15 +52,18 @@ class FsPortabilitySpec extends AnyFunSuite with SparkSuite {
   test("source-scan pin: java.io.File appears ONLY in the documented local-harness spots") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
-    val hits = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        // count code references, not the Fs scaladoc explaining the rule
-        val n = src.sliding("java.io.File".length).count(_ == "java.io.File")
-        val doc = p.toString.endsWith("sources/Fs.scala")
-        if (n > 0 && !doc) Some(p.toString -> n) else None
-      }.toMap
+    val walk = java.nio.file.Files.walk(root)
+    val hits =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // count code references, not the Fs scaladoc explaining the rule
+          val n = src.sliding("java.io.File".length).count(_ == "java.io.File")
+          val doc = p.toString.endsWith("sources/Fs.scala")
+          if (n > 0 && !doc) Some(p.toString -> n) else None
+        }.toMap
+      finally walk.close()
     // ALLOWLIST — each is local by construction, never a lake path:
     // - StreamOps.stampNewFiles: FileStreamSource mtime choreography for
     //   the staged gate inputs (setLastModified has no object-store

@@ -107,6 +107,27 @@ class JdbcSourcesSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_orderkey"))
   }
 
+  test("funnel warning is scoped to data-sized tables (VERDICT r11 item 4)") {
+    import spark.implicits._
+    // config-sized: one connection is the CORRECT plan — no warning
+    // at the default (DefaultBatchSize) threshold
+    val cfg = freshSpec("CFG_SMALL")
+    Jdbc.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), cfg)
+    assert(Jdbc.unpartitionedWarning(cfg).isEmpty,
+      "a 3-row config reload must not fire the scale warning")
+
+    // data-sized (relative to an explicit threshold): warning fires,
+    // names the table and the fix
+    val big = freshSpec("CFG_BIG")
+    Jdbc.write((1 to 150).map(i => (i, s"v$i")).toDF("id", "v"), big)
+    val warn = Jdbc.unpartitionedWarning(big, threshold = 100L)
+    assert(warn.exists(m => m.contains("CFG_BIG") && m.contains("partitionColumn")))
+    // boundary: exactly-threshold rows are still "config-sized"
+    assert(Jdbc.unpartitionedWarning(big, threshold = 150L).isEmpty)
+    // the probe itself ships at most one row — sanity: it is row-exact
+    assert(Jdbc.hasMoreRowsThan(big, 149L) && !Jdbc.hasMoreRowsThan(big, 150L))
+  }
+
   test("src_jdbc op equals the parquet-side incremental extraction") {
     val viaJdbc = Registry.byName("src_jdbc").run(spark, sfDir)
     val viaParquet = graft.etl.ExtractionPlanner
