@@ -48,6 +48,7 @@ object Registry {
       graft.ops.Sampling.ops ++
       graft.ops.Sampling2.ops ++
       graft.ops.Similarity.ops ++
+      graft.ops.IndexMerge.ops ++
       graft.ops.Quantize.ops ++
       graft.ops.EmbOps.ops ++
       graft.ops.Curation.ops ++

@@ -88,6 +88,88 @@ object Spans {
         col("n_windows"), col("max_occ"))
   }
 
+  // ---------------------------------------------------------------
+  // dedup_substring — CROSS-DOCUMENT exact substring dedup with
+  // keep-first removal semantics (the Lee et al. 2022 ExactSubstr
+  // pass: cut every ≥50-token span that also appears verbatim in
+  // another document, keeping one canonical copy). dedup_spans finds
+  // every REPEATED window island, including within-document
+  // repetition, and only reports; this op makes the curation
+  // DECISION: a window counts as duplicated only when it occurs in
+  // ≥2 DISTINCT documents, the lowest doc_id owning it is canonical,
+  // and the emitted spans are exactly the token ranges a curation
+  // pass would CUT from the non-canonical documents. Granularity is
+  // the window length SubK = 16 tokens (the ≥50-token knob scaled to
+  // the 10–99-token test docs): a cross-doc substring of length ≥
+  // SubK contains a cross-doc SubK-window at every offset, so the
+  // merged cut islands are the cut spans (≤ SubK−1 boundary slack,
+  // never an under-approximation) — no suffix array materializes.
+  //
+  // Plan shape (same inverted-index linearity as dedup_spans):
+  //   1. posexplode SubK-token windows → 60-bit ids (skinny rows);
+  //   2. per-wid distinct-doc count + min-doc canonical owner — one
+  //      wid-keyed aggregate (count(DISTINCT doc_id) plans as the
+  //      two-phase expand/partial-agg, skew-safe) over the 8-byte id;
+  //   3. wid-keyed hash join back to positions, keep rows where
+  //      doc_id > canon_doc (the cut set — canonical occurrences and
+  //      within-canon repeats stay);
+  //   4. per-doc island merge (islandSpans: lag/running-sum window,
+  //      state bounded by doc length).
+  // At 100 TB: the wid aggregate and lookup join are the only
+  // corpus-wide shuffles, both on the 8-byte key; the join build
+  // side is only the CROSS-DOC duplicated windows. max_partner_docs
+  // rides along as the blast-radius audit (how many docs share the
+  // span's hottest window).
+  // ---------------------------------------------------------------
+  private val SubK = 16
+
+  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val wins = TextOps.withTokens(Tables.load(s, dir, "documents"))
+      .filter(size(col("toks")) >= SubK)
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, size(toks)-$SubK), " +
+          s"i -> concat_ws(' ', slice(toks, i+1, $SubK)))) AS (pos, g)")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(Dedup.sid60Spark).as("wid"))
+      .localCheckpoint() // scanned twice (wid agg + lookup join), md5 dominates
+    val xdoc = wins.groupBy("wid")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canon_doc"))
+      .filter(col("n_docs") >= 2)
+    val cut = wins.join(xdoc, "wid")
+      .filter(col("doc_id") > col("canon_doc"))
+      .select(col("doc_id"), col("pos"), col("n_docs").as("occ"))
+    islandSpans(cut, SubK)
+      .withColumnRenamed("max_occ", "max_partner_docs")
+      .orderBy("doc_id", "span_no")
+  }
+
+  private val substringDedupSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |w AS (SELECT doc_id,
+      |        unnest(range(0, len(toks)-$SubK+1)) AS pos,
+      |        unnest(list_transform(range(0, len(toks)-$SubK+1),
+      |          i -> array_to_string(toks[i+1:i+$SubK], ' '))) AS g
+      |      FROM t WHERE len(toks) >= $SubK),
+      |i AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${Dedup.sid60Duck} AS wid FROM w),
+      |x AS (SELECT wid, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |        min(doc_id) AS canon_doc
+      |      FROM i GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |cut AS (SELECT i.doc_id, i.pos, x.n_docs AS occ
+      |        FROM i JOIN x USING (wid) WHERE i.doc_id > x.canon_doc),
+      |f AS (SELECT doc_id, pos, occ,
+      |        CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win >= $SubK
+      |             THEN 1 ELSE 0 END AS new_island
+      |      FROM cut WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |g2 AS (SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no FROM f)
+      |SELECT doc_id, CAST(span_no AS BIGINT) AS span_no,
+      |  min(pos) AS start_tok, max(pos)+$SubK-1 AS end_tok,
+      |  max(pos)+$SubK-1 - min(pos) + 1 AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_windows, max(occ) AS max_partner_docs
+      |FROM g2 GROUP BY doc_id, span_no
+      |ORDER BY doc_id, span_no""".stripMargin
+
   private val spansSql =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
       |w AS (SELECT doc_id,
@@ -112,5 +194,6 @@ object Spans {
       |ORDER BY doc_id, span_no""".stripMargin
 
   val ops: Seq[Op] = Seq(
-    Op("dedup_spans", spans, Some(spansSql)))
+    Op("dedup_spans", spans, Some(spansSql)),
+    Op("dedup_substring", substringDedup, Some(substringDedupSql)))
 }

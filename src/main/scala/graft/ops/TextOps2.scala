@@ -400,8 +400,14 @@ object TextOps2 {
   // ---------------------------------------------------------------
   private[graft] val BpeTrainRounds = 8
 
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The K-round training loop shared by txt_bpe_train (which gates
+    * the learned table itself) and txt_bpe_roundtrip (which drives
+    * INFERENCE with it): returns (rank, left, right, merged, count)
+    * per learned merge — config-sized driver data, the ev_markov
+    * convention.
+    */
+  private[ops] def trainMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] = {
     val vocab = Tables.load(s, dir, "documents")
       .select(explode(expr(
         "transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w))")).as("w"))
@@ -430,11 +436,21 @@ object TextOps2 {
         r += 1
       }
     }
-    merges.toSeq.toDF("rank", "pair_left", "pair_right", "merged", "pair_count")
+    merges.toSeq
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMerges(s, dir)
+      .toDF("rank", "pair_left", "pair_right", "merged", "pair_count")
       .orderBy("rank")
   }
 
-  private val bpeTrainSql = {
+  /** The oracle's training unroll (v0 → v_K CTE chain), shared by
+    * txt_bpe_train (reads the m_i merge decisions) and
+    * txt_bpe_roundtrip (reads v_K, the final vocab segmentation).
+    */
+  private val bpeTrainCtes: String = {
     def round(i: Int): String =
       s"""p$i AS (
         |  SELECT a, b, CAST(sum(f) AS BIGINT) AS c FROM (
@@ -446,19 +462,93 @@ object TextOps2 {
         |v$i AS (SELECT w, f, replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
         |        FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     val rounds = (1 to BpeTrainRounds).map(round).mkString(",\n")
-    val out = (1 to BpeTrainRounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, a AS pair_left, b AS pair_right, a || b AS merged, c AS pair_count FROM m$i")
-      .mkString("\nUNION ALL ")
     s"""WITH v0 AS (
       |  SELECT w, CAST(count(*) AS BIGINT) AS f,
       |    regexp_replace(w, '(.)', '|\\1|', 'g') AS s
       |  FROM (SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
       |        FROM documents) u
       |  GROUP BY w),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  private val bpeTrainSql = {
+    val out = (1 to BpeTrainRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, a AS pair_left, b AS pair_right, a || b AS merged, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""$bpeTrainCtes
       |$out
       |ORDER BY rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // txt_bpe_roundtrip — the train→apply BRIDGE (r12): txt_bpe_train
+  // learns a merge table and txt_bpe_tokens applies a different,
+  // compile-time one; this op proves the LEARNED artifact drives
+  // inference end to end (the meta_update_roundtrip convention: a
+  // learned config must round-trip into its consumer). Stage 1
+  // re-runs the K-round trainer (merge decisions = config-sized
+  // driver data); stage 2 tokenizes every document with the TRAINED
+  // table — per word, the learned merges applied as chained literal
+  // replace()s in rank order over the same double-separator encoding
+  // (rank-order replace-all ≡ greedy lowest-rank inference for a
+  // table learned on this corpus: a merge's operands both predate
+  // its round, and merging never makes two older tokens newly
+  // adjacent — TextPropsSpec re-proves the equivalence per corpus).
+  // The DuckDB oracle re-derives BOTH stages its own way: the same
+  // K-round CTE unroll, then token counts read from v_K — the
+  // TRAINING segmentation — so the hash match IS the proof that
+  // re-applying the learned table at inference reproduces exactly
+  // what training built.
+  //
+  // Plan shape: training as txt_bpe_train (vocab-grain rounds);
+  // inference is PURE MAP like txt_bpe_tokens (chained replaces
+  // inside an aggregate() HOF over the per-doc word array — the only
+  // exchange is the gate sort). At 100 TB the trained table is a
+  // broadcast-free literal in the plan, exactly how a production
+  // tokenizer ships.
+  // ---------------------------------------------------------------
+  private def bpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val merges = trainMerges(s, dir)
+    // learned merges → one chained-replace expression per word
+    // occurrence (tokens are [a-z]+ so the literals never need
+    // escaping and never collide with the separator)
+    val applied = merges.foldLeft("regexp_replace(w, '(.)', '|$1|')") {
+      case (acc, (_, a, b, _, _)) => s"replace($acc, '${Bpe.pat(a, b)}', '${Bpe.rep(a, b)}')"
+    }
+    val cnt = s"(length($applied) - length(replace($applied, '|', ''))) DIV 2"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("transform(regexp_extract_all(text, '[A-Za-z]+', 0), w -> lower(w))").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("n_chars"),
+        expr(s"aggregate(ws, 0L, (a, w) -> a + ($cnt))").as("n_trained_tokens"))
+      .withColumn("trained_ratio_ppm", expr(
+        "CASE WHEN n_chars = 0 THEN 0L ELSE n_trained_tokens * 1000000 DIV n_chars END"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeRoundtripSql =
+    s"""$bpeTrainCtes,
+      |tok AS (SELECT w,
+      |    CAST((length(s) - length(replace(s, '|', ''))) // 2 AS BIGINT) AS t
+      |  FROM v$BpeTrainRounds),
+      |wd AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+      |       FROM documents),
+      |per AS (
+      |  SELECT wd.doc_id, count(*) AS n_words,
+      |    CAST(sum(length(wd.w)) AS BIGINT) AS n_chars,
+      |    CAST(sum(t.t) AS BIGINT) AS n_trained_tokens
+      |  FROM wd JOIN tok t ON wd.w = t.w GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_words, 0) AS n_words,
+      |  coalesce(p.n_chars, 0) AS n_chars,
+      |  coalesce(p.n_trained_tokens, 0) AS n_trained_tokens,
+      |  CASE WHEN coalesce(p.n_chars, 0) = 0 THEN 0
+      |       ELSE coalesce(p.n_trained_tokens, 0) * 1000000 // p.n_chars END AS trained_ratio_ppm
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val ops: Seq[Op] = Seq(
     Op("txt_collocations", collocations, Some(collocationsSql)),
@@ -466,5 +556,6 @@ object TextOps2 {
     Op("txt_dup_coverage", dupCoverage, Some(dupCoverageSql)),
     Op("txt_zipf_coverage", zipfCoverage, Some(zipfCoverageSql)),
     Op("txt_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
-    Op("txt_bpe_train", bpeTrain, Some(bpeTrainSql)))
+    Op("txt_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Op("txt_bpe_roundtrip", bpeRoundtrip, Some(bpeRoundtripSql)))
 }
