@@ -344,6 +344,12 @@ object Sampling2 {
       .select(col("doc_id"), col("source"),
         expr("(10 * n - (5 * dup_cnt + 3 * stop_cnt + 2 * short_cnt)) * CAST(100000 AS BIGINT) DIV n")
           .as("q_ppm"))
+      // five consumers (bucket offsets, the ranked join, per-source
+      // counts, both self-join sides) — checkpoint the skinny scored
+      // relation so the tokenize-and-score scan runs ONCE, not per
+      // branch (the r11 two-phase rewrite re-inlined it everywhere:
+      // 0.5 → 1.4 s at sf0.1 before this truncation)
+      .localCheckpoint()
     val bucketed = q.withColumn("bkt", expr("q_ppm DIV 10000"))
     val offsets = bucketed.groupBy("source", "bkt")
       .agg(count(lit(1)).as("bn"))
