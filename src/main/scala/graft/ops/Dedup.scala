@@ -957,16 +957,39 @@ object Dedup {
     * asymmetric candidate join), ranks 2..probes are the probe-side
     * expansion.
     */
+  /** Coarse probe width for the staged grid's two-level assignment:
+    * the probe side needs 8 good fine cells, and each coarse cell
+    * routes ~√k fine cells, so CP coarse cells expose ~CP·√k fine
+    * candidates. The r12 sweep vs brute truth at sf0.01/sf0.1 (same
+    * harness as the r11 8/1 sweep) picked the smallest CP holding
+    * the 0.9 pair-recall floor; numbers in SCALING_r12.md.
+    */
+  private[ops] val IvfCoarseProbe = 8
+
   private[ops] def ivfCellAssignments(emb: DataFrame, probes: Int = IvfProbe): DataFrame = {
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
     // √N is corpus METADATA (like the hot-shingle stats): one count
     // action sizes the cell grid; both engines compute
-    // least(ceil(2·sqrt(N)), 96)
+    // least(ceil(2·sqrt(N)), 96). The SEED COUNT k0 (second metadata
+    // count, seed-table-sized) sizes the coarse layer at ceil(√k0).
     val stride = math.min(
       math.ceil(IvfStrideMult * math.sqrt(e.count().toDouble)).toLong, IvfMaxStride)
-    val cent = Similarity.refinedCentroids(e, stride)
-    Similarity.assignTo(e, cent, "vec_id", probes, keepRank = true)
-      .select(col("vec_id"), col("cell"), col("crank"))
+    val cent0 = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
+    val cstride = math.ceil(math.sqrt(cent0.count().toDouble)).toLong
+    // coarse routing cells: every (stride·cstride)-th vector, RAW
+    // (the coarse layer only routes; Lloyd refines the fine layer)
+    val coarse = e.filter(col("vec_id") % (stride * cstride) === 0)
+      .select(col("vec_id").as("ccid"), col("v").as("cv0"), col("nrm").as("cn0"))
+    // BOTH assignment passes are two-level — the Lloyd seed pass is
+    // the same N·k dot count as the final pass, so a flat pass
+    // anywhere would keep the stage quadratic (r12 sf10 probe:
+    // 236 s at 100×; see Similarity.assignTwoLevel)
+    val a0 = Similarity.assignTwoLevel(e, cent0, coarse, "vec_id", IvfCoarseProbe, 1)
+      .select(col("vec_id"), col("cell"))
+    val cent = Similarity.lloydMeans(e, a0)
+    Similarity.assignTwoLevel(e, cent, coarse, "vec_id", IvfCoarseProbe, probes,
+      keepRank = true)
   }
 
   /** Unsorted pair generation — what the stage WRITES. The sort
@@ -1061,12 +1084,30 @@ object Dedup {
       |st AS (SELECT CAST(least(ceil(2 * sqrt(count(*))), 96) AS BIGINT) AS stride FROM n),
       |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
       |          WHERE vec_id % (SELECT stride FROM st) = 0),
+      |cst AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cstride FROM cent0),
+      |coarse AS (SELECT vec_id AS ccid, v AS cv0, nrm AS cn0 FROM n
+      |           WHERE vec_id % ((SELECT stride FROM st) * (SELECT cstride FROM cst)) = 0),
+      |f2c0 AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM cent0 f CROSS JOIN coarse c) a
+      |  WHERE fcr = 1),
+      |rt0 AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM n x CROSS JOIN coarse c) a
+      |  WHERE cr0 <= $IvfCoarseProbe),
       |a0 AS (
       |  SELECT vec_id, cid AS cell FROM (
-      |    SELECT x.vec_id, c.cid,
+      |    SELECT x.vec_id, f.cid,
       |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN cent0 c) a
+      |        ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |    FROM rt0 r JOIN n x ON r.vec_id = x.vec_id
+      |    JOIN f2c0 f ON r.ccell = f.ccell) a
       |  WHERE cr = 1),
       |px AS (
       |  SELECT cell, CAST(i AS INT) AS dim,
@@ -1079,11 +1120,26 @@ object Dedup {
       |    list(CAST(s_ppm AS DOUBLE) / 1000000 / nn ORDER BY dim) AS centv
       |  FROM cs GROUP BY cell),
       |centf AS (SELECT cid, centv, list_dot_product(centv, centv) AS centn FROM cent),
+      |f2c AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM centf f CROSS JOIN coarse c) a
+      |  WHERE fcr = 1),
+      |rt AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM n x CROSS JOIN coarse c) a
+      |  WHERE cr0 <= $IvfCoarseProbe),
       |ar AS (
-      |  SELECT x.vec_id, c.cid,
+      |  SELECT x.vec_id, f.cid,
       |    row_number() OVER (PARTITION BY x.vec_id
-      |      ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |  FROM n x CROSS JOIN centf c),
+      |      ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |  FROM rt r JOIN n x ON r.vec_id = x.vec_id
+      |  JOIN f2c f ON r.ccell = f.ccell),
       |a2 AS (SELECT vec_id, cid AS cell FROM ar WHERE cr <= $IvfProbe),
       |a1 AS (SELECT vec_id, cid AS cell FROM ar WHERE cr = 1)""".stripMargin
 

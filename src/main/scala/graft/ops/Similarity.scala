@@ -193,16 +193,13 @@ object Similarity {
     if (keepRank) out else out.drop("crank")
   }
 
-  /** Refined centroids: one Lloyd iteration over the seed assignment
-    * in exact BIGINT ppm sums (deterministic and engine-portable —
-    * no FP summation-order hazard in the means). `stride` picks the
-    * seed density (every stride-th vec_id); sim_ivf uses the fixed
-    * default, the cell-bounded embedding dedup passes ceil(√N).
+  /** One Lloyd iteration's cell means over an assignment `a0`
+    * (vec_id, cell), in exact BIGINT ppm sums (deterministic and
+    * engine-portable — no FP summation-order hazard in the means).
+    * Shared by the flat [[refinedCentroids]] and the two-level
+    * staged-grid refinement (Dedup.ivfCellAssignments).
     */
-  private[graft] def refinedCentroids(e: DataFrame, stride: Long = CentroidStride): DataFrame = {
-    val cent0 = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
-    val a0 = assignTo(e, cent0, "vec_id", 1).select(col("vec_id"), col("cell"))
+  private[graft] def lloydMeans(e: DataFrame, a0: DataFrame): DataFrame = {
     val px = e.join(a0, "vec_id")
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("cell"), col("dim"), expr(PpmExpr).as("v_ppm"))
@@ -214,6 +211,65 @@ object Similarity {
       .select(col("cell").as("cid"),
         expr("transform(array_sort(cc), s -> s.comp)").as("centv"))
       .withColumn("centn", expr("graft_array_dot(centv, centv)"))
+  }
+
+  /** Refined centroids: one Lloyd iteration over the seed assignment.
+    * `stride` picks the seed density (every stride-th vec_id);
+    * sim_ivf uses the fixed default, sim_index_merge passes ceil(√N).
+    */
+  private[graft] def refinedCentroids(e: DataFrame, stride: Long = CentroidStride): DataFrame = {
+    val cent0 = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
+    val a0 = assignTo(e, cent0, "vec_id", 1).select(col("vec_id"), col("cell"))
+    lloydMeans(e, a0)
+  }
+
+  /** TWO-LEVEL assignment (sim_ivf_twolevel's topology as a reusable
+    * kernel, r12): route each row of `df` (idCol, v, nrm) to its
+    * `coarseProbes` nearest COARSE cells (k' dots), then rank only
+    * those cells' fine centroids (`cent`, pre-routed via its own
+    * top-1 coarse assignment) — never all k. This is what keeps the
+    * staged grid's assignment linear: the cell-size cap makes k grow
+    * ~N/96, so the flat N·k ranking is quadratic (measured 236 s at
+    * the 100× corpus vs 2.7 s at 10× before this kernel — the r12
+    * sf10 probe); two-level is N·(k' + coarseProbes·k/k') ≈ N^1.25.
+    *
+    * Exchange discipline: both ranking windows see only SKINNY
+    * (id, cid, sim) rows — vectors re-attach by an id-keyed join for
+    * the fine scoring, so no exchange ever carries a 64-float array
+    * beside a candidate fan-out (the same rule R10PlanShapeSpec
+    * enforces for the pair stages). Ties break by rounded sim DESC,
+    * cid ASC — identical to [[assignTo]] and the DuckDB replica.
+    */
+  private[graft] def assignTwoLevel(df: DataFrame, cent: DataFrame, coarse: DataFrame,
+      idCol: String, coarseProbes: Int, probes: Int, keepRank: Boolean = false): DataFrame = {
+    // fine centroid → its ONE coarse routing cell (k × k' dots)
+    val wfc = Window.partitionBy("cid").orderBy(col("fcsim").desc, col("ccid"))
+    val f2c = cent.join(broadcast(coarse), lit(true))
+      .withColumn("fcsim", cosine(
+        expr("graft_array_dot(centv, cv0)"), col("centn"), col("cn0")))
+      .withColumn("fcr", row_number().over(wfc))
+      .filter(col("fcr") === 1)
+      .select(col("cid"), col("centv"), col("centn"), col("ccid").as("ccell"))
+    // vector → top coarseProbes coarse cells, skinny through the window
+    val wc = Window.partitionBy(idCol).orderBy(col("csim0").desc, col("ccid"))
+    val routed = df.join(broadcast(coarse), lit(true))
+      .withColumn("csim0", cosine(expr("graft_array_dot(v, cv0)"), col("nrm"), col("cn0")))
+      .select(col(idCol), col("ccid"), col("csim0"))
+      .withColumn("cr0", row_number().over(wc))
+      .filter(col("cr0") <= coarseProbes)
+      .select(col(idCol), col("ccid").as("ccell"))
+    // rank the routed cells' fine centroids; disjoint fine sets per
+    // coarse cell (fcr = 1) mean no candidate ever appears twice
+    val wf = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+    val out = routed.join(df, Seq(idCol))
+      .join(broadcast(f2c), "ccell")
+      .withColumn("csim", cosine(expr("graft_array_dot(v, centv)"), col("nrm"), col("centn")))
+      .select(col(idCol), col("cid"), col("csim"))
+      .withColumn("crank", row_number().over(wf))
+      .filter(col("crank") <= probes)
+      .select(col(idCol), col("cid").as("cell"), col("crank"))
+    if (keepRank) out else out.drop("crank")
   }
 
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
