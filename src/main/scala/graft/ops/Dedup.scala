@@ -974,20 +974,12 @@ object Dedup {
     // count, seed-table-sized) sizes the coarse layer at ceil(√k0).
     val stride = math.min(
       math.ceil(IvfStrideMult * math.sqrt(e.count().toDouble)).toLong, IvfMaxStride)
-    val cent0 = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
-    val cstride = math.ceil(math.sqrt(cent0.count().toDouble)).toLong
-    // coarse routing cells: every (stride·cstride)-th vector, RAW
-    // (the coarse layer only routes; Lloyd refines the fine layer)
-    val coarse = e.filter(col("vec_id") % (stride * cstride) === 0)
-      .select(col("vec_id").as("ccid"), col("v").as("cv0"), col("nrm").as("cn0"))
-    // BOTH assignment passes are two-level — the Lloyd seed pass is
-    // the same N·k dot count as the final pass, so a flat pass
-    // anywhere would keep the stage quadratic (r12 sf10 probe:
-    // 236 s at 100×; see Similarity.assignTwoLevel)
-    val a0 = Similarity.assignTwoLevel(e, cent0, coarse, "vec_id", IvfCoarseProbe, 1)
-      .select(col("vec_id"), col("cell"))
-    val cent = Similarity.lloydMeans(e, a0)
+    // BOTH assignment passes are two-level — the Lloyd seed pass
+    // (inside refinedCentroids) is the same N·k dot count as the
+    // final pass, so a flat pass anywhere would keep the stage
+    // quadratic (r12 sf10 probe: 236 s at 100×; SCALING_r12.md §1)
+    val coarse = Similarity.coarseSeeds(e, stride)
+    val cent = Similarity.refinedCentroids(e, stride, coarse)
     Similarity.assignTwoLevel(e, cent, coarse, "vec_id", IvfCoarseProbe, probes,
       keepRank = true)
   }
@@ -1080,7 +1072,7 @@ object Dedup {
     */
   private[ops] val ivfCellsDuck =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |n AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
       |st AS (SELECT CAST(least(ceil(2 * sqrt(count(*))), 96) AS BIGINT) AS stride FROM n),
       |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
       |          WHERE vec_id % (SELECT stride FROM st) = 0),
@@ -1099,7 +1091,8 @@ object Dedup {
       |    SELECT x.vec_id, c.ccid,
       |      row_number() OVER (PARTITION BY x.vec_id
       |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
-      |    FROM n x CROSS JOIN coarse c) a
+      |    FROM n x CROSS JOIN coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM f2c0)) a
       |  WHERE cr0 <= $IvfCoarseProbe),
       |a0 AS (
       |  SELECT vec_id, cid AS cell FROM (
@@ -1132,9 +1125,10 @@ object Dedup {
       |    SELECT x.vec_id, c.ccid,
       |      row_number() OVER (PARTITION BY x.vec_id
       |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
-      |    FROM n x CROSS JOIN coarse c) a
+      |    FROM n x CROSS JOIN coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM f2c)) a
       |  WHERE cr0 <= $IvfCoarseProbe),
-      |ar AS (
+      |ar AS MATERIALIZED (
       |  SELECT x.vec_id, f.cid,
       |    row_number() OVER (PARTITION BY x.vec_id
       |      ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr

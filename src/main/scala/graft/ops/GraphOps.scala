@@ -422,15 +422,15 @@ object GraphOps {
 
   private val trianglesSql =
     s"""${Similarity.knnEdgesDuck},
-      |ue AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+      |ue AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
       |                       greatest(vec_id, neighbor_id) AS b FROM g),
-      |dg AS (SELECT v, count(*) AS deg
+      |dg AS MATERIALIZED (SELECT v, count(*) AS deg
       |       FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) z GROUP BY 1),
-      |o AS (SELECT CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.a ELSE ue.b END AS src,
+      |o AS MATERIALIZED (SELECT CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.a ELSE ue.b END AS src,
       |             CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN ue.b ELSE ue.a END AS dst,
       |             CASE WHEN (da.deg, ue.a) < (db.deg, ue.b) THEN db.deg ELSE da.deg END AS ddeg
       |      FROM ue JOIN dg da ON ue.a = da.v JOIN dg db ON ue.b = db.v),
-      |tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      |tri AS MATERIALIZED (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
       |        FROM o o1 JOIN o o2 ON o1.src = o2.src
       |          AND ((o1.ddeg, o1.dst) < (o2.ddeg, o2.dst))
       |        JOIN o oc ON oc.src = o1.dst AND oc.dst = o2.dst),
@@ -500,7 +500,7 @@ object GraphOps {
 
   private val linkPredictSql =
     s"""${Similarity.knnEdgesDuck},
-      |ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM g),
+      |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst FROM g),
       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed),
       |indeg AS (SELECT dst AS v, count(*) AS indeg FROM ed GROUP BY 1),
       |lpc AS (
@@ -575,23 +575,36 @@ object GraphOps {
     labeled.orderBy("v")
   }
 
+  // Oracle formulation (r13): MIN WALK LENGTH, not frontier-with-
+  // anti-join — a vertex's shortest-path distance is the minimum
+  // length over ALL walks from the seed set (a walk of length k
+  // exists for every k-hop expansion, and min over k = 0..rounds of
+  // "reachable in exactly k hops" is exactly the BFS distance, with
+  // vertices beyond `rounds` hops absent from every f_k). Equivalent
+  // to the Spark frontier loop's output by construction, but the SQL
+  // plan is BOUNDED: no NOT EXISTS anti-join per round, no l0..lK
+  // cascade where l_{k-1} is referenced twice per round (the r12
+  // sweep's oracle died OOM in exactly that O(rounds²) CTE re-
+  // expansion). `bedges` is MATERIALIZED — it is referenced
+  // rounds+1 times and fronts the whole staged-grid derivation
+  // chain, so inlining it would re-derive the grid per round.
   private val bfsSql = {
     val rounds = (1 to BfsRounds).map { k =>
-      s"""f$k AS (SELECT DISTINCT e.dst AS v, CAST($k AS BIGINT) AS dist
-        |  FROM f${k - 1} f JOIN bedges e ON f.v = e.src
-        |  WHERE NOT EXISTS (SELECT 1 FROM l${k - 1} l WHERE l.v = e.dst)),
-        |l$k AS (SELECT * FROM l${k - 1} UNION ALL SELECT * FROM f$k)""".stripMargin
+      s"""f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS v
+        |  FROM f${k - 1} f JOIN bedges e ON f.v = e.src)""".stripMargin
     }.mkString(",\n")
+    val walks = (0 to BfsRounds).map { k =>
+      s"SELECT v, CAST($k AS BIGINT) AS dist FROM f$k"
+    }.mkString("\n      UNION ALL ")
     s"""${Similarity.knnEdgesDuck},
-      |bedges AS (SELECT DISTINCT src, dst FROM (
+      |bedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
       |    SELECT vec_id AS src, neighbor_id AS dst FROM g
       |    UNION ALL SELECT neighbor_id, vec_id FROM g) z),
-      |f0 AS (SELECT DISTINCT v, CAST(0 AS BIGINT) AS dist FROM (
-      |    SELECT vec_id AS v FROM g UNION ALL SELECT neighbor_id FROM g) z
-      |  WHERE v < $BfsSeeds),
-      |l0 AS (SELECT * FROM f0),
+      |f0 AS (SELECT DISTINCT src AS v FROM bedges WHERE src < $BfsSeeds),
       |$rounds
-      |SELECT v, dist FROM l$BfsRounds
+      |SELECT v, min(dist) AS dist FROM (
+      |  $walks) u
+      |GROUP BY v
       |ORDER BY v""".stripMargin
   }
 
@@ -659,7 +672,7 @@ object GraphOps {
     */
   private val lpaDuckCtes = {
     val rounds = (1 to LpaRounds).map { i =>
-      s"""lv$i AS (
+      s"""lv$i AS MATERIALIZED (
         |  SELECT dst AS v, label FROM (
         |    SELECT e.dst, l.label, count(*) AS cnt,
         |      row_number() OVER (PARTITION BY e.dst
@@ -669,7 +682,7 @@ object GraphOps {
         |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""${Similarity.knnEdgesDuck},
-      |ledges AS (SELECT DISTINCT src, dst FROM (
+      |ledges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
       |    SELECT vec_id AS src, neighbor_id AS dst FROM g
       |    UNION ALL SELECT neighbor_id, vec_id FROM g) z),
       |lv0 AS (SELECT DISTINCT src AS v, src AS label FROM ledges),

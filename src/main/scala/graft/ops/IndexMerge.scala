@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: both grids are ceil(√N)-cell Lloyd-refined
   * assignments (the sim_ivf machinery — centroid tables stay k×64
-  * doubles, broadcast in every assign join; assignment is N·√N dots,
-  * linear per vector). The merge path is the cheap one by
+  * doubles, broadcast in every assign join). All four assignment
+  * passes (each grid's Lloyd seed + each grid's search) route
+  * TWO-LEVEL through the grid's coarse seeds (r13): k = √N fine
+  * cells made the flat ranking N^1.5 dots, the same super-linear
+  * road the staged grid's sf10 probe dead-ended (SCALING_r12.md §1);
+  * two-level is N^1.25. The merge path is the cheap one by
   * construction: it reuses the standing centroids and only pays the
   * batch's assignment — exactly why production stores merge instead
   * of rebuilding until the drift audit says otherwise. Recall and
@@ -52,9 +56,15 @@ object IndexMerge {
     // standing grid: seeds + Lloyd means from the STANDING corpus
     // only (the batch did not exist when this index was trained);
     // rebuilt grid: trained from scratch over the full corpus
-    val centS = Similarity.refinedCentroids(standing, strideS)
-    val centF = Similarity.refinedCentroids(e, strideF)
+    val coarseS = Similarity.coarseSeeds(standing, strideS)
+    val coarseF = Similarity.coarseSeeds(e, strideF)
+    val centS = Similarity.refinedCentroids(standing, strideS, coarseS)
+    val centF = Similarity.refinedCentroids(e, strideF, coarseF)
 
+    // exact truth is consumed TWICE (once per graded() grid): without
+    // its own checkpoint the |Q|·N brute scan and its window sort
+    // re-execute per consumer (the multi-consumer relation rule the
+    // `e` checkpoint above already documents). Query-sample-sized.
     val exact = {
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -65,17 +75,21 @@ object IndexMerge {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("query_id"), col("neighbor_id"), col("sim").as("exact_sim"))
+        .localCheckpoint()
     }
 
-    def graded(cent: DataFrame, method: String): DataFrame = {
+    def graded(cent: DataFrame, coarse: DataFrame, method: String): DataFrame = {
       // the merged index IS "assign the full corpus to the standing
       // centroids": standing vectors keep their cells, batch vectors
       // insert into their nearest existing cell
-      val corpus = Similarity.assignTo(e, cent, "vec_id", 1)
+      val corpus = Similarity.assignTwoLevel(e, cent, coarse, "vec_id",
+          Dedup.IvfCoarseProbe, 1)
+        .join(e, Seq("vec_id"))
         .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
           col("nrm").as("cn"), col("cell"))
-      val queries = Similarity.assignTo(e.filter(col("vec_id") < NQueries), cent,
-          "vec_id", NProbe)
+      val queries = Similarity.assignTwoLevel(e.filter(col("vec_id") < NQueries),
+          cent, coarse, "vec_id", Dedup.IvfCoarseProbe, NProbe)
+        .join(e, Seq("vec_id"))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -102,25 +116,139 @@ object IndexMerge {
           "n_cells", "max_cell_n")
     }
 
-    graded(centS, "merged").unionByName(graded(centF, "rebuilt"))
+    graded(centS, coarseS, "merged").unionByName(graded(centF, coarseF, "rebuilt"))
       .orderBy("method", "query_id")
+  }
+
+  // ---------------------------------------------------------------
+  // sim_index_drift — the CUMULATIVE version of sim_index_merge
+  // (r13, VERDICT r12 item 6): sim_index_merge grades ONE merge
+  // against ONE rebuild; the production question is what K
+  // successive batch merges do to a never-re-Lloyd'd index. The
+  // corpus is sliced vec_id % (K+1); the standing grid is trained on
+  // slice 0 only; at step t the index serves slices 0..t — batches
+  // 1..t union-merged in, each vector assigned to its nearest
+  // ORIGINAL cell (with fixed centroids, cumulative insertion ≡ one
+  // assignment of the step-t corpus, so the op computes each step's
+  // index in one pass without pretending otherwise). Per step it
+  // emits the merged index's aggregate recall@K vs exact truth over
+  // the step-t corpus, beside the same-step REBUILT grid's — one row
+  // per (step, method), so the gated table IS the drift curve an
+  // operator reads to pick the re-Lloyd trigger (the step where
+  // merged recall_ppm crosses below the rebuilt floor, with
+  // max_cell_n as the leading structural indicator: cells sized for
+  // N/(K+1) vectors absorb the whole corpus by step K).
+  //
+  // Scale shape: same as sim_index_merge — all assignments
+  // two-level, exact truth |Q|·N over the bounded query sample per
+  // step, aggregates step-grain. K+1 grids ≈ (K+1)× the merge op's
+  // staging cost, K compile-time bounded.
+  // ---------------------------------------------------------------
+  private val DriftSteps = 3 // slices: vec_id % (DriftSteps+1)
+
+  private def indexDrift(s: SparkSession, dir: String): DataFrame = {
+    val mod = DriftSteps + 1
+    val e = Dedup.withNorm(Tables.load(s, dir, "embeddings"))
+      .select("vec_id", "v", "nrm").localCheckpoint()
+    val c0 = e.filter(col("vec_id") % mod === 0)
+    val stride0 = math.ceil(math.sqrt(c0.count().toDouble)).toLong
+    val coarse0 = Similarity.coarseSeeds(c0, stride0)
+    val cent0 = Similarity.refinedCentroids(c0, stride0, coarse0)
+
+    def stepRows(t: Int): DataFrame = {
+      val ct = e.filter(col("vec_id") % mod <= t)
+      val qt = ct.filter(col("vec_id") < NQueries)
+      // exact truth over the step-t corpus (|Q_t|·|C_t| dots)
+      val exact = {
+        val q = qt.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = ct.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", cosine(expr("graft_array_dot(qv, cv)"), col("qn"), col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint()
+      }
+      def gradedAgg(cent: DataFrame, coarse: DataFrame, method: String): DataFrame = {
+        val corpus = Similarity.assignTwoLevel(ct, cent, coarse, "vec_id",
+            Dedup.IvfCoarseProbe, 1)
+          .join(e, Seq("vec_id"))
+          .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+            col("nrm").as("cn"), col("cell"))
+        val queries = Similarity.assignTwoLevel(qt, cent, coarse, "vec_id",
+            Dedup.IvfCoarseProbe, NProbe)
+          .join(e, Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("cell"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        val ann = broadcast(queries).join(corpus, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", cosine(expr("graft_array_dot(qv, cv)"), col("qn"), col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        val stats = corpus.groupBy("cell").agg(count(lit(1)).as("cn"))
+          .agg(count(lit(1)).as("n_cells"), max(col("cn")).as("max_cell_n"))
+        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .agg(
+            countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall_ppm", expr("n_hits * CAST(1000000 AS BIGINT) DIV n_exact"))
+          .withColumn("step", lit(t.toLong))
+          .withColumn("method", lit(method))
+          .crossJoin(broadcast(stats))
+          .select("step", "method", "n_queries", "n_exact", "n_hits",
+            "recall_ppm", "n_cells", "max_cell_n")
+      }
+      // rebuilt grid: re-trained from scratch on the step-t corpus
+      val stT = math.ceil(math.sqrt(ct.count().toDouble)).toLong
+      val coarseT = Similarity.coarseSeeds(ct, stT)
+      val centT = Similarity.refinedCentroids(ct, stT, coarseT)
+      gradedAgg(cent0, coarse0, "merged")
+        .unionByName(gradedAgg(centT, coarseT, "rebuilt"))
+    }
+
+    (1 to DriftSteps).map(stepRows).reduce(_ unionByName _)
+      .orderBy("step", "method")
   }
 
   /** One Lloyd-refined grid as oracle CTEs: seeds/means from the
     * `srcFilter` subset of `n`, centroids published as `${pfx}centf`
-    * — the ivfCellsDuck derivation parameterized by training set.
+    * and coarse routing seeds as `${pfx}coarse` — the (two-level,
+    * r13) ivfCellsDuck derivation parameterized by training set.
     */
   private def gridDuck(pfx: String, srcFilter: String): String =
     s"""${pfx}src AS (SELECT * FROM n WHERE $srcFilter),
       |${pfx}st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM ${pfx}src),
       |${pfx}c0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM ${pfx}src
       |            WHERE vec_id % (SELECT stride FROM ${pfx}st) = 0),
+      |${pfx}cst AS (SELECT CAST(greatest(ceil(sqrt(count(*))), 1) AS BIGINT) AS cstride FROM ${pfx}c0),
+      |${pfx}coarse AS (SELECT vec_id AS ccid, v AS cv0, nrm AS cn0 FROM ${pfx}src
+      |  WHERE vec_id % ((SELECT stride FROM ${pfx}st) * (SELECT cstride FROM ${pfx}cst)) = 0),
+      |${pfx}f2c0 AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM ${pfx}c0 f CROSS JOIN ${pfx}coarse c) a
+      |  WHERE fcr = 1),
+      |${pfx}rt0 AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM ${pfx}src x CROSS JOIN ${pfx}coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM ${pfx}f2c0)) a
+      |  WHERE cr0 <= ${Dedup.IvfCoarseProbe}),
       |${pfx}a0 AS (
       |  SELECT vec_id, cid AS cell FROM (
-      |    SELECT x.vec_id, c.cid,
+      |    SELECT x.vec_id, f.cid,
       |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM ${pfx}src x CROSS JOIN ${pfx}c0 c) a
+      |        ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |    FROM ${pfx}rt0 r JOIN ${pfx}src x ON r.vec_id = x.vec_id
+      |    JOIN ${pfx}f2c0 f ON r.ccell = f.ccell) a
       |  WHERE cr = 1),
       |${pfx}px AS (
       |  SELECT cell, CAST(i AS INT) AS dim,
@@ -135,24 +263,37 @@ object IndexMerge {
       |  FROM ${pfx}cs GROUP BY cell),
       |${pfx}centf AS (SELECT cid, centv, list_dot_product(centv, centv) AS centn FROM ${pfx}cent)""".stripMargin
 
-  /** Search + grade one grid: corpus primary assignment, nprobe=$NProbe
-    * query probe, top-K, recall vs `exact`, structure stats.
+  /** Search + grade one grid: two-level corpus primary assignment,
+    * nprobe=$NProbe query probe, top-K, recall vs `exact`,
+    * structure stats.
     */
   private def gradedDuck(pfx: String, method: String): String =
-    s"""${pfx}corpus AS (
-      |  SELECT vec_id AS neighbor_id, v, nrm, cid AS cell FROM (
-      |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+    s"""${pfx}f2c AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM ${pfx}centf f CROSS JOIN ${pfx}coarse c) a
+      |  WHERE fcr = 1),
+      |${pfx}rt AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
       |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN ${pfx}centf c) a
-      |  WHERE cr = 1),
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM n x CROSS JOIN ${pfx}coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM ${pfx}f2c)) a
+      |  WHERE cr0 <= ${Dedup.IvfCoarseProbe}),
+      |${pfx}ar AS MATERIALIZED (
+      |  SELECT x.vec_id, x.v, x.nrm, f.cid,
+      |    row_number() OVER (PARTITION BY x.vec_id
+      |      ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |  FROM ${pfx}rt r JOIN n x ON r.vec_id = x.vec_id
+      |  JOIN ${pfx}f2c f ON r.ccell = f.ccell),
+      |${pfx}corpus AS (
+      |  SELECT vec_id AS neighbor_id, v, nrm, cid AS cell FROM ${pfx}ar WHERE cr = 1),
       |${pfx}q AS (
-      |  SELECT vec_id AS query_id, v, nrm, cid AS cell FROM (
-      |    SELECT x.vec_id, x.v, x.nrm, c.cid,
-      |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN ${pfx}centf c WHERE x.vec_id < $NQueries) a
-      |  WHERE cr <= $NProbe),
+      |  SELECT vec_id AS query_id, v, nrm, cid AS cell FROM ${pfx}ar
+      |  WHERE cr <= $NProbe AND vec_id < $NQueries),
       |${pfx}p AS (SELECT q.query_id, t.neighbor_id,
       |         round(list_dot_product(q.v, t.v) / sqrt(q.nrm * t.nrm), 4) AS sim
       |       FROM ${pfx}q q JOIN ${pfx}corpus t
@@ -174,13 +315,13 @@ object IndexMerge {
 
   private val indexMergeSql =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |n AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
       |${gridDuck("s", s"vec_id % $BatchMod <> ${BatchMod - 1}")},
       |${gridDuck("f", "TRUE")},
       |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
       |       FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
-      |exact AS (SELECT query_id, neighbor_id, sim AS exact_sim FROM (
+      |exact AS MATERIALIZED (SELECT query_id, neighbor_id, sim AS exact_sim FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM bp) t WHERE rank <= $K),
       |${gradedDuck("s", "merged")},
@@ -192,6 +333,95 @@ object IndexMerge {
       |  SELECT r.*, s.n_cells, s.max_cell_n FROM frec r CROSS JOIN fstats s) u
       |ORDER BY method, query_id""".stripMargin
 
+  /** Drift-step oracle: two-level search of the step-`t` corpus
+    * (vec_id % mod <= t) against grid `g`'s centroids, aggregated to
+    * the one (step, method) row — the per-step twin of
+    * [[gradedDuck]], joined to the step's own exact truth `ex$t`.
+    */
+  private def driftGradedDuck(g: String, o: String, t: Int, method: String): String = {
+    val mod = DriftSteps + 1
+    s"""${o}f2c AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM ${g}centf f CROSS JOIN ${g}coarse c) a
+      |  WHERE fcr = 1),
+      |${o}rt AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM n x CROSS JOIN ${g}coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM ${o}f2c)
+      |      AND x.vec_id % $mod <= $t) a
+      |  WHERE cr0 <= ${Dedup.IvfCoarseProbe}),
+      |${o}ar AS MATERIALIZED (
+      |  SELECT x.vec_id, x.v, x.nrm, f.cid,
+      |    row_number() OVER (PARTITION BY x.vec_id
+      |      ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |  FROM ${o}rt r JOIN n x ON r.vec_id = x.vec_id
+      |  JOIN ${o}f2c f ON r.ccell = f.ccell),
+      |${o}corpus AS (
+      |  SELECT vec_id AS neighbor_id, v, nrm, cid AS cell FROM ${o}ar WHERE cr = 1),
+      |${o}q AS (
+      |  SELECT vec_id AS query_id, v, nrm, cid AS cell FROM ${o}ar
+      |  WHERE cr <= $NProbe AND vec_id < $NQueries),
+      |${o}p AS (SELECT q.query_id, t.neighbor_id,
+      |      round(list_dot_product(q.v, t.v) / sqrt(q.nrm * t.nrm), 4) AS sim
+      |    FROM ${o}q q JOIN ${o}corpus t ON q.cell = t.cell AND q.query_id <> t.neighbor_id),
+      |${o}ann AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM ${o}p) z WHERE rank <= $K),
+      |${o}stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(max(cnt) AS BIGINT) AS max_cell_n
+      |  FROM (SELECT cell, count(*) AS cnt FROM ${o}corpus GROUP BY 1) c),
+      |${o}row AS (
+      |  SELECT CAST($t AS BIGINT) AS step, '$method' AS method,
+      |    CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+      |    CAST(count(*) AS BIGINT) AS n_exact,
+      |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm,
+      |    s.n_cells, s.max_cell_n
+      |  FROM ex$t x LEFT JOIN ${o}ann a
+      |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      |  CROSS JOIN ${o}stats s
+      |  GROUP BY s.n_cells, s.max_cell_n)""".stripMargin
+  }
+
+  private val indexDriftSql = {
+    val mod = DriftSteps + 1
+    val grids = (1 to DriftSteps)
+      .map(t => gridDuck(s"r$t", s"vec_id % $mod <= $t")).mkString(",\n")
+    val exacts = (1 to DriftSteps).map { t =>
+      s"""ex$t AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) DESC, c.vec_id) AS rank
+        |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < $NQueries AND q.vec_id % $mod <= $t AND c.vec_id % $mod <= $t) z
+        |  WHERE rank <= $K)""".stripMargin
+    }.mkString(",\n")
+    val gradeds = (1 to DriftSteps).flatMap { t =>
+      Seq(driftGradedDuck("d0", s"m$t", t, "merged"),
+        driftGradedDuck(s"r$t", s"b$t", t, "rebuilt"))
+    }.mkString(",\n")
+    val unions = (1 to DriftSteps)
+      .flatMap(t => Seq(s"SELECT * FROM m${t}row", s"SELECT * FROM b${t}row"))
+      .mkString("\n      UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |${gridDuck("d0", s"vec_id % $mod = 0")},
+      |$grids,
+      |$exacts,
+      |$gradeds
+      |SELECT step, method, n_queries, n_exact, n_hits, recall_ppm, n_cells, max_cell_n
+      |FROM ($unions) u
+      |ORDER BY step, method""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
-    Op("sim_index_merge", indexMerge, Some(indexMergeSql)))
+    Op("sim_index_merge", indexMerge, Some(indexMergeSql)),
+    Op("sim_index_drift", indexDrift, Some(indexDriftSql)))
 }

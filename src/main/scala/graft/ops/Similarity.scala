@@ -168,7 +168,6 @@ object Similarity {
   // quadratic (the 10× scaling bench measured exactly that before
   // this changed: 12.5× op growth at 10× data).
   // ---------------------------------------------------------------
-  private val CentroidStride = 25 // legacy default for refinedCentroids callers
   private val NProbe = 2
 
   private def ivfStride(e: DataFrame): Long =
@@ -213,14 +212,33 @@ object Similarity {
       .withColumn("centn", expr("graft_array_dot(centv, centv)"))
   }
 
-  /** Refined centroids: one Lloyd iteration over the seed assignment.
-    * `stride` picks the seed density (every stride-th vec_id);
-    * sim_ivf uses the fixed default, sim_index_merge passes ceil(√N).
+  /** Coarse routing seeds for a grid whose fine seeds sit on
+    * `stride`: every (stride·cstride)-th vector RAW, cstride =
+    * ceil(√k0) over the k0 fine seeds (one seed-table-sized count
+    * action — corpus metadata, replicated by every oracle as a
+    * scalar subquery). The coarse layer only routes; Lloyd refines
+    * the fine layer. Shared by sim_ivf, sim_index_merge and the
+    * staged grid (Dedup.ivfCellAssignments) so all two-level
+    * assignments derive their routing the same way.
     */
-  private[graft] def refinedCentroids(e: DataFrame, stride: Long = CentroidStride): DataFrame = {
+  private[graft] def coarseSeeds(e: DataFrame, stride: Long): DataFrame = {
+    val k0 = e.filter(col("vec_id") % stride === 0).count()
+    val cstride = math.max(1L, math.ceil(math.sqrt(k0.toDouble)).toLong)
+    e.filter(col("vec_id") % (stride * cstride) === 0)
+      .select(col("vec_id").as("ccid"), col("v").as("cv0"), col("nrm").as("cn0"))
+  }
+
+  /** Refined centroids: one Lloyd iteration over the seed
+    * assignment. The seed pass routes TWO-LEVEL through `coarse`
+    * ([[coarseSeeds]]) — it costs the same dot count as the final
+    * assignment, so a flat pass here would keep every consumer
+    * quadratic (the r12 sf10 lesson; SCALING_r12.md §1).
+    */
+  private[graft] def refinedCentroids(e: DataFrame, stride: Long, coarse: DataFrame): DataFrame = {
     val cent0 = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
-    val a0 = assignTo(e, cent0, "vec_id", 1).select(col("vec_id"), col("cell"))
+    val a0 = assignTwoLevel(e, cent0, coarse, "vec_id", Dedup.IvfCoarseProbe, 1)
+      .select(col("vec_id"), col("cell"))
     lloydMeans(e, a0)
   }
 
@@ -240,6 +258,15 @@ object Similarity {
     * beside a candidate fan-out (the same rule R10PlanShapeSpec
     * enforces for the pair stages). Ties break by rounded sim DESC,
     * cid ASC — identical to [[assignTo]] and the DuckDB replica.
+    *
+    * Coverage (r13): vectors route only over LIVE coarse cells —
+    * cells holding at least one fine centroid under the top-1 f2c
+    * map. Without the restriction a vector whose every probed coarse
+    * cell was empty silently vanished from the assignment (and hence
+    * from Lloyd means, dedup candidates and the kNN graph — the r12
+    * ADVICE drop case); ranking only live cells makes ≥ 1 fine
+    * candidate per vector structural. TwoLevelAssignProps pins
+    * assigned-id count == input-id count.
     */
   private[graft] def assignTwoLevel(df: DataFrame, cent: DataFrame, coarse: DataFrame,
       idCol: String, coarseProbes: Int, probes: Int, keepRank: Boolean = false): DataFrame = {
@@ -251,9 +278,13 @@ object Similarity {
       .withColumn("fcr", row_number().over(wfc))
       .filter(col("fcr") === 1)
       .select(col("cid"), col("centv"), col("centn"), col("ccid").as("ccell"))
+    // live coarse cells only (coarse is seed-table-sized: the
+    // restriction is a broadcast semi-join, never a shuffle)
+    val live = coarse.join(
+      f2c.select(col("ccell").as("ccid")).distinct(), Seq("ccid"), "left_semi")
     // vector → top coarseProbes coarse cells, skinny through the window
     val wc = Window.partitionBy(idCol).orderBy(col("csim0").desc, col("ccid"))
-    val routed = df.join(broadcast(coarse), lit(true))
+    val routed = df.join(broadcast(live), lit(true))
       .withColumn("csim0", cosine(expr("graft_array_dot(v, cv0)"), col("nrm"), col("cn0")))
       .select(col(idCol), col("ccid"), col("csim0"))
       .withColumn("cr0", row_number().over(wc))
@@ -274,10 +305,20 @@ object Similarity {
 
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cent = refinedCentroids(e, ivfStride(e))
-    val corpus = assignTo(e, cent, "vec_id", 1)
+    val stride = ivfStride(e)
+    val coarse = coarseSeeds(e, stride)
+    val cent = refinedCentroids(e, stride, coarse)
+    // corpus + query assignment both route two-level (r13): k = √N
+    // fine cells made the flat ranking N^1.5 — milder than the
+    // staged grid's N²/96 but the same road (SCALING_r12.md §1).
+    // Assignment emits skinny (vec_id, cell); vectors re-attach by
+    // an id-keyed join, per the exchange discipline.
+    val corpus = assignTwoLevel(e, cent, coarse, "vec_id", Dedup.IvfCoarseProbe, 1)
+      .join(e, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
-    val queries = assignTo(e.filter(col("vec_id") < NQueries), cent, "vec_id", NProbe)
+    val queries = assignTwoLevel(e.filter(col("vec_id") < NQueries), cent, coarse,
+        "vec_id", Dedup.IvfCoarseProbe, NProbe)
+      .join(e, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
@@ -313,18 +354,42 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // Two-level replica (r13): the same coarse-routing CTE chain as
+  // Dedup.ivfCellsDuck (f2c0/rt0 seed pass, f2c/rt final pass, both
+  // restricted to LIVE coarse cells), with sim_ivf's own stride
+  // formula (ceil(√N), uncapped) and probe widths (corpus cr = 1,
+  // queries cr ≤ NProbe).
   private val knnIvfSql =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+      |n AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
       |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM n),
       |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
       |          WHERE vec_id % (SELECT stride FROM st) = 0),
+      |cst AS (SELECT CAST(greatest(ceil(sqrt(count(*))), 1) AS BIGINT) AS cstride FROM cent0),
+      |coarse AS (SELECT vec_id AS ccid, v AS cv0, nrm AS cn0 FROM n
+      |           WHERE vec_id % ((SELECT stride FROM st) * (SELECT cstride FROM cst)) = 0),
+      |f2c0 AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM cent0 f CROSS JOIN coarse c) a
+      |  WHERE fcr = 1),
+      |rt0 AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM n x CROSS JOIN coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM f2c0)) a
+      |  WHERE cr0 <= ${Dedup.IvfCoarseProbe}),
       |a0 AS (
       |  SELECT vec_id, cid AS cell FROM (
-      |    SELECT x.vec_id, c.cid,
+      |    SELECT x.vec_id, f.cid,
       |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN cent0 c) a
+      |        ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |    FROM rt0 r JOIN n x ON r.vec_id = x.vec_id
+      |    JOIN f2c0 f ON r.ccell = f.ccell) a
       |  WHERE cr = 1),
       |px AS (
       |  SELECT cell, CAST(i AS INT) AS dim,
@@ -337,20 +402,34 @@ object Similarity {
       |    list(CAST(s_ppm AS DOUBLE) / 1000000 / nn ORDER BY dim) AS centv
       |  FROM cs GROUP BY cell),
       |centf AS (SELECT cid, centv, list_dot_product(centv, centv) AS centn FROM cent),
+      |f2c AS (
+      |  SELECT cid, centv, centn, ccid AS ccell FROM (
+      |    SELECT f.cid, f.centv, f.centn, c.ccid,
+      |      row_number() OVER (PARTITION BY f.cid
+      |        ORDER BY round(list_dot_product(f.centv, c.cv0) / sqrt(f.centn * c.cn0), 4) DESC, c.ccid) AS fcr
+      |    FROM centf f CROSS JOIN coarse c) a
+      |  WHERE fcr = 1),
+      |rt AS (
+      |  SELECT vec_id, ccid AS ccell FROM (
+      |    SELECT x.vec_id, c.ccid,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.ccid) AS cr0
+      |    FROM n x CROSS JOIN coarse c
+      |    WHERE c.ccid IN (SELECT DISTINCT ccell FROM f2c)) a
+      |  WHERE cr0 <= ${Dedup.IvfCoarseProbe}),
+      |ar AS MATERIALIZED (
+      |  SELECT x.vec_id, f.cid,
+      |    row_number() OVER (PARTITION BY x.vec_id
+      |      ORDER BY round(list_dot_product(x.v, f.centv) / sqrt(x.nrm * f.centn), 4) DESC, f.cid) AS cr
+      |  FROM rt r JOIN n x ON r.vec_id = x.vec_id
+      |  JOIN f2c f ON r.ccell = f.ccell),
       |corpus AS (
-      |  SELECT vec_id AS neighbor_id, v, nrm, cid AS cell FROM (
-      |    SELECT x.vec_id, x.v, x.nrm, c.cid,
-      |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN centf c) a
-      |  WHERE cr = 1),
+      |  SELECT a.vec_id AS neighbor_id, x.v, x.nrm, a.cid AS cell
+      |  FROM ar a JOIN n x ON a.vec_id = x.vec_id WHERE a.cr = 1),
       |qs AS (
-      |  SELECT vec_id AS query_id, v, nrm, cid AS cell FROM (
-      |    SELECT x.vec_id, x.v, x.nrm, c.cid,
-      |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(list_dot_product(x.v, c.centv) / sqrt(x.nrm * c.centn), 4) DESC, c.cid) AS cr
-      |    FROM n x CROSS JOIN centf c WHERE x.vec_id < $NQueries) a
-      |  WHERE cr <= $NProbe),
+      |  SELECT a.vec_id AS query_id, x.v, x.nrm, a.cid AS cell
+      |  FROM ar a JOIN n x ON a.vec_id = x.vec_id
+      |  WHERE a.cr <= $NProbe AND a.vec_id < $NQueries),
       |p AS (SELECT q.query_id, t.neighbor_id, q.cell,
       |        round(list_dot_product(q.v, t.v) / sqrt(q.nrm * t.nrm), 4) AS sim
       |      FROM qs q JOIN corpus t ON q.cell = t.cell AND q.query_id <> t.neighbor_id),
@@ -871,6 +950,15 @@ object Similarity {
     * (CTE `g`: vec_id, rank, neighbor_id, sim) — used by both
     * sim_knn_graph and graph_triangles so the triangle audit provably
     * runs over the exact gated graph.
+    *
+    * `g` (like `n`/`ar` in ivfCellsDuck) is MATERIALIZED (r13):
+    * DuckDB inlines CTEs per reference, so a consumer touching `g`
+    * three times re-derived the whole grid chain three times — under
+    * a bounded oracle connection the graph-family oracles either
+    * OOM'd (the r12 graph_bfs red row: its old l0..lK cascade failed
+    * even at an 8 GB limit) or spill-crawled. Materializing the
+    * shared fragments once bounds every consumer; results are
+    * byte-identical, it is purely physical.
     */
   private[ops] val knnEdgesDuck =
     s"""${Dedup.ivfCellsDuck},
@@ -884,7 +972,7 @@ object Similarity {
       |r AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, sim,
       |        CAST(row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS INT) AS rank
       |      FROM p),
-      |g AS (SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= $KnnGraphK)""".stripMargin
+      |g AS MATERIALIZED (SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= $KnnGraphK)""".stripMargin
 
   private val knnGraphSql =
     s"""$knnEdgesDuck

@@ -105,7 +105,7 @@ class LshSweepSpec extends AnyFunSuite with SparkSuite {
       .select(col("vec_id"), col("v"), col("nrm")).cache()
     val seeds = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
-    val refined = Similarity.refinedCentroids(e)
+    val refined = Similarity.refinedCentroids(e, 25L, Similarity.coarseSeeds(e, 25L))
     def cellSizes(cent: org.apache.spark.sql.DataFrame): Seq[Long] =
       Similarity.assignTo(e, cent, "vec_id", 1)
         .groupBy("cell").count().collect().map(_.getLong(1)).toSeq

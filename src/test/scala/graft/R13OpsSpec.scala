@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 additions, re-derived by a brute driver-side
+  * implementation sharing no engine with the op (plain Scala arrays
+  * vs the op's Spark plans; the DuckDB oracle is the third
+  * derivation):
+  *  - sim_index_drift: the cumulative-merge drift curve vs a full
+  *    plain-Scala re-derivation — slice-0 grid trained once, then
+  *    each step's corpus assigned to the FROZEN centroids (merged)
+  *    and to a per-step re-trained grid (rebuilt), aggregate
+  *    recall@5 per (step, method).
+  *
+  * The brute grids assign FLAT (rank all centroids): at the test SF
+  * the op's two-level routing satisfies coarseProbes >= #live coarse
+  * cells, where two-level == flat exactly (the TwoLevelAssignProps
+  * flat-equivalence property) — so flat is the correct model here,
+  * and any routing bug that breaks the equivalence fails this test.
+  */
+class R13OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("sim_index_drift: drift curve equals a plain-Scala cumulative re-derivation") {
+    val K = 5; val NQ = 20L; val NProbe = 2; val Mod = 4L; val Steps = 3
+    val got = run("sim_index_drift").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+    val vecs: Seq[(Long, Array[Double])] =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def rcos(a: Array[Double], b: Array[Double]): Double =
+      java.math.BigDecimal.valueOf(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    def grid(train: Seq[(Long, Array[Double])]): Seq[(Long, Array[Double])] = {
+      val stride = math.ceil(math.sqrt(train.size.toDouble)).toLong
+      val seeds = train.filter(_._1 % stride == 0L)
+      val assign0 = train.map { case (_, v) =>
+        val best = seeds.map { case (cid, cv) => (cid, rcos(v, cv)) }
+          .minBy { case (cid, s2) => (-s2, cid) }._1
+        (best, v)
+      }
+      assign0.groupBy(_._1).toSeq.map { case (cell, members) =>
+        val n = members.size
+        val comp = (0 until members.head._2.length).map { d =>
+          val sPpm = members.map(m => math.floor(m._2(d) * 1e6).toLong).sum
+          sPpm.toDouble / 1e6 / n
+        }.toArray
+        (cell, comp)
+      }
+    }
+
+    def stepRow(t: Int, cent: Seq[(Long, Array[Double])], method: String) = {
+      val ct = vecs.filter(_._1 % Mod <= t)
+      val corpus = ct.map { case (id, v) =>
+        val cell = cent.map { case (cid, cv) => (cid, rcos(v, cv)) }
+          .minBy { case (cid, s2) => (-s2, cid) }._1
+        (id, v, cell)
+      }
+      val cellsOf = corpus.groupBy(_._3)
+      val nCells = cellsOf.size.toLong
+      val maxCellN = cellsOf.values.map(_.size).max.toLong
+      val queries = ct.filter(_._1 < NQ)
+      var nExact = 0L; var nHits = 0L
+      queries.foreach { case (q, qv) =>
+        val exact = ct.filter(_._1 != q)
+          .map { case (c, cv) => (c, rcos(qv, cv)) }
+          .sortBy { case (c, s2) => (-s2, c) }.take(K).map(_._1)
+        val probed = cent.map { case (cid, cv) => (cid, rcos(qv, cv)) }
+          .sortBy { case (cid, s2) => (-s2, cid) }.take(NProbe).map(_._1).toSet
+        val ann = probed.toSeq.flatMap(c => cellsOf.getOrElse(c, Seq.empty))
+          .filter(_._1 != q)
+          .map { case (c, cv, _) => (c, rcos(qv, cv)) }
+          .sortBy { case (c, s2) => (-s2, c) }.take(K).map(_._1).toSet
+        nExact += exact.size
+        nHits += exact.count(ann.contains)
+      }
+      (t.toLong, method, queries.size.toLong, nExact, nHits,
+        nHits * 1000000L / nExact, nCells, maxCellN)
+    }
+
+    val cent0 = grid(vecs.filter(_._1 % Mod == 0L))
+    val expect = (1 to Steps).flatMap { t =>
+      Seq(stepRow(t, cent0, "merged"),
+        stepRow(t, grid(vecs.filter(_._1 % Mod <= t)), "rebuilt"))
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expect, s"got:\n${got.mkString("\n")}\nwant:\n${expect.mkString("\n")}")
+
+    // curve shape invariants: the merged grid's CELL SET is frozen
+    // (n_cells constant across steps) while its hottest cell can only
+    // grow as batches pile in — the structural drift signal
+    val merged = got.filter(_._2 == "merged").sortBy(_._1)
+    assert(merged.map(_._7).distinct.size == 1, "merged n_cells must be frozen")
+    assert(merged.map(_._8) == merged.map(_._8).sorted, "merged max_cell_n must not shrink")
+    // both indexes recover something across the sample at every step
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      rows.foreach(r => assert(r._5 > 0L, s"step $t ${r._2} recovered nothing"))
+    }
+  }
+}

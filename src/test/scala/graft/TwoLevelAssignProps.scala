@@ -39,13 +39,20 @@ class TwoLevelAssignProps extends AnyFunSuite with SparkSuite {
   private val fines: Seq[(Long, Seq[Double])] = (0L until 12L).map(i => i -> vec())
   private val coarses: Seq[(Long, Seq[Double])] = (0L until 4L).map(i => i * 100L -> vec())
 
-  /** brute two-level: (vector, coarseProbes, probes) → ranked cells */
+  /** brute two-level: (vector, coarseProbes, probes) → ranked cells.
+    * Routing ranks LIVE coarse cells only (cells holding ≥ 1 fine
+    * centroid under the top-1 f2c map) — the r13 coverage contract:
+    * a dead coarse cell never consumes a probe slot, so every vector
+    * always reaches ≥ 1 fine candidate.
+    */
   private def brute(v: Seq[Double], cp: Int, probes: Int): Seq[Long] = {
     val f2c = fines.map { case (fid, fv) =>
       fid -> coarses.map { case (cc, cv) => (cc, roundedCos(fv, cv)) }
         .minBy { case (cc, s) => (-s, cc) }._1
     }.toMap
-    val routed = coarses.map { case (cc, cv) => (cc, roundedCos(v, cv)) }
+    val live = f2c.values.toSet
+    val routed = coarses.filter { case (cc, _) => live.contains(cc) }
+      .map { case (cc, cv) => (cc, roundedCos(v, cv)) }
       .sortBy { case (cc, s) => (-s, cc) }.take(cp).map(_._1).toSet
     fines.filter { case (fid, _) => routed.contains(f2c(fid)) }
       .map { case (fid, fv) => (fid, roundedCos(v, fv)) }
@@ -72,6 +79,29 @@ class TwoLevelAssignProps extends AnyFunSuite with SparkSuite {
         assert(got.getOrElse(id, Seq.empty).map(_._2) == (1 to gotCells.size))
       }
     }
+  }
+
+  test("coverage: every input id is assigned even when coarse cells are empty") {
+    // deterministic dead cell: coarse = {+e1, -e1}; every fine
+    // centroid has first coord >= 0.5 so all route to +e1 and the
+    // -e1 cell is EMPTY; corpus vectors with first coord <= -0.5
+    // have -e1 as their nearest coarse cell.
+    val cs = Seq(0L -> (1.0 +: Seq.fill(Dim - 1)(0.0)),
+      1L -> (-1.0 +: Seq.fill(Dim - 1)(0.0)))
+    val fs = (0L until 8L).map(i => i -> (0.5 +: vec().tail))
+    val vs = (0L until 40L).map { i =>
+      val base = vec().tail
+      i -> ((if (i % 2 == 0) -0.7 else 0.7) +: base)
+    }
+    val df = vs.toDF("vec_id", "v").withColumn("nrm", expr("graft_array_dot(v, v)"))
+    val cent = fs.toDF("cid", "centv").withColumn("centn", expr("graft_array_dot(centv, centv)"))
+    val coarse = cs.toDF("ccid", "cv0").withColumn("cn0", expr("graft_array_dot(cv0, cv0)"))
+    // cp = 1: pre-r13 a vector whose nearest coarse cell was dead got
+    // ZERO cells and vanished from the grid (the r12 ADVICE drop case)
+    val assigned = Similarity.assignTwoLevel(df, cent, coarse, "vec_id", 1, 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(assigned == vs.map(_._1).toSet,
+      s"dropped ids: ${vs.map(_._1).toSet -- assigned}")
   }
 
   test("coarseProbes >= #coarse cells makes two-level identical to flat assignTo") {

@@ -23,6 +23,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Bound the oracle explicitly (r13): the r12 sweep lost graph_bfs to
+    # a nondeterministic host-pressure OOM in an unbounded connection.
+    # A fixed budget makes a pass/fail reproducible instead of a race
+    # against whatever else the host is running.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=8")
+    # a bounded connection spills; give it a stable absolute temp dir
+    # (the default cwd-relative .tmp races its own cleanup at exit)
+    os.makedirs("/tmp/duckdb_oracle_tmp", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
