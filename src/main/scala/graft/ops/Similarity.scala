@@ -1006,10 +1006,15 @@ object Similarity {
   private val BeamWidth = 8
   private val BeamHops = 3
 
-  private def knnBeam(s: SparkSession, dir: String): DataFrame = {
+  /** The greedy beam walk over the staged kNN graph from a per-query
+    * `entry` relation (query_id, cand_id) — the loop body shared by
+    * sim_knn_beam (fixed smallest-id entry) and sim_hnsw_descent
+    * (grid-descended entry). Returns the accumulated VISITED set
+    * (query_id, cand_id, sim), unranked.
+    */
+  private def beamWalk(s: SparkSession, dir: String, q: DataFrame,
+      entry: DataFrame): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
     val g0 = knnGraphStaged(s, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
@@ -1020,12 +1025,6 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .withColumn("sim", cosine(expr("graft_array_dot(qv, cv)"), col("qn"), col("cn")))
       .select("query_id", "cand_id", "sim")
-    // entry: smallest corpus id that is not the query itself — a
-    // 2-row × |Q|-row broadcast product, config-sized
-    val low2 = e.orderBy("vec_id").limit(2).select(col("vec_id").as("cand_id"))
-    val entry = broadcast(q.select("query_id")).crossJoin(broadcast(low2))
-      .filter(col("cand_id") =!= col("query_id"))
-      .groupBy("query_id").agg(min("cand_id").as("cand_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     var (visited, vIds) = Rounds.checkpoint(score(entry))
     for (_ <- 1 to BeamHops) {
@@ -1044,18 +1043,90 @@ object Similarity {
       visited = nv
       vIds = ids
     }
-    visited.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+    visited
+  }
+
+  private def knnBeam(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // entry: smallest corpus id that is not the query itself — a
+    // 2-row × |Q|-row broadcast product, config-sized
+    val low2 = e.orderBy("vec_id").limit(2).select(col("vec_id").as("cand_id"))
+    val entry = broadcast(q.select("query_id")).crossJoin(broadcast(low2))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("cand_id").as("cand_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    beamWalk(s, dir, q, entry)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // sim_hnsw_descent — the HNSW query path (Malkov & Yashunin 2018)
+  // composed from the repo's two gated index artifacts: the upper
+  // layers are the staged grid's coarse→fine routing (layer 2 =
+  // coarse seeds, layer 1 = Lloyd-refined fine centroids — exactly
+  // what HNSW's sparse layers approximate: a coarse navigable map of
+  // the space), and layer 0 is the staged kNN graph searched by the
+  // gated beam walk. The descent: each query routes two-level to its
+  // PRIMARY fine cell (the staged a1 assignment), enters the bottom
+  // layer at its smallest cell-mate (global smallest-id fallback for
+  // singleton cells — the sim_knn_beam entry rule), and beam-walks
+  // B=8/H=3 from there. The pinned claim is structural: a descended
+  // entry starts the walk inside the query's neighborhood instead of
+  // at a fixed corner of the graph, so the same walk budget buys
+  // strictly fresher candidates; entry_id is emitted so the gate
+  // hash-pins the descent itself, not just the final top-K.
+  //
+  // Scale shape: descent = the staged assignment relation (already
+  // built, broadcastable centroid tables); entry lookup = one
+  // cell-keyed equality join of the |Q| query cells against the
+  // staged primary assignment; walk = O(|Q|·H·B·k) — corpus-size
+  // independence is the whole point (HNSW's layer count is log N;
+  // the grid's two levels are that log for any corpus a single
+  // snapshot serves, and the staged artifacts ARE the upper layers,
+  // maintained once, probed by every query).
+  // ---------------------------------------------------------------
+  private def hnswDescent(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // layer 2 → layer 1: the staged grid's primary cells (crank = 1)
+    val a1 = Dedup.stagedCellAssignments(s, dir)
+      .filter(col("crank") === 1).select(col("vec_id"), col("cell"))
+    val qcell = a1.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // layer 1 → layer 0 entry: smallest cell-mate ≠ query
+    val cellEntry = qcell.join(a1, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("vec_id").as("cell_entry"))
+    val low2 = e.orderBy("vec_id").limit(2).select(col("vec_id").as("cand_id"))
+    val fallback = broadcast(q.select("query_id")).crossJoin(broadcast(low2))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("cand_id").as("fb_entry"))
+    val entry = fallback.join(cellEntry, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("cell_entry"), col("fb_entry")).as("cand_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    beamWalk(s, dir, q, entry)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .join(entry.withColumnRenamed("cand_id", "entry_id"), "query_id")
+      .select(col("query_id"), col("entry_id"), col("rank"),
+        col("cand_id").as("neighbor_id"), col("sim"))
       .orderBy("query_id", "rank")
   }
 
   /** Beam-walk oracle fragment (CTEs sedge/qq/low2/bent/bv0..bv$BeamHops;
     * assumes [[knnEdgesDuck]]'s `n` and `g` are in scope) — shared by
-    * sim_knn_beam and the recall evaluation. UNION-dedup replicates
-    * the Spark side's anti-join-then-extend visited set because the
-    * score of a (query, candidate) pair is deterministic.
+    * sim_knn_beam, sim_hnsw_descent and the recall evaluation.
+    * UNION-dedup replicates the Spark side's anti-join-then-extend
+    * visited set because the score of a (query, candidate) pair is
+    * deterministic. `entryCtes` must define `bent(query_id,
+    * cand_id)`; the default is the fixed smallest-id entry.
     */
-  private val beamDuck = {
+  private def beamDuckFrom(entryCtes: String): String = {
     def hop(i: Int): String =
       s"""bb$i AS (SELECT query_id, cand_id, sim FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
@@ -1073,14 +1144,17 @@ object Similarity {
       |          UNION SELECT neighbor_id, vec_id FROM g),
       |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NQueries),
       |low2 AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 2),
-      |bent AS (SELECT q.query_id, min(l.vec_id) AS cand_id
-      |         FROM qq q JOIN low2 l ON l.vec_id <> q.query_id GROUP BY 1),
+      |$entryCtes,
       |bv0 AS (SELECT e0.query_id, e0.cand_id,
       |          round(list_dot_product(qq.qv, c.v) / sqrt(qq.qn * c.nrm), 4) AS sim
       |        FROM bent e0 JOIN n c ON e0.cand_id = c.vec_id
       |             JOIN qq ON qq.query_id = e0.query_id),
       |${(1 to BeamHops).map(hop).mkString(",\n")}""".stripMargin
   }
+
+  private val beamDuck = beamDuckFrom(
+    s"""bent AS (SELECT q.query_id, min(l.vec_id) AS cand_id
+      |         FROM qq q JOIN low2 l ON l.vec_id <> q.query_id GROUP BY 1)""".stripMargin)
 
   private val knnBeamSql =
     s"""$knnEdgesDuck,
@@ -1090,6 +1164,28 @@ object Similarity {
       |  FROM bv$BeamHops) t
       |WHERE rank <= $K
       |ORDER BY query_id, rank""".stripMargin
+
+  // Descent-entry oracle: the query's primary staged cell (a1, in
+  // scope from knnEdgesDuck's grid chain), entered at its smallest
+  // cell-mate, smallest-global-id fallback for singleton cells.
+  private val hnswDescentSql =
+    s"""$knnEdgesDuck,
+      |${beamDuckFrom(
+        s"""qcell AS (SELECT vec_id AS query_id, cell FROM a1 WHERE vec_id < $NQueries),
+          |centry AS (SELECT q.query_id, min(a.vec_id) AS cell_entry
+          |           FROM qcell q JOIN a1 a ON a.cell = q.cell AND a.vec_id <> q.query_id
+          |           GROUP BY 1),
+          |fb AS (SELECT q.query_id, min(l.vec_id) AS fb_entry
+          |       FROM qq q JOIN low2 l ON l.vec_id <> q.query_id GROUP BY 1),
+          |bent AS (SELECT f.query_id, coalesce(c.cell_entry, f.fb_entry) AS cand_id
+          |         FROM fb f LEFT JOIN centry c ON f.query_id = c.query_id)""".stripMargin)}
+      |SELECT t.query_id, b.cand_id AS entry_id, CAST(rank AS INT) AS rank,
+      |  t.cand_id AS neighbor_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM bv$BeamHops) t
+      |JOIN bent b ON t.query_id = b.query_id
+      |WHERE rank <= $K
+      |ORDER BY t.query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
   // sim_recall_eval — ANN index quality as DATA: per-query recall@K
@@ -1495,6 +1591,7 @@ object Similarity {
     Op("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),
     Op("sim_knn_beam", knnBeam, Some(knnBeamSql)),
+    Op("sim_hnsw_descent", hnswDescent, Some(hnswDescentSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
     Op("sim_ivf_twolevel", knnIvfTwoLevel, Some(knnIvfTwoLevelSql)),
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),

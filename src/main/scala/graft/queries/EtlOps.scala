@@ -922,6 +922,64 @@ object EtlOps {
       |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------
+  // etl_scd6 — SCD Type 6 historization (the 1+2+3 hybrid: Kimball's
+  // "type six" because 1+2+3 = 6): a type-2 row per VERSION, where
+  // every historical row ALSO carries the type-1-maintained CURRENT
+  // value as a column (so point-in-time fact joins read the
+  // historical attribute AND the as-of-now attribute from one row,
+  // no second dimension lookup) plus the type-3 previous value.
+  // Same seeded two-version change stream as etl_scd2/3/4. The
+  // current value comes from an explicit max-seq aggregate + join —
+  // not a window-frame first_value, whose default-frame subtleties
+  // differ too easily across engines to gate on.
+  // Plan shape: one key-grain aggregate + one key-keyed join + one
+  // lag window over the key-partitioned union — all dimension-sized;
+  // at 100 TB the type-1 current column is why SCD6 exists: the hot
+  // fact join never touches a second (history) table.
+  // ---------------------------------------------------------------
+  private def scd6(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val v1 = c.select(col("c_custkey").as("key"), lit(1L).as("version"),
+      col("c_mktsegment").as("segment"))
+    val v2 = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), lit(2L).as("version"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string")).as("segment"))
+    val v = v1.unionByName(v2)
+    val cur = v.groupBy("key").agg(max("version").as("n_versions"))
+      .withColumnRenamed("key", "ckey")
+    val curVal = v.join(cur,
+        col("key") === col("ckey") && col("version") === col("n_versions"))
+      .select(col("key"), col("segment").as("segment_curr"), col("n_versions"))
+    val w = Window.partitionBy("key").orderBy("version")
+    v.withColumn("prev_segment",
+        coalesce(lag(col("segment"), 1).over(w), lit("(none)")))
+      .join(curVal, "key")
+      .withColumn("is_current", (col("version") === col("n_versions")).cast("long"))
+      .select("key", "version", "segment", "segment_curr", "prev_segment",
+        "is_current", "n_versions")
+      .orderBy("key", "version")
+  }
+
+  private val scd6Sql =
+    """WITH v AS (
+      |  SELECT c_custkey AS key, CAST(1 AS BIGINT) AS version, c_mktsegment AS segment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |cur AS (SELECT key, max(version) AS n_versions FROM v GROUP BY key),
+      |cv AS (SELECT v.key, v.segment AS segment_curr, cur.n_versions
+      |       FROM v JOIN cur ON v.key = cur.key AND v.version = cur.n_versions),
+      |r AS (SELECT v.key, v.version, v.segment,
+      |        coalesce(lag(v.segment, 1) OVER (PARTITION BY v.key ORDER BY v.version),
+      |                 '(none)') AS prev_segment
+      |      FROM v)
+      |SELECT r.key, r.version, r.segment, cv.segment_curr, r.prev_segment,
+      |  CAST(CASE WHEN r.version = cv.n_versions THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |  cv.n_versions
+      |FROM r JOIN cv ON r.key = cv.key
+      |ORDER BY r.key, r.version""".stripMargin
+
+  // ---------------------------------------------------------------
   // etl_scd4 — SCD Type 4 historization: the CURRENT table + HISTORY
   // table split (the warehouse pattern between SCD2's single
   // versioned dimension and a bitemporal store: the hot current
@@ -1036,6 +1094,7 @@ object EtlOps {
     Op("etl_scd2", scd2, Some(scd2Sql)),
     Op("etl_scd3", scd3, Some(scd3Sql)),
     Op("etl_scd4", scd4, Some(scd4Sql)),
+    Op("etl_scd6", scd6, Some(scd6Sql)),
     Op("etl_scd2_pointintime", scd2PointInTime, Some(scd2PointInTimeSql)),
     Op("etl_dedup_latest", dedupLatest, Some(dedupLatestSql)),
     Op("etl_k_anonymity", kAnonymity, Some(kAnonymitySql)),

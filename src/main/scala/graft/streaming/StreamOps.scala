@@ -126,6 +126,89 @@ object StreamOps {
       |GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // stream_two_phase_agg — MULTIPLE STATEFUL OPERATORS in one
+  // streaming query (Spark 3.4+'s chained windowed aggregations —
+  // the feature that lets a production topology pre-aggregate at
+  // fine grain and roll up downstream WITHOUT an intermediate sink):
+  // watermarked 15-minute tumbling aggregate → second stateful
+  // aggregate re-windowing the first's window column to 1 hour
+  // (sum of partial counts/sums + sub-window count). Chained
+  // stateful operators require Append mode, and an hour row only
+  // flushes once the watermark passes its end — so the staging
+  // drives the sentinel/mtime micro-batch choreography proven by
+  // stream_attribution_outer (three far-future '__sentinel' batches:
+  // advance, apply, apply-again), and the gate filters sentinels
+  // from the drained sink. The oracle re-derives BOTH grains in
+  // batch SQL (15-min partials, then the hourly roll-up OF THE
+  // PARTIALS — not a direct hourly aggregate — so a wrong chaining
+  // semantics cannot hash-match). Decimal partial sums keep the
+  // two-level summation exact on both engines.
+  // At 100 TB: the fine-grain state is what bounds memory (15-min
+  // windows expire on watermark); the hourly roll-up sees only
+  // window-grain rows — this is the standard lambda-collapse
+  // topology, in one query, state-expired end to end.
+  // ---------------------------------------------------------------
+  def twoPhaseFrom(s: SparkSession, sourceDir: String): DataFrame = {
+    val schema = s.read.parquet(sourceDir).schema
+    val fine = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+    fine
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_subwindows"),
+        sum(col("sum_dec")).as("sum_dec"))
+  }
+
+  private def streamTwoPhase(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.SourceOps.tmpDir("graft_stream_2p_src")
+    val ev = Tables.events(s, dir)
+      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(offsetSec: Long) = s.range(1).select(
+      lit(new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L)).as("ts"),
+      lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+    val t0 = System.currentTimeMillis() - 60000
+    ev.repartition(1).write.mode("overwrite").parquet(src)
+    var seen = stampNewFiles(src, Set.empty, t0)
+    sentinel(7200L).repartition(1).write.mode("append").parquet(src)
+    seen = stampNewFiles(src, seen, t0 + 10000)
+    sentinel(7300L).repartition(1).write.mode("append").parquet(src)
+    seen = stampNewFiles(src, seen, t0 + 20000)
+    sentinel(7400L).repartition(1).write.mode("append").parquet(src)
+    stampNewFiles(src, seen, t0 + 30000)
+    val name = s"graft_stream_2p_${runCounter.incrementAndGet()}"
+    val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(twoPhaseFrom(s, src), name, OutputMode.Append(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .filter(col("event_type") =!= "__sentinel")
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("n_subwindows"),
+        col("sum_dec").cast("decimal(28,4)").cast("double").as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  private val streamTwoPhaseSql =
+    """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS es, event_type, value FROM events),
+      |f AS (SELECT es - (es % 900) AS w15, event_type,
+      |        count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      |      FROM e GROUP BY 1, 2)
+      |SELECT w15 - (w15 % 3600) AS hour_epoch, event_type,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_subwindows,
+      |  CAST(CAST(round(sum(sum_dec), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
+      |FROM f GROUP BY 1, 2
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
   private val streamTumblingSql =
     """SELECT hour_epoch, event_type, count(*) AS n_events,
       | CAST(CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
@@ -866,6 +949,7 @@ object StreamOps {
     Op("stream_hll", streamHll, Some(graft.queries.EventOps.hllDistinctSql)),
     Op("stream_f2", streamF2, Some(graft.queries.EventOps3.f2SkewSketchSql)),
     Op("stream_tumbling", streamTumbling, Some(streamTumblingSql)),
+    Op("stream_two_phase_agg", streamTwoPhase, Some(streamTwoPhaseSql)),
     Op("stream_sliding", streamSliding, Some(streamSlidingSql)),
     Op("stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     Op("stream_sessionize_rocksdb", streamSessionizeRocksDb, Some(streamSessionizeSql)),

@@ -108,4 +108,92 @@ class R13OpsSpec extends AnyFunSuite with SparkSuite {
       rows.foreach(r => assert(r._5 > 0L, s"step $t ${r._2} recovered nothing"))
     }
   }
+
+  test("etl_scd6: hybrid rows equal a brute per-key re-derivation") {
+    val got = run("etl_scd6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = cust.flatMap { case (k, seg) =>
+      val versions =
+        if (k % 7 == 0) Seq((1L, seg), (2L, s"SEG_${k % 3}")) else Seq((1L, seg))
+      val (_, curr) = versions.last
+      val n = versions.size.toLong
+      versions.zipWithIndex.map { case ((v, s0), i) =>
+        val prev = if (i == 0) "(none)" else versions(i - 1)._2
+        (k, v, s0, curr, prev, if (v == n) 1L else 0L, n)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    // type-1 invariant: every historical row carries the SAME current
+    // value as the key's latest version
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).distinct.size == 1)
+    }
+  }
+
+  test("sim_hnsw_descent: sims exact, ranks dense, and the descent beats the fixed entry") {
+    val K = 5
+    val got = run("sim_hnsw_descent").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def rcos(a: Array[Double], b: Array[Double]): Double =
+      java.math.BigDecimal.valueOf(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    // every emitted sim is the exact rounded cosine; no self-results
+    got.foreach { case (q, _, _, nb, sim) =>
+      assert(nb != q)
+      assert(sim == rcos(vecs(q), vecs(nb)), s"query $q neighbor $nb")
+    }
+    // ranks dense 1..k per query, ordered by (sim DESC, neighbor)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3) == (1 to sorted.size), "ranks must be dense")
+      assert(sorted.size <= K)
+      assert(sorted.map(r => (-r._5, r._4)) == sorted.map(r => (-r._5, r._4)).sorted)
+    }
+    // the pinned structural claim is SCALE-dependent (at sf0.001 the
+    // fixed smallest-id entry's 3-hop ball covers much of the 200-
+    // vector corpus and can beat the descent), so measure it where
+    // it's pinned: at sf0.1 the descended entry must recall MORE
+    // brute truth than the fixed entry at the identical walk budget
+    // (measured 5x: 0.05 vs 0.01)
+    val big = "/root/testdata/sf0.1"
+    def hits(name: String): Int = {
+      val brute = Registry.byName("sim_knn_brute").run(spark, big).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      Registry.byName(name).run(spark, big).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .count(brute.contains)
+    }
+    assert(hits("sim_hnsw_descent") > hits("sim_knn_beam"))
+  }
+
+  test("stream_two_phase_agg: chained roll-up reconciles with event totals") {
+    val got = run("stream_two_phase_agg").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("ts DIV 1000000000 AS es", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // the hourly roll-up must conserve the event count exactly
+    assert(got.map(_._3).sum == ev.size.toLong)
+    // a 1-hour window holds at most four 15-minute sub-windows
+    assert(got.forall(r => r._4 >= 1L && r._4 <= 4L))
+    // per-hour counts equal a direct (unchained) hourly re-derivation
+    val direct = ev.groupBy { case (es, et, _) => (es - es % 3600, et) }
+      .map { case (k, rows) => (k._1, k._2, rows.size.toLong) }
+    got.foreach { case (h, et, n, _, _) =>
+      assert(direct.exists(d => d._1 == h && d._2 == et && d._3 == n),
+        s"hour $h $et count $n diverges from the direct aggregate")
+    }
+  }
 }
