@@ -473,10 +473,16 @@ object Similarity {
       .filter(col("fcr") === 1)
       .select(col("fid"), col("fv"), col("fn"), col("cid").as("ccell"))
 
-    // vector → coarse cell(s) → fine cell(s) within them
+    // vector → coarse cell(s) → fine cell(s) within them; routing
+    // ranks only LIVE coarse cells (the assignTwoLevel r13 coverage
+    // contract — here coarse ⊆ fine so a dead cell needs a rounding
+    // tie, but the kernel rule is uniform: a dead cell never eats a
+    // probe slot)
+    val live = coarse.join(
+      f2c.select(col("ccell").as("cid")).distinct(), Seq("cid"), "left_semi")
     def assign(df: DataFrame, idCol: String, coarseProbes: Int, fineProbes: Int): DataFrame = {
       val wc = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-      val toCoarse = df.join(broadcast(coarse), lit(true))
+      val toCoarse = df.join(broadcast(live), lit(true))
         .withColumn("csim", cosine(expr("graft_array_dot(v, cv0)"), col("nrm"), col("cn0")))
         .withColumn("cr", row_number().over(wc))
         .filter(col("cr") <= coarseProbes)
@@ -528,7 +534,8 @@ object Similarity {
       |        SELECT x.vec_id, x.v, x.nrm, c.cid,
       |          row_number() OVER (PARTITION BY x.vec_id
       |            ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.cid) AS cr
-      |        FROM n x CROSS JOIN coarse c) a
+      |        FROM n x CROSS JOIN coarse c
+      |        WHERE c.cid IN (SELECT DISTINCT ccell FROM f2c)) a
       |      WHERE cr = 1) tc
       |    JOIN f2c g ON tc.ccell = g.ccell) b
       |  WHERE fr = 1),
@@ -542,7 +549,8 @@ object Similarity {
       |        SELECT x.vec_id, x.v, x.nrm, c.cid,
       |          row_number() OVER (PARTITION BY x.vec_id
       |            ORDER BY round(list_dot_product(x.v, c.cv0) / sqrt(x.nrm * c.cn0), 4) DESC, c.cid) AS cr
-      |        FROM n x CROSS JOIN coarse c WHERE x.vec_id < $NQueries) a
+      |        FROM n x CROSS JOIN coarse c WHERE x.vec_id < $NQueries
+      |          AND c.cid IN (SELECT DISTINCT ccell FROM f2c)) a
       |      WHERE cr <= $CoarseProbe) tc
       |    JOIN f2c g ON tc.ccell = g.ccell) b
       |  WHERE fr <= $NProbe),
