@@ -977,11 +977,13 @@ object Dedup {
     // BOTH assignment passes are two-level — the Lloyd seed pass
     // (inside refinedCentroids) is the same N·k dot count as the
     // final pass, so a flat pass anywhere would keep the stage
-    // quadratic (r12 sf10 probe: 236 s at 100×; SCALING_r12.md §1)
+    // quadratic (r12 sf10 probe: 236 s at 100×; SCALING_r12.md §1).
+    // ONE shared coarse routing serves both passes (r13).
     val coarse = Similarity.coarseSeeds(e, stride)
-    val cent = Similarity.refinedCentroids(e, stride, coarse)
+    val routing = Some(Similarity.coarseRouting(e, coarse, "vec_id").localCheckpoint())
+    val cent = Similarity.refinedCentroids(e, stride, coarse, routingOpt = routing)
     Similarity.assignTwoLevel(e, cent, coarse, "vec_id", IvfCoarseProbe, probes,
-      keepRank = true)
+      keepRank = true, routingOpt = routing)
   }
 
   /** Unsorted pair generation — what the stage WRITES. The sort

@@ -58,8 +58,14 @@ object IndexMerge {
     // rebuilt grid: trained from scratch over the full corpus
     val coarseS = Similarity.coarseSeeds(standing, strideS)
     val coarseF = Similarity.coarseSeeds(e, strideF)
+    // one full-corpus routing per grid serves that grid's corpus +
+    // query passes (and the rebuilt grid's seed pass — its training
+    // set IS the corpus; the standing grid's seed pass routes the
+    // standing subset, a different df, so it derives its own)
+    val routingS = Some(Similarity.coarseRouting(e, coarseS, "vec_id").localCheckpoint())
+    val routingF = Some(Similarity.coarseRouting(e, coarseF, "vec_id").localCheckpoint())
     val centS = Similarity.refinedCentroids(standing, strideS, coarseS)
-    val centF = Similarity.refinedCentroids(e, strideF, coarseF)
+    val centF = Similarity.refinedCentroids(e, strideF, coarseF, routingOpt = routingF)
 
     // exact truth is consumed TWICE (once per graded() grid): without
     // its own checkpoint the |Q|·N brute scan and its window sort
@@ -78,17 +84,18 @@ object IndexMerge {
         .localCheckpoint()
     }
 
-    def graded(cent: DataFrame, coarse: DataFrame, method: String): DataFrame = {
+    def graded(cent: DataFrame, coarse: DataFrame, routing: Option[DataFrame],
+        method: String): DataFrame = {
       // the merged index IS "assign the full corpus to the standing
       // centroids": standing vectors keep their cells, batch vectors
       // insert into their nearest existing cell
       val corpus = Similarity.assignTwoLevel(e, cent, coarse, "vec_id",
-          Dedup.IvfCoarseProbe, 1)
+          Dedup.IvfCoarseProbe, 1, routingOpt = routing)
         .join(e, Seq("vec_id"))
         .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
           col("nrm").as("cn"), col("cell"))
       val queries = Similarity.assignTwoLevel(e.filter(col("vec_id") < NQueries),
-          cent, coarse, "vec_id", Dedup.IvfCoarseProbe, NProbe)
+          cent, coarse, "vec_id", Dedup.IvfCoarseProbe, NProbe, routingOpt = routing)
         .join(e, Seq("vec_id"))
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
@@ -116,7 +123,8 @@ object IndexMerge {
           "n_cells", "max_cell_n")
     }
 
-    graded(centS, coarseS, "merged").unionByName(graded(centF, coarseF, "rebuilt"))
+    graded(centS, coarseS, routingS, "merged")
+      .unionByName(graded(centF, coarseF, routingF, "rebuilt"))
       .orderBy("method", "query_id")
   }
 
@@ -154,6 +162,10 @@ object IndexMerge {
     val stride0 = math.ceil(math.sqrt(c0.count().toDouble)).toLong
     val coarse0 = Similarity.coarseSeeds(c0, stride0)
     val cent0 = Similarity.refinedCentroids(c0, stride0, coarse0)
+    // ONE full-corpus routing against the frozen coarse0 serves every
+    // merged step's corpus + query passes (step-t corpora are filters
+    // of e; the routing is per-vector and pass-independent)
+    val routing0 = Some(Similarity.coarseRouting(e, coarse0, "vec_id").localCheckpoint())
 
     def stepRows(t: Int): DataFrame = {
       val ct = e.filter(col("vec_id") % mod <= t)
@@ -170,14 +182,15 @@ object IndexMerge {
           .select(col("query_id"), col("neighbor_id"))
           .localCheckpoint()
       }
-      def gradedAgg(cent: DataFrame, coarse: DataFrame, method: String): DataFrame = {
+      def gradedAgg(cent: DataFrame, coarse: DataFrame, routing: Option[DataFrame],
+          method: String): DataFrame = {
         val corpus = Similarity.assignTwoLevel(ct, cent, coarse, "vec_id",
-            Dedup.IvfCoarseProbe, 1)
+            Dedup.IvfCoarseProbe, 1, routingOpt = routing)
           .join(e, Seq("vec_id"))
           .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
             col("nrm").as("cn"), col("cell"))
         val queries = Similarity.assignTwoLevel(qt, cent, coarse, "vec_id",
-            Dedup.IvfCoarseProbe, NProbe)
+            Dedup.IvfCoarseProbe, NProbe, routingOpt = routing)
           .join(e, Seq("vec_id"))
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("cell"))
@@ -205,9 +218,12 @@ object IndexMerge {
       // rebuilt grid: re-trained from scratch on the step-t corpus
       val stT = math.ceil(math.sqrt(ct.count().toDouble)).toLong
       val coarseT = Similarity.coarseSeeds(ct, stT)
-      val centT = Similarity.refinedCentroids(ct, stT, coarseT)
-      gradedAgg(cent0, coarse0, "merged")
-        .unionByName(gradedAgg(centT, coarseT, "rebuilt"))
+      // the rebuilt grid's seed/corpus/query passes all route the
+      // step-t corpus over coarseT — one routing serves all three
+      val routingT = Some(Similarity.coarseRouting(ct, coarseT, "vec_id").localCheckpoint())
+      val centT = Similarity.refinedCentroids(ct, stT, coarseT, routingOpt = routingT)
+      gradedAgg(cent0, coarse0, routing0, "merged")
+        .unionByName(gradedAgg(centT, coarseT, routingT, "rebuilt"))
     }
 
     (1 to DriftSteps).map(stepRows).reduce(_ unionByName _)

@@ -234,10 +234,12 @@ object Similarity {
     * assignment, so a flat pass here would keep every consumer
     * quadratic (the r12 sf10 lesson; SCALING_r12.md §1).
     */
-  private[graft] def refinedCentroids(e: DataFrame, stride: Long, coarse: DataFrame): DataFrame = {
+  private[graft] def refinedCentroids(e: DataFrame, stride: Long, coarse: DataFrame,
+      routingOpt: Option[DataFrame] = None): DataFrame = {
     val cent0 = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("centv"), col("nrm").as("centn"))
-    val a0 = assignTwoLevel(e, cent0, coarse, "vec_id", Dedup.IvfCoarseProbe, 1)
+    val a0 = assignTwoLevel(e, cent0, coarse, "vec_id", Dedup.IvfCoarseProbe, 1,
+        routingOpt = routingOpt)
       .select(col("vec_id"), col("cell"))
     lloydMeans(e, a0)
   }
@@ -268,8 +270,30 @@ object Similarity {
     * candidate per vector structural. TwoLevelAssignProps pins
     * assigned-id count == input-id count.
     */
+  /** The vector → coarse FULL routing ranking (idCol, ccid, cr0 over
+    * ALL coarse cells) — pass-independent: it depends only on (df,
+    * coarse), never on the fine centroids, so one localCheckpoint'd
+    * routing serves every assignment pass over the same corpus (the
+    * Lloyd seed pass, the corpus pass, the query pass — r13: the
+    * three passes each recomputed this identical N·k' window, the
+    * dominant fixed cost of the two-level conversion at small N).
+    * assignTwoLevel filters it to the pass's LIVE cells and re-ranks
+    * — provably identical to ranking the live subset directly
+    * (filtering preserves relative order).
+    */
+  private[graft] def coarseRouting(df: DataFrame, coarse: DataFrame,
+      idCol: String): DataFrame = {
+    val wc = Window.partitionBy(idCol).orderBy(col("csim0").desc, col("ccid"))
+    df.join(broadcast(coarse), lit(true))
+      .withColumn("csim0", cosine(expr("graft_array_dot(v, cv0)"), col("nrm"), col("cn0")))
+      .select(col(idCol), col("ccid"), col("csim0"))
+      .withColumn("cr0", row_number().over(wc))
+      .select(col(idCol), col("ccid"), col("cr0"))
+  }
+
   private[graft] def assignTwoLevel(df: DataFrame, cent: DataFrame, coarse: DataFrame,
-      idCol: String, coarseProbes: Int, probes: Int, keepRank: Boolean = false): DataFrame = {
+      idCol: String, coarseProbes: Int, probes: Int, keepRank: Boolean = false,
+      routingOpt: Option[DataFrame] = None): DataFrame = {
     // fine centroid → its ONE coarse routing cell (k × k' dots)
     val wfc = Window.partitionBy("cid").orderBy(col("fcsim").desc, col("ccid"))
     val f2c = cent.join(broadcast(coarse), lit(true))
@@ -280,15 +304,15 @@ object Similarity {
       .select(col("cid"), col("centv"), col("centn"), col("ccid").as("ccell"))
     // live coarse cells only (coarse is seed-table-sized: the
     // restriction is a broadcast semi-join, never a shuffle)
-    val live = coarse.join(
-      f2c.select(col("ccell").as("ccid")).distinct(), Seq("ccid"), "left_semi")
-    // vector → top coarseProbes coarse cells, skinny through the window
-    val wc = Window.partitionBy(idCol).orderBy(col("csim0").desc, col("ccid"))
-    val routed = df.join(broadcast(live), lit(true))
-      .withColumn("csim0", cosine(expr("graft_array_dot(v, cv0)"), col("nrm"), col("cn0")))
-      .select(col(idCol), col("ccid"), col("csim0"))
-      .withColumn("cr0", row_number().over(wc))
-      .filter(col("cr0") <= coarseProbes)
+    val liveCells = f2c.select(col("ccell").as("ccid")).distinct()
+    // vector → top coarseProbes LIVE coarse cells: filter the full
+    // routing to this pass's live cells and re-rank (≡ ranking the
+    // live subset directly)
+    val wr = Window.partitionBy(idCol).orderBy(col("cr0"))
+    val routed = routingOpt.getOrElse(coarseRouting(df, coarse, idCol))
+      .join(broadcast(liveCells), Seq("ccid"), "left_semi")
+      .withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= coarseProbes)
       .select(col(idCol), col("ccid").as("ccell"))
     // rank the routed cells' fine centroids; disjoint fine sets per
     // coarse cell (fcr = 1) mean no candidate ever appears twice
@@ -304,20 +328,26 @@ object Similarity {
   }
 
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    // e feeds the routing, the Lloyd pass, both assignments and both
+    // vector re-attach joins — checkpoint once (IndexMerge's rule)
+    val e = emb(s, dir).localCheckpoint()
     val stride = ivfStride(e)
     val coarse = coarseSeeds(e, stride)
-    val cent = refinedCentroids(e, stride, coarse)
+    // ONE coarse routing serves the seed, corpus and query passes
+    // (it depends only on (e, coarse) — see coarseRouting)
+    val routing = Some(coarseRouting(e, coarse, "vec_id").localCheckpoint())
+    val cent = refinedCentroids(e, stride, coarse, routingOpt = routing)
     // corpus + query assignment both route two-level (r13): k = √N
     // fine cells made the flat ranking N^1.5 — milder than the
     // staged grid's N²/96 but the same road (SCALING_r12.md §1).
     // Assignment emits skinny (vec_id, cell); vectors re-attach by
     // an id-keyed join, per the exchange discipline.
-    val corpus = assignTwoLevel(e, cent, coarse, "vec_id", Dedup.IvfCoarseProbe, 1)
+    val corpus = assignTwoLevel(e, cent, coarse, "vec_id", Dedup.IvfCoarseProbe, 1,
+        routingOpt = routing)
       .join(e, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
     val queries = assignTwoLevel(e.filter(col("vec_id") < NQueries), cent, coarse,
-        "vec_id", Dedup.IvfCoarseProbe, NProbe)
+        "vec_id", Dedup.IvfCoarseProbe, NProbe, routingOpt = routing)
       .join(e, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
