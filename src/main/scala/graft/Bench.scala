@@ -56,7 +56,9 @@ object Bench {
     }
     val stagingRuns: Seq[Seq[(String, Double)]] = (1 to stagingPasses).map { _ =>
       graft.ops.Dedup.resetPairStage()
-      graft.ops.Dedup.stageAllTimed(spark, sfDir)
+      graft.streaming.StreamStage.reset()
+      graft.ops.Dedup.stageAllTimed(spark, sfDir) ++
+        graft.streaming.StreamStage.stageAllTimed(spark, sfDir)
     }
     val staging: Seq[(String, Double)] = stagingRuns.head.map(_._1).map { k =>
       k -> stagingRuns.map(_.collectFirst { case (`k`, v) => v }.get).min

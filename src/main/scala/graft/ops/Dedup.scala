@@ -193,7 +193,7 @@ object Dedup {
   private val cellStageLatest =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  private[ops] def deleteDirQuietly(path: String): Unit = {
+  private[graft] def deleteDirQuietly(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
@@ -1078,7 +1078,7 @@ object Dedup {
       |st AS (SELECT CAST(least(ceil(2 * sqrt(count(*))), 96) AS BIGINT) AS stride FROM n),
       |cent0 AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n
       |          WHERE vec_id % (SELECT stride FROM st) = 0),
-      |cst AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS cstride FROM cent0),
+      |cst AS (SELECT CAST(greatest(ceil(sqrt(count(*))), 1) AS BIGINT) AS cstride FROM cent0),
       |coarse AS (SELECT vec_id AS ccid, v AS cv0, nrm AS cn0 FROM n
       |           WHERE vec_id % ((SELECT stride FROM st) * (SELECT cstride FROM cst)) = 0),
       |f2c0 AS (

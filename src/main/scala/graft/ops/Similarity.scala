@@ -307,9 +307,19 @@ object Similarity {
     val liveCells = f2c.select(col("ccell").as("ccid")).distinct()
     // vector → top coarseProbes LIVE coarse cells: filter the full
     // routing to this pass's live cells and re-rank (≡ ranking the
-    // live subset directly)
+    // live subset directly). A SHARED routing covers the whole corpus;
+    // when this pass's df is a filter of it (the query passes), restrict
+    // to df's ids BEFORE the rr window so the window ranks |df|
+    // partitions, not N — the id semi-join hash-partitions on idCol,
+    // which the window reuses, so the restriction costs no extra
+    // exchange on the routing side. Ranking is per-id, so dropping
+    // other ids' rows cannot change any surviving row (r13 ADVICE).
     val wr = Window.partitionBy(idCol).orderBy(col("cr0"))
-    val routed = routingOpt.getOrElse(coarseRouting(df, coarse, idCol))
+    val base = routingOpt match {
+      case Some(r) => r.join(df.select(col(idCol)), Seq(idCol), "left_semi")
+      case None    => coarseRouting(df, coarse, idCol)
+    }
+    val routed = base
       .join(broadcast(liveCells), Seq("ccid"), "left_semi")
       .withColumn("rr", row_number().over(wr))
       .filter(col("rr") <= coarseProbes)

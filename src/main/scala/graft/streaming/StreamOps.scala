@@ -57,14 +57,20 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
   }
 
+  /** Staged micro-precision streamable copy (graft sessions read the
+    * events nanos column as BIGINT; streams watermark on TIMESTAMP) —
+    * shared by the tumbling and sliding gates (identical projection).
+    */
+  private[streaming] def ev3Src(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "ev3") { p =>
+      Tables.events(s, dir)
+        .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamTumbling(s: SparkSession, dir: String): DataFrame = {
-    // stage a micro-precision streamable copy (graft sessions read the
-    // events nanos column as BIGINT; streams watermark on TIMESTAMP)
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_src")
-    Tables.events(s, dir)
-      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(src)
+    val src = ev3Src(s, dir)
     val name = s"graft_stream_tumbling_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
     val agg = tumblingFrom(s, src)
@@ -99,11 +105,7 @@ object StreamOps {
   }
 
   private def streamSliding(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_slide_src")
-    Tables.events(s, dir)
-      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(src)
+    val src = ev3Src(s, dir)
     val name = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
     EventStream.runAvailableNow(slidingFrom(s, src), name, OutputMode.Complete(), ckpt)
@@ -164,24 +166,28 @@ object StreamOps {
         sum(col("sum_dec")).as("sum_dec"))
   }
 
+  private[streaming] def twoPhaseSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "2p") { p =>
+      val ev = Tables.events(s, dir)
+        .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinel(offsetSec: Long) = s.range(1).select(
+        lit(new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L)).as("ts"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+      val t0 = System.currentTimeMillis() - 60000
+      ev.repartition(1).write.mode("overwrite").parquet(p)
+      var seen = stampNewFiles(p, Set.empty, t0)
+      sentinel(7200L).repartition(1).write.mode("append").parquet(p)
+      seen = stampNewFiles(p, seen, t0 + 10000)
+      sentinel(7300L).repartition(1).write.mode("append").parquet(p)
+      seen = stampNewFiles(p, seen, t0 + 20000)
+      sentinel(7400L).repartition(1).write.mode("append").parquet(p)
+      stampNewFiles(p, seen, t0 + 30000)
+    }
+
   private def streamTwoPhase(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_2p_src")
-    val ev = Tables.events(s, dir)
-      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("event_type"), col("value"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    def sentinel(offsetSec: Long) = s.range(1).select(
-      lit(new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L)).as("ts"),
-      lit("__sentinel").as("event_type"), lit(0.0).as("value"))
-    val t0 = System.currentTimeMillis() - 60000
-    ev.repartition(1).write.mode("overwrite").parquet(src)
-    var seen = stampNewFiles(src, Set.empty, t0)
-    sentinel(7200L).repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(src, seen, t0 + 10000)
-    sentinel(7300L).repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(src, seen, t0 + 20000)
-    sentinel(7400L).repartition(1).write.mode("append").parquet(src)
-    stampNewFiles(src, seen, t0 + 30000)
+    val src = twoPhaseSrc(s, dir)
     val name = s"graft_stream_2p_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -260,22 +266,29 @@ object StreamOps {
   /** Stage + drain the sessionizer; returns the finished query (for
     * state metrics) and the memory-sink table name.
     */
+  /** Staged sessionizer source — shared by stream_sessionize, its
+    * RocksDB twin and stream_state_metrics (identical drains).
+    */
+  private[streaming] def sessSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "sess") { p =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"),
+          expr("CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE)").as("value"))
+      val maxEs = ev.agg(max(col("es"))).head().getLong(0)
+      val sentinels = ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"), lit(maxEs + 3600L).as("es"), col("user_id"),
+          lit(0.0).as("value"))
+      ev.unionByName(sentinels)
+        .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"), col("user_id"),
+          lit("e").as("event_type"), col("value"))
+        .repartition(1) // single staged file = single AvailableNow micro-batch (see header)
+        .write.mode("overwrite").parquet(p)
+    }
+
   private[streaming] def sessionizeDrain(s: SparkSession, dir: String,
       rocksDb: Boolean): (org.apache.spark.sql.streaming.StreamingQuery, String) = {
     import s.implicits._
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_sess_src")
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"),
-        expr("CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE)").as("value"))
-    val maxEs = ev.agg(max(col("es"))).head().getLong(0)
-    val sentinels = ev.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"), lit(maxEs + 3600L).as("es"), col("user_id"),
-        lit(0.0).as("value"))
-    ev.unionByName(sentinels)
-      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"), col("user_id"),
-        lit("e").as("event_type"), col("value"))
-      .repartition(1) // single staged file = single AvailableNow micro-batch (see header)
-      .write.mode("overwrite").parquet(src)
+    val src = sessSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_sessionize_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -369,15 +382,19 @@ object StreamOps {
   // exact integer work on both engines; no aggregation happens, so
   // the row set (incl. raw value doubles) is bit-deterministic.
   // ---------------------------------------------------------------
+  private[streaming] def attrSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "attr") { p =>
+      Tables.events(s, dir)
+        // stage only the two event types the join touches — the same
+        // predicate pushdown the production path gets from the source
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_attr_src")
-    Tables.events(s, dir)
-      // stage only the two event types the join touches — the same
-      // predicate pushdown the production path gets from the source
-      .filter(col("event_type").isin("signup", "purchase"))
-      .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(src)
+    val src = attrSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_attribution_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -423,41 +440,45 @@ object StreamOps {
   // (integer compare, no cross-engine null-stringification risk) and
   // is_attributed carries the null test explicitly.
   // ---------------------------------------------------------------
-  private def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_attro_src")
-    val ev = Tables.events(s, dir)
-      .filter(col("event_type").isin("signup", "purchase"))
-      .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    // one sentinel row PER SIDE: the global watermark is the MIN of
-    // both streams' watermarks (multipleWatermarkPolicy=min), so a
-    // signup-only sentinel leaves the purchase watermark at its last
-    // real row and the newest unmatched purchase never expires
-    // (observed: exactly one row short). The sentinel purchase is a
-    // LEFT-side row, so it could itself flush null-padded — the
-    // user_id filter below drops sentinels from the gated output.
-    def sentinel(id: Long, offsetSec: Long) = {
-      val ts = lit(new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L))
-      s.range(1).select(lit(id).as("event_id"), ts.as("ts"),
-          lit(-999L).as("user_id"), lit("signup").as("event_type"), lit(0.0).as("value"))
-        .unionByName(s.range(1).select(lit(id - 100L).as("event_id"), ts.as("ts"),
-          lit(-999L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value")))
+  private[streaming] def attrOuterSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "attro") { p =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // one sentinel row PER SIDE: the global watermark is the MIN of
+      // both streams' watermarks (multipleWatermarkPolicy=min), so a
+      // signup-only sentinel leaves the purchase watermark at its last
+      // real row and the newest unmatched purchase never expires
+      // (observed: exactly one row short). The sentinel purchase is a
+      // LEFT-side row, so it could itself flush null-padded — the
+      // user_id filter below drops sentinels from the gated output.
+      def sentinel(id: Long, offsetSec: Long) = {
+        val ts = lit(new java.sql.Timestamp(maxTs.getTime + offsetSec * 1000L))
+        s.range(1).select(lit(id).as("event_id"), ts.as("ts"),
+            lit(-999L).as("user_id"), lit("signup").as("event_type"), lit(0.0).as("value"))
+          .unionByName(s.range(1).select(lit(id - 100L).as("event_id"), ts.as("ts"),
+            lit(-999L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value")))
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      ev.repartition(1).write.mode("overwrite").parquet(p)
+      var seen = stampNewFiles(p, Set.empty, t0)
+      sentinel(-1L, 7200L).repartition(1).write.mode("append").parquet(p)
+      seen = stampNewFiles(p, seen, t0 + 10000)
+      // watermark advancement commits ONE PLANNING CYCLE after the
+      // batch that observed the max event time (the watermark_late
+      // lesson): without this middle sentinel the final batch still
+      // evicts against the batch-1 watermark and the newest unmatched
+      // purchase never flushes (observed: exactly one row short)
+      sentinel(-2L, 7300L).repartition(1).write.mode("append").parquet(p)
+      seen = stampNewFiles(p, seen, t0 + 20000)
+      sentinel(-3L, 7400L).repartition(1).write.mode("append").parquet(p)
+      stampNewFiles(p, seen, t0 + 30000)
     }
-    val t0 = System.currentTimeMillis() - 60000
-    ev.repartition(1).write.mode("overwrite").parquet(src)
-    var seen = stampNewFiles(src, Set.empty, t0)
-    sentinel(-1L, 7200L).repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(src, seen, t0 + 10000)
-    // watermark advancement commits ONE PLANNING CYCLE after the
-    // batch that observed the max event time (the watermark_late
-    // lesson): without this middle sentinel the final batch still
-    // evicts against the batch-1 watermark and the newest unmatched
-    // purchase never flushes (observed: exactly one row short)
-    sentinel(-2L, 7300L).repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(src, seen, t0 + 20000)
-    sentinel(-3L, 7400L).repartition(1).write.mode("append").parquet(src)
-    stampNewFiles(src, seen, t0 + 30000)
+
+  private def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
+    val src = attrOuterSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_attro_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -511,14 +532,18 @@ object StreamOps {
   // raw value doubles pass through untouched — no aggregation, no FP
   // hazard.
   // ---------------------------------------------------------------
+  private[streaming] def dedupSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "dedup") { p =>
+      val once = Tables.events(s, dir)
+        .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      once.unionAll(once)
+        .repartition(1) // single staged file = single micro-batch (see header)
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_dedup_src")
-    val once = Tables.events(s, dir)
-      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    once.unionAll(once)
-      .repartition(1) // single staged file = single micro-batch (see header)
-      .write.mode("overwrite").parquet(src)
+    val src = dedupSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_dedup_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -550,12 +575,16 @@ object StreamOps {
   // the batch op (EventOps.hllFinalize), so the streamed sketch must
   // hash-match the batch oracle bit-for-bit.
   // ---------------------------------------------------------------
+  private[streaming] def hllSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "hll") { p =>
+      Tables.events(s, dir)
+        .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("event_type"), col("user_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamHll(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_hll_src")
-    Tables.events(s, dir)
-      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("event_type"), col("user_id"))
-      .write.mode("overwrite").parquet(src)
+    val src = hllSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_hll_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -581,10 +610,14 @@ object StreamOps {
   // the batch op, so the streamed sketch must hash-match the batch
   // DuckDB oracle bit-for-bit.
   // ---------------------------------------------------------------
+  private[streaming] def f2Src(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "f2") { p =>
+      Tables.events(s, dir).select(col("event_type"), col("user_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamF2(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_f2_src")
-    Tables.events(s, dir).select(col("event_type"), col("user_id"))
-      .write.mode("overwrite").parquet(src)
+    val src = f2Src(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_f2_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -622,21 +655,25 @@ object StreamOps {
   //  - session_end is max(ts) INSIDE the window (the batch
   //    semantics), not window.end (which is last event + gap).
   // ---------------------------------------------------------------
+  private[streaming] def sessionWindowSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "sw") { p =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts DIV 1000000000").as("es"),
+          col("user_id"), col("value"))
+      val maxEs = ev.agg(max(col("es"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"), lit(maxEs + 7200L).as("es"),
+        lit(-1L).as("user_id"), lit(0.0).as("value"))
+      ev.unionByName(sentinel)
+        .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"),
+          col("user_id"), col("value"))
+        .repartition(1) // single staged file = single data micro-batch
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_sw_src")
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), expr("ts DIV 1000000000").as("es"),
-        col("user_id"), col("value"))
-    val maxEs = ev.agg(max(col("es"))).head().getLong(0)
-    val sentinel = s.range(1).select(
-      lit(-1L).as("event_id"), lit(maxEs + 7200L).as("es"),
-      lit(-1L).as("user_id"), lit(0.0).as("value"))
-    ev.unionByName(sentinel)
-      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"),
-        col("user_id"), col("value"))
-      .repartition(1) // single staged file = single data micro-batch
-      .write.mode("overwrite").parquet(src)
+    val src = sessionWindowSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_sw_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -674,12 +711,19 @@ object StreamOps {
   // exactly once). No aggregation, no watermark games: the
   // transactional sink is the capability under test.
   // ---------------------------------------------------------------
+  /** Staged full-event copy — shared by stream_file_sink and
+    * stream_enrich (identical projection, no choreography).
+    */
+  private[streaming] def evFullSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "evfull") { p =>
+      Tables.events(s, dir)
+        .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamFileSink(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_fsink_src")
-    Tables.events(s, dir)
-      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(src)
+    val src = evFullSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val out = graft.sources.SourceOps.tmpDir("graft_stream_fsink_out")
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -723,13 +767,17 @@ object StreamOps {
   // partition overwrite on key buckets (only touched buckets
   // rewrite); the merge algebra is unchanged.
   // ---------------------------------------------------------------
+  private[streaming] def upsertSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "upsert") { p =>
+      Tables.events(s, dir)
+        .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real merge batches
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_upsert_src")
-    Tables.events(s, dir)
-      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real merge batches
-      .write.mode("overwrite").parquet(src)
+    val src = upsertSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val target = graft.sources.SourceOps.tmpDir("graft_stream_upsert_tgt")
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -792,11 +840,7 @@ object StreamOps {
   // move, etl_late_arriving) so the drained row set is deterministic.
   // ---------------------------------------------------------------
   private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_enrich_src")
-    Tables.events(s, dir)
-      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").parquet(src)
+    val src = evFullSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val dim = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("user_id"),
@@ -837,32 +881,36 @@ object StreamOps {
   //    double and the hash gate fails. The oracle is the plain
   //    batch aggregate of the ON-TIME rows only.
   // ---------------------------------------------------------------
-  private def streamWatermarkLate(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_late_src")
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
-        col("event_type"), col("value"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinel = s.range(1).select(lit(-1L).as("event_id"),
-      lit(new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)).as("ts"),
-      lit("sentinel").as("event_type"), lit(0.0).as("value"))
-    val t0 = System.currentTimeMillis() - 60000
-    ev.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(src)
-    var seen = stampNewFiles(src, Set.empty, t0)
-    // middle batch: watermark advancement COMMITS one planning cycle
-    // after the batch that observed the max event time — a batch must
-    // pass between the sentinel and the replay, or the replay is
-    // filtered against the still-initial watermark (measured: without
-    // this, every late row merges into live state and counts double)
-    s.range(1).select(lit(-2L).as("event_id"),
-        lit(new java.sql.Timestamp(maxTs.getTime + 7300 * 1000L)).as("ts"),
+  private[streaming] def lateSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "late") { p =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("timestamp_seconds(ts DIV 1000000000)").as("ts"),
+          col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)).as("ts"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"))
-      .repartition(1).write.mode("append").parquet(src)
-    seen = stampNewFiles(src, seen, t0 + 10000)
-    ev.select((col("event_id") + 1000000000L).as("event_id"), col("ts"),
-        col("event_type"), col("value"))
-      .repartition(1).write.mode("append").parquet(src)
-    stampNewFiles(src, seen, t0 + 20000)
+      val t0 = System.currentTimeMillis() - 60000
+      ev.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(p)
+      var seen = stampNewFiles(p, Set.empty, t0)
+      // middle batch: watermark advancement COMMITS one planning cycle
+      // after the batch that observed the max event time — a batch must
+      // pass between the sentinel and the replay, or the replay is
+      // filtered against the still-initial watermark (measured: without
+      // this, every late row merges into live state and counts double)
+      s.range(1).select(lit(-2L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 7300 * 1000L)).as("ts"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"))
+        .repartition(1).write.mode("append").parquet(p)
+      seen = stampNewFiles(p, seen, t0 + 10000)
+      ev.select((col("event_id") + 1000000000L).as("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .repartition(1).write.mode("append").parquet(p)
+      stampNewFiles(p, seen, t0 + 20000)
+    }
+
+  private def streamWatermarkLate(s: SparkSession, dir: String): DataFrame = {
+    val src = lateSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_late_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -898,19 +946,23 @@ object StreamOps {
   // the drained rows hash-match the batch RANGE-frame oracle with no
   // float caveats.
   // ---------------------------------------------------------------
+  private[streaming] def velocitySrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "vel") { p =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"))
+      val maxEs = ev.agg(max(col("es"))).head().getLong(0)
+      val sentinels = ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"), lit(maxEs + 3600L).as("es"), col("user_id"))
+      ev.unionByName(sentinels)
+        .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"), col("user_id"),
+          lit("e").as("event_type"), lit(0.0).as("value"))
+        .repartition(1) // single staged file = single AvailableNow micro-batch
+        .write.mode("overwrite").parquet(p)
+    }
+
   private def streamVelocity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_vel_src")
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), expr("ts DIV 1000000000").as("es"), col("user_id"))
-    val maxEs = ev.agg(max(col("es"))).head().getLong(0)
-    val sentinels = ev.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"), lit(maxEs + 3600L).as("es"), col("user_id"))
-    ev.unionByName(sentinels)
-      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"), col("user_id"),
-        lit("e").as("event_type"), lit(0.0).as("value"))
-      .repartition(1) // single staged file = single AvailableNow micro-batch
-      .write.mode("overwrite").parquet(src)
+    val src = velocitySrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_velocity_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -937,6 +989,24 @@ object StreamOps {
       |FROM t
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** Every staged-source builder, for StreamStage.stageAllTimed
+    * (Bench's timed stream staging phase). Keys = shape names.
+    */
+  private[streaming] val stagers: Seq[(String, (SparkSession, String) => String)] = Seq(
+    "ev3" -> (ev3Src _),
+    "2p" -> (twoPhaseSrc _),
+    "sess" -> (sessSrc _),
+    "attr" -> (attrSrc _),
+    "attro" -> (attrOuterSrc _),
+    "dedup" -> (dedupSrc _),
+    "hll" -> (hllSrc _),
+    "f2" -> (f2Src _),
+    "sw" -> (sessionWindowSrc _),
+    "evfull" -> (evFullSrc _),
+    "upsert" -> (upsertSrc _),
+    "late" -> (lateSrc _),
+    "vel" -> (velocitySrc _))
 
   val ops: Seq[Op] = Seq(
     Op("stream_velocity", streamVelocity, Some(streamVelocitySql)),

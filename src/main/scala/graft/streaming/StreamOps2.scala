@@ -131,17 +131,21 @@ object StreamOps2 {
   // mismatch). The eviction path itself is exercised by
   // HeavyHittersSpec through this same pipeline at capacity 2.
   // ---------------------------------------------------------------
+  private[streaming] def hhSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "hh") { p =>
+      val ev = Tables.events(s, dir)
+        .select(expr("ts DIV 1000000000 DIV 3600").as("hour"), col("user_id"))
+      val closes = ev.select(col("hour")).distinct()
+        .select(col("hour"), lit(-1L).as("user_id"))
+      ev.unionByName(closes)
+        .repartition(1)
+        .write.mode("overwrite").parquet(p)
+    }
+
   private[graft] def streamHeavyHittersAt(s: SparkSession, dir: String,
       capacity: Int): DataFrame = {
     import s.implicits._
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_hh_src")
-    val ev = Tables.events(s, dir)
-      .select(expr("ts DIV 1000000000 DIV 3600").as("hour"), col("user_id"))
-    val closes = ev.select(col("hour")).distinct()
-      .select(col("hour"), lit(-1L).as("user_id"))
-    ev.unionByName(closes)
-      .repartition(1)
-      .write.mode("overwrite").parquet(src)
+    val src = hhSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_hh_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -258,17 +262,21 @@ object StreamOps2 {
       }
   }
 
+  private[streaming] def kmvSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "kmv") { p =>
+      val ev = Tables.events(s, dir)
+        .select(expr("ts DIV 1000000000 DIV 86400").as("t"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"))
+      ev.repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real rank-merge batches
+        .write.mode("overwrite").parquet(p)
+      // per-day close sentinels, appended LAST (later mod time ⇒ final batch)
+      ev.select(col("t")).distinct().select(col("t"), lit(-1L).as("h"))
+        .repartition(1).write.mode("append").parquet(p)
+    }
+
   private def streamKmv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_kmv_src")
-    val ev = Tables.events(s, dir)
-      .select(expr("ts DIV 1000000000 DIV 86400").as("t"),
-        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"))
-    ev.repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real rank-merge batches
-      .write.mode("overwrite").parquet(src)
-    // per-day close sentinels, appended LAST (later mod time ⇒ final batch)
-    ev.select(col("t")).distinct().select(col("t"), lit(-1L).as("h"))
-      .repartition(1).write.mode("append").parquet(src)
+    val src = kmvSrc(s, dir)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_kmv_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -380,17 +388,27 @@ object StreamOps2 {
       }
   }
 
+  private[streaming] def quantSrc(s: SparkSession, dir: String): String =
+    StreamStage.source(s, dir, "quant") { p =>
+      val v = Tables.events(s, dir).select(col("event_type").as("t"),
+          expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      v.repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real rank-merge batches
+        .write.mode("overwrite").parquet(p)
+      v.select(col("t")).distinct()
+        .select(col("t"), lit(-1L).as("h"), lit(0L).as("c"))
+        .repartition(1).write.mode("append").parquet(p)
+    }
+
   private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = graft.sources.SourceOps.tmpDir("graft_stream_quant_src")
+    val src = quantSrc(s, dir)
+    // the batch-side audit re-derives the same projection the staged
+    // source was built from (quantSrc's v) — a lazy plan, not a rescan
+    // of the staged copy
     val v = Tables.events(s, dir).select(col("event_type").as("t"),
         expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
-    v.repartition(4) // 4 staged files × maxFilesPerTrigger=1 = 4 real rank-merge batches
-      .write.mode("overwrite").parquet(src)
-    v.select(col("t")).distinct()
-      .select(col("t"), lit(-1L).as("h"), lit(0L).as("c"))
-      .repartition(1).write.mode("append").parquet(src)
     val schema = s.read.parquet(src).schema
     val name = s"graft_stream_quant_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
@@ -459,6 +477,12 @@ object StreamOps2 {
       |  abs(coalesce(x.exact_rank, 0) - e.target) * 1000000 // e.nt AS err_ppm
       |FROM est e LEFT JOIN ex x ON x.t = e.t AND x.d = e.d
       |ORDER BY event_type, decile""".stripMargin
+
+  /** StreamStage.stageAllTimed registry (StreamOps.stagers twin). */
+  private[streaming] val stagers: Seq[(String, (SparkSession, String) => String)] = Seq(
+    "hh" -> (hhSrc _),
+    "kmv" -> (kmvSrc _),
+    "quant" -> (quantSrc _))
 
   val ops: Seq[Op] = Seq(
     Op("stream_heavy_hitters", streamHeavyHitters, Some(streamHeavyHittersSql)),

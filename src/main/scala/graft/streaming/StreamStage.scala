@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Snapshot-keyed memo of fully-choreographed streaming SOURCE
+  * directories (r13 VERDICT item 3): the 20 stream gates each staged
+  * their own mtime-ordered micro-batch directory per invocation, and
+  * that staging — corpus read + parquet rewrite + sentinel/mtime
+  * choreography — was the family's dominant fixed cost (42.6 s = 18%
+  * of the sf0.1 gate, with the sf0.1 > sf1 inversion on
+  * stream_two_phase_agg proving the constants dominate the data
+  * work). Every gate completes its staging BEFORE the drain starts
+  * (sentinel batches and mtime stamps included), so a staged dir is
+  * immutable once built — exactly the once-per-JVM-per-corpus-
+  * snapshot shape Dedup's bandStageMemo already amortizes for the
+  * dedup artifacts.
+  *
+  * Keying matches [[graft.ops.Dedup.stagedBySnapshot]]: (corpus dir @
+  * events-snapshot-hash, shape). A rewritten events table re-stages
+  * and evicts the superseded dir; a staged path reaped from /tmp
+  * re-stages instead of poisoning the JVM; a non-local dir (no usable
+  * snapshot) skips the memo and stages fresh — correct, never stale.
+  * Drains stay per-op: each streaming query still gets its own fresh
+  * checkpoint + memory-sink table, so FileStreamSource re-reads the
+  * shared dir's files in the same (mtime, path) order every time.
+  *
+  * Billing discipline (the resetPairStage rule): Bench resets this
+  * memo between its warmup and timed phases and rebuilds every shape
+  * in the TIMED staging block, so cross-op/cross-pass reuse costs
+  * once per run, not zero times — per-op numbers then measure pure
+  * drain.
+  *
+  * In production these staged dirs don't exist at all: the `*From`
+  * entry points (tumblingFrom, slidingFrom, twoPhaseFrom, ...) read
+  * the real landing zone / Kafka source directly. The memo only
+  * amortizes the hash gate's deterministic corpus rewrite.
+  */
+object StreamStage {
+
+  /** (corpusKey, shape) → staged source dir. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  /** (dir, shape) → its CURRENT corpusKey, for evicting superseded
+    * stage dirs when an in-process rewrite changes the snapshot.
+    */
+  private val latest =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Return the staged source dir for (`dir`, `shape`), building it
+    * with `build` (which must write the COMPLETE choreographed file
+    * set into the passed path) only on first use per corpus snapshot.
+    */
+  private[streaming] def source(s: SparkSession, dir: String, shape: String)(
+      build: String => Unit): String =
+    graft.ops.Dedup.corpusSnapshot(dir, "events") match {
+      case None =>
+        val p = graft.sources.SourceOps.tmpDir(s"graft_stream_${shape}_src")
+        build(p)
+        p
+      case Some(snap) =>
+        val key = (s"$dir@$snap", shape)
+        Option(memo.get(key))
+          .filterNot(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+          .foreach(gone => memo.remove(key, gone))
+        memo.computeIfAbsent(key, _ => {
+          val prev = latest.put((dir, shape), key._1)
+          Option(prev).filter(_ != key._1).foreach { old =>
+            Option(memo.remove((old, shape)))
+              .foreach(graft.ops.Dedup.deleteDirQuietly)
+          }
+          val p = graft.sources.SourceOps.tmpDir(s"graft_stream_${shape}_src")
+          build(p)
+          p
+        })
+    }
+
+  /** Drop every staged stream source dir; the next gate re-stages. */
+  def reset(): Unit = {
+    import scala.jdk.CollectionConverters._
+    memo.values.asScala.foreach(graft.ops.Dedup.deleteDirQuietly)
+    memo.clear()
+    latest.clear()
+  }
+
+  /** Build every staged stream source for `dir`, timing each —
+    * Bench's timed staging phase for the stream family (the
+    * Dedup.stageAllTimed twin). Keys are stable (`stream_stage_<shape>`)
+    * so per-round staging lines are comparable.
+    */
+  def stageAllTimed(s: SparkSession, dir: String): Seq[(String, Double)] =
+    (StreamOps.stagers ++ StreamOps2.stagers).map { case (shape, stage) =>
+      val t0 = System.nanoTime()
+      stage(s, dir)
+      s"stream_stage_$shape" -> (System.nanoTime() - t0) / 1e9
+    }
+}

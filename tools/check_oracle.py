@@ -8,7 +8,7 @@ matching oracle SQL from oracle_sql.json in DuckDB over views named
 after the tables in <sfDir>, sorts columns by name + rows, and
 compares cell-by-cell. Tooling only — never shipped in the library.
 """
-import sys, os, json, glob
+import sys, os, json, glob, shutil, tempfile, atexit
 import duckdb
 import pandas as pd
 
@@ -29,10 +29,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     # against whatever else the host is running.
     con.execute("SET memory_limit='8GB'")
     con.execute("SET threads=8")
-    # a bounded connection spills; give it a stable absolute temp dir
-    # (the default cwd-relative .tmp races its own cleanup at exit)
-    os.makedirs("/tmp/duckdb_oracle_tmp", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    # a bounded connection spills; give it a per-invocation absolute temp
+    # dir (the default cwd-relative .tmp races its own cleanup at exit,
+    # and a shared /tmp path accumulates stale spill across concurrent runs)
+    spill = tempfile.mkdtemp(prefix="duckdb_oracle_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
