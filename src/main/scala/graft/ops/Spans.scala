@@ -39,8 +39,63 @@ object Spans {
     */
   private val SpanK = 8
 
+  /** WINDOW-HASH SHARDING for the postings pipeline (r13 VERDICT
+    * item 2 — the mitigation SCALING_r13 §2 claimed in prose, made
+    * real): the wid-keyed aggregate and the wid-keyed lookup join are
+    * the spans family's only corpus-wide shuffles, and at the sf1→
+    * sf10 decade their working set outgrew memory-resident sizes
+    * (4.4×/4.1× slopes). Every key in the pipeline is a function of
+    * the 60-bit window hash, so partitioning the postings by
+    * pmod(wid, S) splits the shuffle into S EXACT independent
+    * sub-problems — each shard's aggregate sees only its own key
+    * range and each shard's join matches only within the shard, so
+    * the union of per-shard results is identical to the unsharded
+    * run (pinned by SpansShardSpec and by the unchanged oracle
+    * hashes at every gated SF).
+    *
+    * Two execution modes:
+    *  - `spark.graft.spans.shards` = S (default 1): the S shard
+    *    pipelines union into one plan — per-reduce-task state drops
+    *    to 1/S of the key space (S× the reduce tasks at 1/S the
+    *    size), bounding spill without changing total shuffle bytes.
+    *  - `spark.graft.spans.shardStage` = true: shards additionally
+    *    MATERIALIZE sequentially (one shard's shuffle in flight at a
+    *    time) to a staging dir and the island merge reads the union
+    *    back — the hard memory bound a 100 TB deployment wants; the
+    *    staged rows are the cut/dup positions, corpus-dup-rate-sized.
+    */
+  private def shardCount(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.spans.shards")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+
+  private def shardStaged(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.spans.shardStage").exists(_.trim.toBoolean)
+
+  /** Run `perShard` (a wid-keyed postings sub-pipeline emitting
+    * skinny (doc_id, pos, occ) rows) over the whole postings relation
+    * or over each pmod(wid, shards) slice, per the session conf.
+    */
+  private[ops] def shardedPostings(s: SparkSession, wins: DataFrame,
+      shards: Int, staged: Boolean)(
+      perShard: DataFrame => DataFrame): DataFrame = {
+    if (shards <= 1) perShard(wins)
+    else {
+      val parts = (0 until shards).map { sh =>
+        perShard(wins.filter(pmod(col("wid"), lit(shards.toLong)) === sh.toLong))
+          .select(col("doc_id"), col("pos"), col("occ"))
+      }
+      if (!staged) parts.reduce(_ unionByName _)
+      else {
+        val root = graft.sources.SourceOps.tmpDir("graft_spans_shard")
+        parts.zipWithIndex.foreach { case (df, i) =>
+          df.write.mode("overwrite").parquet(s"$root/s$i")
+        }
+        s.read.parquet((0 until shards).map(i => s"$root/s$i"): _*)
+      }
+    }
+  }
+
   private def spans(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = TextOps.withTokens(Tables.load(s, dir, "documents"))
       .filter(size(col("toks")) >= SpanK)
       .selectExpr("doc_id",
@@ -55,9 +110,12 @@ object Spans {
       // emb_power_iter, where the re-scanned work is a cheap
       // quantize and staging LOSES)
       .localCheckpoint()
-    val dupIds = wins.groupBy("wid").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-    islandSpans(wins.join(dupIds, "wid"), SpanK)
+    val dup = shardedPostings(s, wins, shardCount(s), shardStaged(s)) { w =>
+      val dupIds = w.groupBy("wid").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2)
+      w.join(dupIds, "wid").select(col("doc_id"), col("pos"), col("occ"))
+    }
+    islandSpans(dup, SpanK)
       .orderBy("doc_id", "span_no")
   }
 
@@ -132,13 +190,15 @@ object Spans {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         expr(Dedup.sid60Spark).as("wid"))
       .localCheckpoint() // scanned twice (wid agg + lookup join), md5 dominates
-    val xdoc = wins.groupBy("wid")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("canon_doc"))
-      .filter(col("n_docs") >= 2)
-    val cut = wins.join(xdoc, "wid")
-      .filter(col("doc_id") > col("canon_doc"))
-      .select(col("doc_id"), col("pos"), col("n_docs").as("occ"))
+    val cut = shardedPostings(s, wins, shardCount(s), shardStaged(s)) { w =>
+      val xdoc = w.groupBy("wid")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("canon_doc"))
+        .filter(col("n_docs") >= 2)
+      w.join(xdoc, "wid")
+        .filter(col("doc_id") > col("canon_doc"))
+        .select(col("doc_id"), col("pos"), col("n_docs").as("occ"))
+    }
     islandSpans(cut, SubK)
       .withColumnRenamed("max_occ", "max_partner_docs")
       .orderBy("doc_id", "span_no")
