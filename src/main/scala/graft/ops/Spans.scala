@@ -96,20 +96,25 @@ object Spans {
   }
 
   private def spans(s: SparkSession, dir: String): DataFrame = {
-    val wins = TextOps.withTokens(Tables.load(s, dir, "documents"))
+    val winsPlan = TextOps.withTokens(Tables.load(s, dir, "documents"))
       .filter(size(col("toks")) >= SpanK)
       .selectExpr("doc_id",
         s"posexplode(transform(sequence(0, size(toks)-$SpanK), " +
           s"i -> concat_ws(' ', slice(toks, i+1, $SpanK)))) AS (pos, g)")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         expr(Dedup.sid60Spark).as("wid"))
-      // materialize the skinny (doc, pos, wid) relation once: it is
-      // scanned twice (occurrence count + the lookup join) and the
-      // md5-per-window id generation dominates the scan — A/B at
-      // sf0.1: 3.1–3.4 s recomputed vs 1.7–2.0 s staged (contrast
-      // emb_power_iter, where the re-scanned work is a cheap
-      // quantize and staging LOSES)
-      .localCheckpoint()
+    // materialize the skinny (doc, pos, wid) relation once: it is
+    // scanned twice (occurrence count + the lookup join) and the
+    // md5-per-window id generation dominates the scan — A/B at
+    // sf0.1: 3.1–3.4 s recomputed vs 1.7–2.0 s staged (contrast
+    // emb_power_iter, where the re-scanned work is a cheap quantize
+    // and staging LOSES). In staged-shard mode the checkpoint is
+    // deliberately SKIPPED: the corpus-sized postings residency is
+    // the pipeline's memory floor (measured: at sf10 a 3 GB heap
+    // dies in the checkpoint before any shuffle), so the bounded
+    // mode recomputes each shard's postings from the raw scan —
+    // CPU for memory, the trade a 100 TB shard-sequential pass makes.
+    val wins = if (shardStaged(s)) winsPlan else winsPlan.localCheckpoint()
     val dup = shardedPostings(s, wins, shardCount(s), shardStaged(s)) { w =>
       val dupIds = w.groupBy("wid").agg(count(lit(1)).as("occ"))
         .filter(col("occ") >= 2)
@@ -182,14 +187,16 @@ object Spans {
   private val SubK = 16
 
   private def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val wins = TextOps.withTokens(Tables.load(s, dir, "documents"))
+    val winsPlan = TextOps.withTokens(Tables.load(s, dir, "documents"))
       .filter(size(col("toks")) >= SubK)
       .selectExpr("doc_id",
         s"posexplode(transform(sequence(0, size(toks)-$SubK), " +
           s"i -> concat_ws(' ', slice(toks, i+1, $SubK)))) AS (pos, g)")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         expr(Dedup.sid60Spark).as("wid"))
-      .localCheckpoint() // scanned twice (wid agg + lookup join), md5 dominates
+    // scanned twice (wid agg + lookup join), md5 dominates; staged-
+    // shard mode skips the corpus-sized residency (see spans())
+    val wins = if (shardStaged(s)) winsPlan else winsPlan.localCheckpoint()
     val cut = shardedPostings(s, wins, shardCount(s), shardStaged(s)) { w =>
       val xdoc = w.groupBy("wid")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
