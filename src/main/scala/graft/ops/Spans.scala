@@ -65,11 +65,26 @@ object Spans {
     *    staged rows are the cut/dup positions, corpus-dup-rate-sized.
     */
   private def shardCount(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.spans.shards")
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+    s.conf.getOption("spark.graft.spans.shards").map { raw =>
+      val n = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.spans.shards must be an integer >= 1, got '$raw'")
+      }
+      require(n >= 1, s"spark.graft.spans.shards must be >= 1, got $n")
+      n
+    }.getOrElse(1)
 
-  private def shardStaged(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.spans.shardStage").exists(_.trim.toBoolean)
+  private def shardStaged(s: SparkSession): Boolean = {
+    val staged = s.conf.getOption("spark.graft.spans.shardStage")
+      .exists(_.trim.toBoolean)
+    // the bounded mode skips the postings checkpoint AND shards
+    // sequentially; with <= 1 shard it would ONLY skip the checkpoint
+    // — the worst configuration (recomputed scan, no memory bound).
+    // Fail loud instead of silently running it.
+    require(!staged || shardCount(s) >= 2,
+      "spark.graft.spans.shardStage=true requires spark.graft.spans.shards >= 2")
+    staged
+  }
 
   /** Run `perShard` (a wid-keyed postings sub-pipeline emitting
     * skinny (doc_id, pos, occ) rows) over the whole postings relation

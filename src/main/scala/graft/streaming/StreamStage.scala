@@ -37,9 +37,18 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamStage {
 
-  /** (corpusKey, shape) → staged source dir. */
+  /** (corpusKey, shape) → (staged source dir, its file-name set at
+    * build time — a /tmp cleaner can reap files INDIVIDUALLY and
+    * leave the dir, so an existence check alone would serve a
+    * partially-reaped choreography; any drift in the name set
+    * re-stages instead).
+    */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Set[String])]()
+
+  private def fileNames(p: String): Set[String] =
+    Option(new java.io.File(p).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
   /** (dir, shape) → its CURRENT corpusKey, for evicting superseded
     * stage dirs when an in-process rewrite changes the snapshot.
     */
@@ -60,24 +69,31 @@ object StreamStage {
       case Some(snap) =>
         val key = (s"$dir@$snap", shape)
         Option(memo.get(key))
-          .filterNot(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+          .filterNot { case (p, names) =>
+            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)) &&
+              fileNames(p) == names
+          }
           .foreach(gone => memo.remove(key, gone))
         memo.computeIfAbsent(key, _ => {
           val prev = latest.put((dir, shape), key._1)
           Option(prev).filter(_ != key._1).foreach { old =>
             Option(memo.remove((old, shape)))
-              .foreach(graft.ops.Dedup.deleteDirQuietly)
+              .foreach { case (oldPath, _) =>
+                graft.ops.Dedup.deleteDirQuietly(oldPath)
+              }
           }
           val p = graft.sources.SourceOps.tmpDir(s"graft_stream_${shape}_src")
           build(p)
-          p
-        })
+          (p, fileNames(p))
+        })._1
     }
 
   /** Drop every staged stream source dir; the next gate re-stages. */
   def reset(): Unit = {
     import scala.jdk.CollectionConverters._
-    memo.values.asScala.foreach(graft.ops.Dedup.deleteDirQuietly)
+    memo.values.asScala.foreach { case (p, _) =>
+      graft.ops.Dedup.deleteDirQuietly(p)
+    }
     memo.clear()
     latest.clear()
   }
