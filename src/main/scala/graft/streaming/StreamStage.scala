@@ -46,9 +46,8 @@ object StreamStage {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Set[String])]()
 
-  private def fileNames(p: String): Set[String] =
-    Option(new java.io.File(p).listFiles())
-      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+  private def fileNames(s: SparkSession, p: String): Set[String] =
+    graft.sources.Fs.listChildren(s, p).map(_._1).toSet
   /** (dir, shape) → its CURRENT corpusKey, for evicting superseded
     * stage dirs when an in-process rewrite changes the snapshot.
     */
@@ -70,21 +69,26 @@ object StreamStage {
         val key = (s"$dir@$snap", shape)
         Option(memo.get(key))
           .filterNot { case (p, names) =>
-            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)) &&
-              fileNames(p) == names
+            graft.sources.Fs.exists(s, p) && fileNames(s, p) == names
           }
           .foreach(gone => memo.remove(key, gone))
-        memo.computeIfAbsent(key, _ => {
-          val prev = latest.put((dir, shape), key._1)
-          Option(prev).filter(_ != key._1).foreach { old =>
+        // Superseded-snapshot eviction happens OUTSIDE computeIfAbsent:
+        // the ConcurrentHashMap javadoc forbids mutating the map from
+        // inside the mapping function (ADVICE r14 — undefined behavior /
+        // possible bin-lock livelock). latest.put is a no-op on a memo
+        // hit (prev == key._1), so this costs nothing on the hot path.
+        Option(latest.put((dir, shape), key._1))
+          .filter(_ != key._1)
+          .foreach { old =>
             Option(memo.remove((old, shape)))
               .foreach { case (oldPath, _) =>
                 graft.ops.Dedup.deleteDirQuietly(oldPath)
               }
           }
+        memo.computeIfAbsent(key, _ => {
           val p = graft.sources.SourceOps.tmpDir(s"graft_stream_${shape}_src")
           build(p)
-          (p, fileNames(p))
+          (p, fileNames(s, p))
         })._1
     }
 
