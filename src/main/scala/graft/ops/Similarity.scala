@@ -1062,17 +1062,20 @@ object Similarity {
     */
   private def beamWalk(s: SparkSession, dir: String, q: DataFrame,
       entry: DataFrame): DataFrame =
-    beamWalkAt(s, dir, q, entry, BeamWidth, BeamHops, Set(BeamHops))(BeamHops)
+    beamWalkAt(s, dir, q, entry, BeamWidth, BeamHops, Set(BeamHops))(BeamHops)._1
 
   /** The walk at an explicit (beam width, hops) budget, returning the
     * VISITED set snapshot at each hop in `keep` (so a budget curve
     * reads one chain instead of re-walking per point — hop h of a
-    * width-`bw` walk is a prefix of hop h' > h). Snapshots in `keep`
-    * stay checkpointed (never freed); all other intermediate state is
+    * width-`bw` walk is a prefix of hop h' > h) WITH its checkpoint
+    * ids, so the caller can `Rounds.free` each kept snapshot once its
+    * derived result materializes (r14 VERDICT item 3 — no
+    * JVM-lifetime block pinning). All other intermediate state is
     * freed per hop as before.
     */
   private def beamWalkAt(s: SparkSession, dir: String, q: DataFrame,
-      entry: DataFrame, bw: Int, hops: Int, keep: Set[Int]): Map[Int, DataFrame] = {
+      entry: DataFrame, bw: Int, hops: Int,
+      keep: Set[Int]): Map[Int, (DataFrame, Set[Int])] = {
     val e = emb(s, dir)
     val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
     val g0 = knnGraphStaged(s, dir)
@@ -1086,8 +1089,8 @@ object Similarity {
       .select("query_id", "cand_id", "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     var (visited, vIds) = Rounds.checkpoint(score(entry))
-    var out = Map.empty[Int, DataFrame]
-    if (keep.contains(0)) out += 0 -> visited
+    var out = Map.empty[Int, (DataFrame, Set[Int])]
+    if (keep.contains(0)) out += 0 -> (visited, vIds)
     for (h <- 1 to hops) {
       val beam = visited.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= bw)
@@ -1100,10 +1103,10 @@ object Similarity {
         // score — never rescore, only extend
         .join(visited.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
       val (nv, ids) = Rounds.checkpoint(visited.unionByName(score(grown)))
-      if (!out.values.exists(_ eq visited)) Rounds.free(visited, vIds)
+      if (!out.values.exists(_._1 eq visited)) Rounds.free(visited, vIds)
       visited = nv
       vIds = ids
-      if (keep.contains(h)) out += h -> visited
+      if (keep.contains(h)) out += h -> (visited, vIds)
     }
     out
   }
@@ -1350,32 +1353,40 @@ object Similarity {
     val entries = Map(
       "single" -> descentEntry(s, dir, e, q),
       "cell" -> descentEntryCell(s, dir, e, q))
-    // one exact truth serves every budget point
-    val exact = knnBrute(s, dir)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    // one exact truth serves every budget point; checkpointed WITH
+    // ids so it can be freed once the nine 1-row points are on the
+    // driver (r14 VERDICT item 3 — the walk snapshots and the truth
+    // must not pin blocks for JVM lifetime)
+    val (exact, exactIds) = Rounds.checkpoint(
+      knnBrute(s, dir).select(col("query_id"), col("neighbor_id")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     val rows = CurveChains.flatMap { case (em, bw, hops, emitAt) =>
       val snaps = beamWalkAt(s, dir, q, entries(em), bw, hops, emitAt.toSet)
-      emitAt.map { h =>
-        val visited = snaps(h)
+      val points = emitAt.map { h =>
+        val (visited, _) = snaps(h)
         val ann = visited.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
           .select(col("query_id"), col("cand_id").as("neighbor_id"),
             lit(1L).as("hit"))
-        val cost = visited.agg(count(lit(1)).as("n_visited"))
-        exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        // the point is ONE row — materialize it on the driver (the
+        // coreset `picked` pattern) so the chain's snapshots can be
+        // freed before the next chain walks
+        val r = exact.join(ann, Seq("query_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_exact"),
             sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-          .withColumn("recall_ppm", expr("n_hits * CAST(1000000 AS BIGINT) DIV n_exact"))
-          .withColumn("entry_mode", lit(em))
-          .withColumn("beam_width", lit(bw.toLong))
-          .withColumn("hops", lit(h.toLong))
-          .crossJoin(broadcast(cost))
-          .select("entry_mode", "beam_width", "hops", "n_exact", "n_hits",
-            "recall_ppm", "n_visited")
+          .crossJoin(broadcast(visited.agg(count(lit(1)).as("n_visited"))))
+          .collect()(0)
+        val (nExact, nHits, nVisited) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (em, bw.toLong, h.toLong, nExact, nHits, nHits * 1000000L / nExact, nVisited)
       }
+      snaps.values.foreach { case (snap, ids) => Rounds.free(snap, ids) }
+      points
     }
-    rows.reduce(_ unionByName _).orderBy("entry_mode", "beam_width", "hops")
+    Rounds.free(exact, exactIds)
+    import s.implicits._
+    rows.toDF("entry_mode", "beam_width", "hops", "n_exact", "n_hits",
+        "recall_ppm", "n_visited")
+      .orderBy("entry_mode", "beam_width", "hops")
   }
 
   // Cell-breadth entry oracle: every primary-cell mate (qmates),

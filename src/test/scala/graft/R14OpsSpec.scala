@@ -39,6 +39,18 @@ class R14OpsSpec extends AnyFunSuite with SparkSuite {
       s"recorded margin inverted: cell hop-1 visited $cell1 < single $single1")
   }
 
+  test("sim_descent_curve frees its walk snapshots and exact truth (no persistent-RDD growth)") {
+    // first run may stage shared memoized artifacts (kNN graph, IVF
+    // routing) — those persist by design; the op's OWN state (9 walk
+    // snapshots + the brute-truth checkpoint) must all be freed, so a
+    // second run leaves the persistent-RDD set exactly where it was
+    run("sim_descent_curve").collect()
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    run("sim_descent_curve").collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"sim_descent_curve leaked persistent RDDs: $leaked")
+  }
+
   test("sim_descent_curve: sf0.1 pinned margins (production point beats bucket indexes)") {
     val big = "/root/testdata/sf0.1"
     assume(new java.io.File(s"$big/embeddings.parquet").exists,
