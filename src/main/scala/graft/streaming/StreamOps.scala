@@ -74,7 +74,14 @@ object StreamOps {
     val name = s"graft_stream_tumbling_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
     val agg = tumblingFrom(s, src)
-    EventStream.runAvailableNow(agg, name, OutputMode.Complete(), ckpt)
+    // bounded state (|hours|·|types| window rows) never needs the
+    // session's 32 state stores per micro-batch — scope the drain to 8
+    // (the Dedup.clustersComputed low-partition pattern; conf is read
+    // at stream START, restored after)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(agg, name, OutputMode.Complete(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
       .select(
         unix_timestamp(col("window.start")).as("hour_epoch"),
@@ -108,7 +115,12 @@ object StreamOps {
     val src = ev3Src(s, dir)
     val name = s"graft_stream_sliding_${runCounter.incrementAndGet()}"
     val ckpt = graft.sources.SourceOps.tmpDir("graft_stream_ckpt")
-    EventStream.runAvailableNow(slidingFrom(s, src), name, OutputMode.Complete(), ckpt)
+    // 4x the tumbling state rows, still grain-bounded — same 8-store
+    // drain scope as stream_tumbling
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try EventStream.runAvailableNow(slidingFrom(s, src), name, OutputMode.Complete(), ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
@@ -807,8 +819,16 @@ object StreamOps {
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the four foreachBatch merges each shuffle a |users|-sized
+    // aggregate — 8 partitions, not the session's 32 (no stream
+    // state here, but the per-merge shuffle constants are the same
+    // bill). stream_file_sink and stream_enrich stay unscoped: both
+    // are stateless with no shuffle (pass-through sink / broadcast
+    // join), so the override would have nothing to act on.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try q.start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     require(lastVer.get() >= 4, s"expected >=4 merge batches, saw ${lastVer.get()}")
     s.read.parquet(s"$target/v${lastVer.get()}")
       .select(col("user_id"), col("n_events"),
