@@ -258,7 +258,10 @@ object Dedup {
       timed("pair_graph") { stagedCandidateStats(s, dir) },
       timed("band_index") { bandIndex(s, dir) },
       timed("cluster_labels") { clusterLabels(s, dir) },
-      timed("purchase_graph") { GraphOps.purchaseGraph(s, dir)._1 })
+      timed("purchase_graph") { GraphOps.purchaseGraph(s, dir)._1 },
+      // the converged-PageRank fixpoint (consumes purchase_graph,
+      // serves graph_pagerank_converged + graph_pagerank_residuals)
+      timed("pr_fixpoint") { GraphOps.prFixpoint(s, dir)._1 })
   }
 
   /** Plans that execute INSIDE staging and are therefore invisible to
@@ -280,7 +283,10 @@ object Dedup {
       // the guarded plan is the final labels+sizes join it returns
       "dedup_label_stage(unstaged)" -> clustersComputed(s, dir),
       "sim_knn_graph_stage(unstaged)" -> Similarity.knnGraphUnsorted(s, dir),
-      "graph_edge_stage(unstaged)" -> GraphOps.purchaseGraphEdgesPlan(s, dir))
+      "graph_edge_stage(unstaged)" -> GraphOps.purchaseGraphEdgesPlan(s, dir),
+      // constructing this RUNS the fixpoint loop (iterative, like the
+      // CC labels above); the guarded plan is the final mass relation
+      "graph_pr_fixpoint(unstaged)" -> GraphOps.prFixpoint(s, dir)._1)
 
   /** Candidate pair stats passing ANY consumer threshold — what the
     * stage persists (see header above).

@@ -188,6 +188,7 @@ object GraphOps {
     }
     pgStageMemo.clear()
     pgStageLatest.clear()
+    resetPrFixpoint()
   }
 
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
@@ -257,12 +258,68 @@ object GraphOps {
   private[graft] val PrTolPpm = 50000L
   private[graft] val PrMaxRounds = 80
 
-  private def pagerankConverged(s: SparkSession, dir: String): DataFrame = {
+  /** The converged-PageRank fixpoint as a SHARED per-snapshot artifact
+    * (r14 VERDICT item 6): the loop's per-round residuals were already
+    * computed (they ARE the stop test) but thrown away; now the loop
+    * returns (final mass, the round→residual curve) and is memoized
+    * per corpus snapshot so graph_pagerank_converged and
+    * graph_pagerank_residuals split ONE ~36-round run instead of each
+    * paying it — the cluster_labels/purchase_graph staging convention,
+    * reset + re-billed by Bench's timed staging phase (key
+    * `pr_fixpoint`). Zero extra jobs per round: the curve rows are the
+    * driver-side scalars the residual action already returned.
+    */
+  private val prMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Set[Int], Seq[(Long, Long)])]()
+  private val prLatest = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val prLock = new Object
+
+  private[ops] def prFixpoint(s: SparkSession, dir: String): (DataFrame, Seq[(Long, Long)]) =
+    pgSnapshot(dir) match {
+      case None =>
+        val (m, _, curve) = prFixpointComputed(s, dir)
+        (m, curve)
+      case Some(h) =>
+        val key = s"$dir@$h"
+        val (m, _, curve) = prLock.synchronized {
+          Option(prMemo.get(key))
+            // a memo built by a STOPPED session cannot serve this one —
+            // its checkpoint blocks died with the old executor store
+            .filter(_._1.sparkSession eq s)
+            .getOrElse {
+              Option(prMemo.remove(key))
+                .foreach { case (df, ids, _) => Rounds.freeQuietly(df, ids) }
+              // a rewritten corpus supersedes the dir's previous fixpoint
+              Option(prLatest.get(dir)).filterNot(_ == key)
+                .flatMap(old => Option(prMemo.remove(old)))
+                .foreach { case (df, ids, _) => Rounds.freeQuietly(df, ids) }
+              val e = prFixpointComputed(s, dir)
+              prMemo.put(key, e)
+              prLatest.put(dir, key)
+              e
+            }
+        }
+        (m, curve)
+    }
+
+  /** Drop the memoized fixpoints and free their checkpoint blocks —
+    * part of [[resetStage]] so Bench re-bills the build.
+    */
+  private def resetPrFixpoint(): Unit = {
+    import scala.jdk.CollectionConverters._
+    prMemo.values.asScala.foreach { case (df, ids, _) => Rounds.freeQuietly(df, ids) }
+    prMemo.clear()
+    prLatest.clear()
+  }
+
+  private def prFixpointComputed(
+      s: SparkSession, dir: String): (DataFrame, Set[Int], Seq[(Long, Long)]) = {
     val (edges, outdeg) = purchaseGraph(s, dir)
     var (mass, massIds) = Rounds.checkpoint(
       outdeg.select(col("src").as("v"), lit(1000000L).as("mass")))
     var residual = Long.MaxValue
     var rounds = 0
+    var curve = Vector.empty[(Long, Long)]
     try {
       while (residual > PrTolPpm && rounds < PrMaxRounds) {
       // the superstep carries the previous round's mass alongside the
@@ -287,6 +344,7 @@ object GraphOps {
         mass = next.select(col("v"), col("mass"))
         massIds = ids
         rounds += 1
+        curve :+= ((rounds.toLong, residual))
       }
       if (residual > PrTolPpm)
         throw new IllegalStateException(
@@ -300,11 +358,35 @@ object GraphOps {
         Rounds.freeQuietly(mass, massIds)
         throw e
     }
+    (mass, massIds, curve)
+  }
+
+  private def pagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val (mass, curve) = prFixpoint(s, dir)
     mass.select(col("v"),
         when(col("v") % 2 === 0, "customer").otherwise("supplier").as("entity"),
         expr("v DIV 2").as("key"), col("mass").as("mass_ppm"),
-        lit(rounds.toLong).as("n_rounds"))
+        lit(curve.size.toLong).as("n_rounds"))
       .orderBy("v")
+  }
+
+  // ---------------------------------------------------------------
+  // graph_pagerank_residuals — the fixpoint's ROUND→RESIDUAL decay
+  // curve as gated data (r14 VERDICT item 6): the operator-facing
+  // question for any tolerance-stopped walk is "how many |E|-cost
+  // rounds does tolerance X buy me", and the answer was already being
+  // computed every round (the residual IS the stop test) then thrown
+  // away. One row per round with that round's max_v |Δmass(v)| in
+  // ppm; the curve plus graph_pagerank_converged's n_rounds lets an
+  // operator read the marginal cost of tightening PrTolPpm straight
+  // off gated data (the sim_descent_curve treatment for the graph
+  // family). Zero extra distributed work: both ops read the shared
+  // memoized fixpoint, and the curve rows are driver-side scalars.
+  // ---------------------------------------------------------------
+  private def pagerankResiduals(s: SparkSession, dir: String): DataFrame = {
+    val (_, curve) = prFixpoint(s, dir)
+    import s.implicits._
+    curve.toDF("round", "max_residual_ppm").orderBy("round")
   }
 
   /** The oracle replicates the data-bound loop with a recursive CTE:
@@ -314,7 +396,11 @@ object GraphOps {
     * PrMaxRounds` guard only prevents a hang if the cap is ever hit
     * (Spark throws loudly in that case, failing the gate anyway).
     */
-  private val pagerankConvergedSql =
+  /** The data-bound recursive loop, shared verbatim by the converged
+    * op's oracle and the residual-curve oracle (per-round deltas are
+    * already a column of the working table).
+    */
+  private val prRecursiveCtes =
     s"""WITH RECURSIVE co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
       |e AS (SELECT c*2 AS src, sp*2+1 AS dst FROM co
@@ -334,12 +420,22 @@ object GraphOps {
       |  JOIN pr prev ON prev.v = nxt.v AND prev.it = nxt.it - 1
       |  WHERE (SELECT max(delta) FROM pr WHERE it = nxt.it - 1) > $PrTolPpm
       |    AND nxt.it <= $PrMaxRounds
-      |)
+      |)""".stripMargin
+
+  private val pagerankConvergedSql =
+    s"""$prRecursiveCtes
       |SELECT v, CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
       |  v // 2 AS key, mass AS mass_ppm,
       |  CAST((SELECT max(it) FROM pr) AS BIGINT) AS n_rounds
       |FROM pr WHERE it = (SELECT max(it) FROM pr)
       |ORDER BY v""".stripMargin
+
+  private val pagerankResidualsSql =
+    s"""$prRecursiveCtes
+      |SELECT CAST(it AS BIGINT) AS round, CAST(max(delta) AS BIGINT) AS max_residual_ppm
+      |FROM pr WHERE it >= 1
+      |GROUP BY it
+      |ORDER BY round""".stripMargin
 
   // ---------------------------------------------------------------
   // graph_triangles — triangle counting + local clustering
@@ -774,6 +870,7 @@ object GraphOps {
     Op("graph_modularity", modularity, Some(modularitySql)),
     Op("graph_pagerank", pagerank, Some(pagerankSql)),
     Op("graph_pagerank_converged", pagerankConverged, Some(pagerankConvergedSql)),
+    Op("graph_pagerank_residuals", pagerankResiduals, Some(pagerankResidualsSql)),
     Op("graph_triangles", triangles, Some(trianglesSql)),
     Op("graph_link_predict", linkPredict, Some(linkPredictSql)),
     Op("graph_bfs", bfs, Some(bfsSql)))
