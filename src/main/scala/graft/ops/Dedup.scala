@@ -229,6 +229,7 @@ object Dedup {
     cellStageMemo.clear()
     cellStageLatest.clear()
     Similarity.resetKnnStage(deleteDirQuietly)
+    Spans.resetShardStage()
     // the active session (Bench, specs) lets the graph stage DROP its
     // catalog tables before their backing dirs go away
     GraphOps.resetStage(org.apache.spark.sql.SparkSession.getActiveSession)

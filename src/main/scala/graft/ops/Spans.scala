@@ -86,12 +86,25 @@ object Spans {
     staged
   }
 
+  /** (dir@snapshot|tag|shards) → staged shard root. Staged-shard runs
+    * memoize their staging dir per corpus snapshot (ADVICE r14: a
+    * fresh never-deleted tmpDir per invocation accumulated dup-rate-
+    * sized dirs across a long-lived JVM's repeated runs) — the
+    * StreamStage/Dedup staged-dir convention: reuse while the
+    * snapshot holds, evict + delete on supersede, re-stage if reaped.
+    */
+  private val shardStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val shardStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val shardStageLock = new Object
+
   /** Run `perShard` (a wid-keyed postings sub-pipeline emitting
     * skinny (doc_id, pos, occ) rows) over the whole postings relation
     * or over each pmod(wid, shards) slice, per the session conf.
     */
-  private[ops] def shardedPostings(s: SparkSession, wins: DataFrame,
-      shards: Int, staged: Boolean)(
+  private[ops] def shardedPostings(s: SparkSession, dir: String, tag: String,
+      wins: DataFrame, shards: Int, staged: Boolean)(
       perShard: DataFrame => DataFrame): DataFrame = {
     if (shards <= 1) perShard(wins)
     else {
@@ -101,13 +114,49 @@ object Spans {
       }
       if (!staged) parts.reduce(_ unionByName _)
       else {
-        val root = graft.sources.SourceOps.tmpDir("graft_spans_shard")
-        parts.zipWithIndex.foreach { case (df, i) =>
-          df.write.mode("overwrite").parquet(s"$root/s$i")
+        def build(): String = {
+          val root = graft.sources.SourceOps.tmpDir("graft_spans_shard")
+          parts.zipWithIndex.foreach { case (df, i) =>
+            df.write.mode("overwrite").parquet(s"$root/s$i")
+          }
+          root
+        }
+        val root = Dedup.corpusSnapshot(dir, "documents") match {
+          case None => build() // no safe memo key; one-shot dir
+          case Some(snap) =>
+            val key = s"$dir@$snap|$tag|$shards"
+            shardStageLock.synchronized {
+              // a rewritten corpus supersedes this (dir, tag)'s stage
+              Option(shardStageLatest.put(s"$dir|$tag|$shards", key))
+                .filterNot(_ == key)
+                .flatMap(old => Option(shardStageMemo.remove(old)))
+                .foreach(Dedup.deleteDirQuietly)
+              Option(shardStageMemo.get(key))
+                // a /tmp cleaner may have reaped it — re-stage, never
+                // serve a partial union
+                .filter(r => (0 until shards)
+                  .forall(i => graft.sources.Fs.exists(s, s"$r/s$i")))
+                .getOrElse {
+                  Option(shardStageMemo.remove(key)).foreach(Dedup.deleteDirQuietly)
+                  val r = build()
+                  shardStageMemo.put(key, r)
+                  r
+                }
+            }
         }
         s.read.parquet((0 until shards).map(i => s"$root/s$i"): _*)
       }
     }
+  }
+
+  /** Drop the memoized shard staging dirs (probe hygiene; the staged-
+    * shard mode never runs in official captures).
+    */
+  private[ops] def resetShardStage(): Unit = {
+    import scala.jdk.CollectionConverters._
+    shardStageMemo.values.asScala.foreach(Dedup.deleteDirQuietly)
+    shardStageMemo.clear()
+    shardStageLatest.clear()
   }
 
   private def spans(s: SparkSession, dir: String): DataFrame = {
@@ -130,7 +179,7 @@ object Spans {
     // mode recomputes each shard's postings from the raw scan —
     // CPU for memory, the trade a 100 TB shard-sequential pass makes.
     val wins = if (shardStaged(s)) winsPlan else winsPlan.localCheckpoint()
-    val dup = shardedPostings(s, wins, shardCount(s), shardStaged(s)) { w =>
+    val dup = shardedPostings(s, dir, "spans", wins, shardCount(s), shardStaged(s)) { w =>
       val dupIds = w.groupBy("wid").agg(count(lit(1)).as("occ"))
         .filter(col("occ") >= 2)
       w.join(dupIds, "wid").select(col("doc_id"), col("pos"), col("occ"))
@@ -212,7 +261,7 @@ object Spans {
     // scanned twice (wid agg + lookup join), md5 dominates; staged-
     // shard mode skips the corpus-sized residency (see spans())
     val wins = if (shardStaged(s)) winsPlan else winsPlan.localCheckpoint()
-    val cut = shardedPostings(s, wins, shardCount(s), shardStaged(s)) { w =>
+    val cut = shardedPostings(s, dir, "substr", wins, shardCount(s), shardStaged(s)) { w =>
       val xdoc = w.groupBy("wid")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("canon_doc"))

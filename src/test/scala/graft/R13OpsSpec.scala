@@ -181,9 +181,18 @@ class R13OpsSpec extends AnyFunSuite with SparkSuite {
         .count(brute.contains)
     }
     val (descent, fixed) = (hits("sim_hnsw_descent"), hits("sim_knn_beam"))
-    // recorded margin on the checked-in sf0.1 capture: 5 vs 1 at (B=8, H=3)
     assert(descent >= fixed,
       s"descent ($descent) must never recall less than the fixed entry ($fixed)")
+    // recorded margin on the checked-in sf0.1 capture: 5 vs 1 at
+    // (B=8, H=3) — pin the STRICT win there, so a regression that
+    // collapses the descended entry to exactly tie the fixed entry
+    // fails (ADVICE r14; the >= above stays the floor for regenerated
+    // corpora, where only the non-loss property is structural).
+    // Environments without sf0.1 skip at the assume() above and keep
+    // only the exactness/density checks — documented reduced coverage.
+    assert(descent > fixed,
+      s"checked-in-corpus strict win lost: descent $descent vs fixed $fixed " +
+        "(recorded 5 vs 1; regenerate-corpus note in the comment above)")
   }
 
   test("stream_two_phase_agg: chained roll-up reconciles with event totals") {
