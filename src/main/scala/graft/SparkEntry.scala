@@ -43,6 +43,7 @@ object Registry {
       graft.ops.TextOps2.ops ++
       graft.ops.Dedup.ops ++
       graft.ops.Spans.ops ++
+      graft.ops.Paragraphs.ops ++
       graft.ops.GraphOps.ops ++
       graft.ops.GraphOps2.ops ++
       graft.ops.Sampling.ops ++

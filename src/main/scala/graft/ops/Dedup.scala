@@ -562,10 +562,10 @@ object Dedup {
   // for candidates, exact Jaccard verify. Candidates come only from
   // equality joins on (band, signature) — the 100 TB path.
   // ---------------------------------------------------------------
-  private val NPerm = 32
-  private val NBands = 8
-  private val RowsPerBand = NPerm / NBands
-  private val MersennePrime = 2147483647L // 2^31-1; ids < 2^31 keep products < 2^62
+  private[ops] val NPerm = 32
+  private[ops] val NBands = 8
+  private[ops] val RowsPerBand = NPerm / NBands
+  private[ops] val MersennePrime = 2147483647L // 2^31-1; ids < 2^31 keep products < 2^62
 
   /** Deterministic permutation constants — canonical copy lives in
     * GraftFunctions.minhashPerms (the native kernel); the SQL oracle

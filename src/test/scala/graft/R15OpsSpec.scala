@@ -23,6 +23,43 @@ class R15OpsSpec extends AnyFunSuite with SparkSuite {
     assert(nRounds == curve.size.toLong)
   }
 
+  test("dedup_cdc_chunks: pair invariants (Jaccard >= 0.5, ordered cross-class keys)") {
+    val rows = run("dedup_cdc_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+    assert(rows.nonEmpty, "checked-in corpus has near-dup chunk pairs (21 at sf0.001)")
+    rows.foreach { case (da, ca, db, cb, inter, uni, dupsA, dupsB) =>
+      // the verify threshold really held, and keys are canonical
+      assert(inter * 2 >= uni && inter >= 1 && uni >= inter)
+      assert(da < db || (da == db && ca < cb), "pairs must be lexicographically ordered")
+      assert(dupsA >= 1 && dupsB >= 1)
+    }
+    assert(rows.distinct.size == rows.size, "no duplicate pairs")
+  }
+
+  test("content-defined chunking re-synchronizes after an insertion (fixed blocks cannot)") {
+    import spark.implicits._
+    // doc 1: 60 tokens; doc 2: one token INSERTED at the front — every
+    // position shifts, yet chunk boundaries are content-anchored so
+    // all chunks after the first cut point recover identical content
+    val toks = (0 until 60).map(i => s"w${(i * 7919) % 97}")
+    val d = graft.sources.SourceOps.tmpDir("graft_cdc_spec")
+    Seq(
+      (1L, toks.mkString(" "), "en", "src0", 0L),
+      (2L, ("zzz" +: toks).mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val chunks = graft.ops.Paragraphs.chunkRel(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val g1 = chunks.collect { case (1L, g) => g }.toSet
+    val g2 = chunks.collect { case (2L, g) => g }.toSet
+    assert(g1.nonEmpty && g2.nonEmpty)
+    val shared = g1.intersect(g2)
+    assert(shared.nonEmpty,
+      s"no shared chunk content after a 1-token insertion: $g1 vs $g2")
+  }
+
   test("pagerank fixpoint memo: second read re-uses the run (no new persistent RDDs)") {
     run("graph_pagerank_converged").count()
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
