@@ -60,6 +60,57 @@ class R15OpsSpec extends AnyFunSuite with SparkSuite {
       s"no shared chunk content after a 1-token insertion: $g1 vs $g2")
   }
 
+  test("curation_refresh: structural invariants on the checked-in corpus") {
+    val thr = graft.Tables.load(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) * 9 / 10
+    val rows = run("curation_refresh").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4))).toSeq
+    // every batch row is inserted, every prior row carried or patched
+    rows.foreach { case (id, _, action) =>
+      if (id > thr) assert(action == "inserted", s"doc $id")
+      else assert(action == "carried" || action == "patched", s"doc $id: $action")
+    }
+    // the refresh must equal curation_manifest (the full recompute)
+    // row for row on (doc_id, disposition)
+    val full = run("curation_manifest").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, d, _) =>
+      assert(full(id) == d, s"doc $id: refresh $d != full ${full(id)}")
+    }
+  }
+
+  test("curation_refresh: a batch eval doc PATCHES a prior row to contaminated") {
+    import spark.implicits._
+    def evalHash(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10000L
+    }
+    // batch doc E lands in the 2% eval hash split; its text equals
+    // prior doc P's, so the refresh must (a) mark E exact_dup+inserted
+    // and (b) flip P kept -> contaminated (E's shingles became the new
+    // eval reference) with action=patched — the Δ-reference code path
+    // the checked-in corpus never exercises (zero natural patches)
+    val e = (10L to 500L).find(id => evalHash(id) < 200L && id * 9 / 10 >= 9).get
+    val p = (1L to 9L).find(id => evalHash(id) >= 200L).get
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = (1L to 9L).map { id =>
+      val text = if (id == p) shared
+        else (0 until 10).map(j => s"tok${id}x$j").mkString(" ")
+      (id, text, "en", "src0", text.length.toLong)
+    } :+ ((e, shared, "en", "src0", shared.length.toLong))
+    val d = graft.sources.SourceOps.tmpDir("graft_refresh_spec")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val byId = Registry.byName("curation_refresh").run(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(4)))).toMap
+    assert(byId(e) == (("exact_dup", "inserted")), s"E: ${byId(e)}")
+    assert(byId(p) == (("contaminated", "patched")), s"P: ${byId(p)}")
+    (1L to 9L).filterNot(_ == p).foreach { id =>
+      assert(byId(id)._2 == "carried", s"doc $id: ${byId(id)}")
+    }
+  }
+
   test("pagerank fixpoint memo: second read re-uses the run (no new persistent RDDs)") {
     run("graph_pagerank_converged").count()
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
