@@ -58,16 +58,28 @@ object Paragraphs {
 
   private[graft] def chunkRel(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    TextOps.withTokens(Tables.load(s, dir, "documents"))
+    val docs = TextOps.withTokens(Tables.load(s, dir, "documents"))
       .filter(size(col("toks")) >= 3)
-      // a position i (1-based, i >= 3) starts a new chunk when the
-      // 31-bit id of toks[i-2..i] ≡ 0 (mod CdcD); position 1 always
-      // starts chunk 0
+    // A position i (1-based, i >= 3) starts a new chunk when the
+    // 31-bit id of toks[i-2..i] ≡ 0 (mod CdcD); position 1 always
+    // starts chunk 0. The md5 runs on an EXPLODED trigram relation —
+    // one codegen'd evaluation per position — NOT inside an array
+    // lambda: higher-order-function bodies evaluate interpreted, and
+    // projection collapse re-inlines the whole cut chain once per
+    // downstream reference (measured 63 s vs <2 s at sf0.1 for the
+    // same 270k positions). Cut rows are ~1/CdcD of positions, so the
+    // collect_list per doc is bounded by doc length (the islandSpans
+    // state bound).
+    val cutPos = docs.selectExpr("doc_id",
+        "posexplode(transform(sequence(3, size(toks)), i -> concat_ws(' ', " +
+          "element_at(toks, i - 2), element_at(toks, i - 1), element_at(toks, i)))) AS (j, g)")
+      .filter(expr(s"(${Dedup.sid32Spark}) % $CdcD = 0"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("j") + 3)).as("cuts"))
+    docs.join(cutPos, Seq("doc_id"), "left")
+      // `cuts` is a bound column after the join, so the chunk-building
+      // lambdas below do only cheap array arithmetic per row
       .withColumn("starts", expr(
-        s"""concat(array(1), filter(sequence(3, size(toks)), i ->
-           |  (CAST(conv(substr(md5(concat_ws(' ',
-           |     element_at(toks, i - 2), element_at(toks, i - 1), element_at(toks, i))),
-           |   1, 8), 16, 10) AS BIGINT) % ${Dedup.MersennePrime}) % $CdcD = 0))""".stripMargin))
+        "concat(array(1), coalesce(cuts, CAST(array() AS ARRAY<INT>)))"))
       .withColumn("chunks", expr(
         // try_element_at: the LAST chunk has no next start (DuckDB's
         // list index returns NULL there; Spark's element_at throws)
