@@ -230,6 +230,7 @@ object Dedup {
     cellStageLatest.clear()
     Similarity.resetKnnStage(deleteDirQuietly)
     Spans.resetShardStage()
+    Paragraphs.resetCanonStage()
     // the active session (Bench, specs) lets the graph stage DROP its
     // catalog tables before their backing dirs go away
     GraphOps.resetStage(org.apache.spark.sql.SparkSession.getActiveSession)
@@ -259,6 +260,7 @@ object Dedup {
       timed("pair_graph") { stagedCandidateStats(s, dir) },
       timed("band_index") { bandIndex(s, dir) },
       timed("cluster_labels") { clusterLabels(s, dir) },
+      timed("cdc_canon") { Paragraphs.stagedCanon(s, dir) },
       timed("purchase_graph") { GraphOps.purchaseGraph(s, dir)._1 },
       // the converged-PageRank fixpoint (consumes purchase_graph,
       // serves graph_pagerank_converged + graph_pagerank_residuals)
@@ -283,6 +285,7 @@ object Dedup {
       // constructing this plan RUNS the CC loop (it is iterative);
       // the guarded plan is the final labels+sizes join it returns
       "dedup_label_stage(unstaged)" -> clustersComputed(s, dir),
+      "dedup_cdc_canon_stage(unstaged)" -> Paragraphs.canonPlan(s, dir),
       "sim_knn_graph_stage(unstaged)" -> Similarity.knnGraphUnsorted(s, dir),
       "graph_edge_stage(unstaged)" -> GraphOps.purchaseGraphEdgesPlan(s, dir),
       // constructing this RUNS the fixpoint loop (iterative, like the

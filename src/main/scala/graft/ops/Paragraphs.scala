@@ -91,15 +91,52 @@ object Paragraphs {
         concat_ws(" ", col("ptoks")).as("g"), expr("graft_shingles3(ptoks)").as("sh"))
   }
 
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  /** Canonical-chunk relation (doc_id, chunk_no, sh, members, msig) —
+    * the unstaged plan. Tokenize → CDC cut points → chunk slices →
+    * exact-class canonicalization → MinHash signature.
+    */
+  private[ops] def canonPlan(s: SparkSession, dir: String): DataFrame = {
     val wCls = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_no"))
-    val canon = chunkRel(s, dir)
+    chunkRel(s, dir)
       .withColumn("h", md5(col("g")))
       .withColumn("rn", row_number().over(wCls))
       .withColumn("members", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("chunk_no"), col("sh"), col("members"))
       .withColumn("msig", expr("graft_minhash32(sh)"))
+  }
+
+  /** [[canonPlan]] staged once per corpus snapshot (the
+    * Dedup.stagedBySnapshot convention). The op consumes canon FOUR
+    * times (band self-join x + y, verify legs a + b); unstaged, each
+    * consumer re-ran the whole tokenize→cut→window→minhash chain — the
+    * r15 before-plan showed 16 parquet scans of `documents` and two
+    * graft_minhash32 evaluations with zero subtree reuse. Staged, the
+    * chain runs once per corpus snapshot and every consumer is a scan
+    * of the chunk-grain parquet (guide §2.4: share one exchange;
+    * §1.2: fix the pass structure before per-task work). Reset +
+    * re-billed by Bench's timed staging phase (key `cdc_canon`).
+    */
+  private val canonStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  private val canonStageLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private[ops] def stagedCanon(s: SparkSession, dir: String): DataFrame =
+    Dedup.stagedBySnapshot(s, dir, canonStageMemo, canonStageLatest,
+      "graft_cdc_canon", "CDC canonical chunks",
+      canonPlan(s, dir),
+      (_, p) => canonPlan(s, dir).write.mode("overwrite").parquet(p))
+
+  private[ops] def resetCanonStage(): Unit = {
+    import scala.jdk.CollectionConverters._
+    canonStageMemo.values.asScala.foreach(Dedup.deleteDirQuietly)
+    canonStageMemo.clear()
+    canonStageLatest.clear()
+  }
+
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val canon = stagedCanon(s, dir)
     val bandSigs = (0 until Dedup.NBands).map { j =>
       val parts = (0 until Dedup.RowsPerBand)
         .map(r => s"CAST(element_at(msig, ${j * Dedup.RowsPerBand + r + 1}) AS STRING)")
