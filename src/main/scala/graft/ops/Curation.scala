@@ -269,16 +269,20 @@ object Curation {
     val deltaEv = sh.filter(col("is_eval") && col("doc_id") > thr)
       .select("sid").distinct()
       .join(priorEv, Seq("sid"), "left_anti")
+    // ONE pass over the base (non-eval) shingle explode scores both
+    // references: prior and Δ hits ride the same aggregate (the r15
+    // before-plan re-ran the tokenize→shingle→explode chain — 98% of
+    // the corpus — once per reference, plus a join to recombine;
+    // guide §2.3 "aggregate before you shuffle", §2.4 shared pass)
     val base = sh.filter(!col("is_eval"))
-    val hitsPrior = base
+    val contam = base
       .join(broadcast(priorEv.withColumn("hp", lit(1))), Seq("sid"), "left")
+      .join(broadcast(deltaEv.withColumn("hd", lit(1))), Seq("sid"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-        sum(coalesce(col("hp"), lit(0))).as("hit_prior"))
-    val hitsDelta = base.join(broadcast(deltaEv), Seq("sid"))
-      .groupBy("doc_id").agg(count(lit(1)).as("hit_delta"))
-    val contam = hitsPrior.join(hitsDelta, Seq("doc_id"), "left")
-      .withColumn("n_hit", col("hit_prior") + coalesce(col("hit_delta"), lit(0L)))
+        sum(coalesce(col("hp"), lit(0))).as("hit_prior"),
+        sum(coalesce(col("hd"), lit(0))).as("hit_delta"))
+      .withColumn("n_hit", col("hit_prior") + col("hit_delta"))
       .select("doc_id", "n_sh", "n_hit", "hit_prior")
 
     def dispo(ndDrop: Column, contaminated: Column) =

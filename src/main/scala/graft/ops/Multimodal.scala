@@ -286,6 +286,13 @@ object Multimodal {
       // kernel hashes the windows straight off the string bytes
       .withColumn("ph", expr("graft_phash60(text)"))
       .select("doc_id", "media_type", "ph")
+      // doc-grain (id, type, 60-bit hash) — grain-reduced from payload
+      // bytes and consumed by FOUR branches (bucket sizes, hot-count
+      // action, and both sides of the band self-join); unstaged, each
+      // branch re-ran the payload scan + native kernel (the r15
+      // before-plan showed 8 documents scans). The checkpoint
+      // convention's multi-consumer case (guide §1.2: one corpus pass)
+      .localCheckpoint()
     val bandVals = (0 until PhBands)
       .map(k => expr(s"shiftright(ph, ${k * PhBandBits}) & ${(1 << PhBandBits) - 1}"))
     val allBands = base.select(col("doc_id"), col("media_type"), col("ph"),

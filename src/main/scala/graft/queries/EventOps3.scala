@@ -810,8 +810,15 @@ object EventOps3 {
   private val KmvSalts = 64
 
   private def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    // (day, user) actives: grain-reduced (events → day-user distinct)
+    // and consumed FOUR times (hash sketch, per-day counts, both sides
+    // of the consecutive-day overlap join) — without the checkpoint
+    // each consumer re-ran the fact-sized distinct shuffle (guide
+    // §1.2/§2.4; the r15 before-plan showed 4 independent events
+    // scans feeding 4 identical distincts)
     val ut = withEs(s, dir)
       .select(expr("es DIV 86400").as("t"), col("user_id").as("u")).distinct()
+      .localCheckpoint()
     val hashed = ut.select(col("t"),
         expr("CAST(conv(substr(md5(CAST(u AS STRING)), 1, 13), 16, 10) AS BIGINT)").as("h"))
       .distinct() // collision-safe: rank VALUES, never tied duplicates
@@ -819,9 +826,12 @@ object EventOps3 {
       .withColumn("rn1", row_number().over(
         Window.partitionBy(col("t"), pmod(col("h"), lit(KmvSalts))).orderBy("h")))
       .filter(col("rn1") <= KmvK).drop("rn1")
+    // |days|·K rows, consumed four times (per-day theta, merged
+    // bottom-k, both sides of the common-hash join) — same rationale
     val sk = phase1
       .withColumn("rn", row_number().over(Window.partitionBy("t").orderBy("h")))
       .filter(col("rn") <= KmvK).select("t", "h")
+      .localCheckpoint()
     val per = ut.groupBy("t").agg(count(lit(1)).as("n"))
       .join(sk.groupBy("t").agg(max(col("h")).as("hk")), "t")
       .withColumn("theta",
