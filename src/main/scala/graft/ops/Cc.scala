@@ -68,8 +68,14 @@ private[graft] object Cc {
         // pointer jump: follow the label to ITS label (label(x) <= x
         // monotonically, so the jump only ever lowers labels further)
         val lut = minned.select(col("v").as("lid"), col("label").as("llabel"))
-        // eager: materialized before the old round is freed
-        val (next, nextIds) = Rounds.checkpoint(
+        // LAZY checkpoint: the labelSum action below materializes the
+        // round's blocks, folding what was a checkpoint job + an agg
+        // job into ONE job per round (the pagerank fixpoint's r14
+        // convention, applied to the CC kernel in r15 — the loop runs
+        // at 8 partitions where per-job constants dominate). The
+        // blocks ARE materialized before the old round is freed:
+        // labelSum runs first (the Rounds lazy-caller contract).
+        val (next, nextIds) = Rounds.checkpoint(eager = false, df =
           minned.join(lut, minned("label") === lut("lid"))
             .select(minned("v"), col("llabel").as("label")))
         inflight = Some((next, nextIds))

@@ -644,29 +644,33 @@ object GraphOps {
     val seeds = g.select(col("vec_id").as("v")).unionAll(g.select(col("neighbor_id").as("v")))
       .filter(col("v") < BfsSeeds).distinct()
       .withColumn("dist", lit(0L))
+    // truncate lineage each round: `next` reads BOTH frontier and
+    // labeled — without checkpoints the final plan embeds the whole
+    // cascade ~2^rounds times (6.1s at sf0.1, ~same at sf0.01: plan
+    // cost, not data). `labeled` stays a UNION of the checkpointed
+    // round frontiers (the harmonic_landmarks r15 shape): one
+    // checkpoint job per round instead of two, no cumulative rewrite
+    // of prior rounds, and the storage pinned at the end — all round
+    // frontiers — is row-identical to the final labeled checkpoint
+    // the old shape kept.
     var labeled = seeds
     var frontier = seeds
-    var labeledIds = Set.empty[Int]
-    var frontierIds = Set.empty[Int]
-    for (k <- 1 to BfsRounds) {
-      // truncate lineage each round: `next` reads BOTH frontier and
-      // labeled, and labeled = union of every prior round — without
-      // checkpoints the final plan embeds the whole cascade ~2^rounds
-      // times (6.1s at sf0.1, ~same at sf0.01: plan cost, not data).
-      // Superseded rounds are freed (Rounds bookkeeping, same
-      // convention as dedup's CC engine).
-      val (next, nextIds) = Rounds.checkpoint(
-        frontier.join(edges, frontier("v") === edges("src"))
-          .select(col("dst").as("v")).distinct()
-          .join(labeled.select("v"), Seq("v"), "left_anti")
-          .withColumn("dist", lit(k.toLong)))
-      Rounds.free(edges, frontierIds)
-      frontier = next
-      frontierIds = nextIds
-      val (lab2, labIds2) = Rounds.checkpoint(labeled.unionByName(next))
-      Rounds.free(edges, labeledIds)
-      labeled = lab2
-      labeledIds = labIds2
+    var spent = List.empty[(DataFrame, Set[Int])]
+    try {
+      for (k <- 1 to BfsRounds) {
+        val (next, nextIds) = Rounds.checkpoint(
+          frontier.join(edges, frontier("v") === edges("src"))
+            .select(col("dst").as("v")).distinct()
+            .join(labeled.select("v"), Seq("v"), "left_anti")
+            .withColumn("dist", lit(k.toLong)))
+        spent = (next, nextIds) :: spent
+        frontier = next
+        labeled = labeled.unionByName(next)
+      }
+    } catch {
+      case e: Throwable =>
+        spent.foreach { case (df, ids) => Rounds.freeQuietly(df, ids) }
+        throw e
     }
     labeled.orderBy("v")
   }

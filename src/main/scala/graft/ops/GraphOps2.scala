@@ -39,14 +39,40 @@ object GraphOps2 {
   private def kcore(s: SparkSession, dir: String): DataFrame = {
     val (edges0, _) = GraphOps.purchaseGraph(s, dir)
     var edges = edges0
-    var deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    for (_ <- 1 to KcoreRounds) {
-      val alive = deg.filter(col("deg") >= K).select(col("src").as("v"))
-      edges = edges
-        .join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
-        .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
-        .select("src", "dst")
-      deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the alive set derives from deg and filters edges TWICE (src +
+    // dst semi-joins), so an un-truncated unroll TRIPLES the plan per
+    // round — the r15 before-plan was 54 copies of the edge-table
+    // scan (3^3 from the unroll, ×2 for the final degree count).
+    // Checkpointing the |V|-sized degree relation per round keeps the
+    // plan linear: each round's checkpoint job scans |E| once through
+    // the accumulated semi-join chain, and the emitted relation reads
+    // the LAST round's blocks only (guide §3.3: truncate large plans;
+    // the Cc/pagerank loop convention applied to the bounded peel).
+    // Superseded rounds are freed after the last checkpoint
+    // materializes — earlier rounds' blocks are still referenced by
+    // the edge chain's lineage until then.
+    var (deg, degIds) = Rounds.checkpoint(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    var spent = List.empty[(DataFrame, Set[Int])]
+    try {
+      for (_ <- 1 to KcoreRounds) {
+        val alive = deg.filter(col("deg") >= K).select(col("src").as("v"))
+        edges = edges
+          .join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
+          .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+          .select("src", "dst")
+        val (next, nextIds) = Rounds.checkpoint(
+          edges.groupBy("src").agg(count(lit(1)).as("deg")))
+        spent = (deg, degIds) :: spent
+        deg = next
+        degIds = nextIds
+      }
+      spent.foreach { case (df, ids) => Rounds.free(df, ids) }
+    } catch {
+      case e: Throwable =>
+        spent.foreach { case (df, ids) => Rounds.freeQuietly(df, ids) }
+        Rounds.freeQuietly(deg, degIds)
+        throw e
     }
     deg
       .select(col("src").as("v"),
@@ -296,15 +322,19 @@ object GraphOps2 {
         "CAST(conv(substr(md5(CAST(v AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
       .orderBy("h", "v").limit(Landmarks).select("v")
     val seeds = broadcast(lms).select(col("v").as("lm"), col("v"), lit(0L).as("dist"))
+    // `labeled` is kept as the UNION of seeds + the already-
+    // checkpointed round frontiers instead of re-checkpointing the
+    // cumulative set every round: the old shape ran TWO checkpoint
+    // jobs per round and rewrote every prior row each time (O(R²)
+    // row writes across the loop); the union plan is a bounded scan
+    // of ≤ LmRounds+1 checkpointed block sets — one job per round,
+    // zero cumulative rewrites (r15; the storage pinned at the end —
+    // all round frontiers — is row-identical to the final labeled
+    // checkpoint the old shape kept, and ContextCleaner reclaims it
+    // when the emitted plan is GC'd, like Cc's final round).
     var labeled = seeds
     var frontier = seeds
-    var labeledIds = Set.empty[Int]
-    var frontierIds = Set.empty[Int]
-    // the round's freshly-created checkpoint until it is swapped into
-    // frontier/labeled — the failure path below must free it too, or
-    // an exception mid-loop parks the round's blocks for the run
-    // (same convention as Cc.minLabelComponents / PageRank)
-    var inflight: Option[(DataFrame, Set[Int])] = None
+    var spent = List.empty[(DataFrame, Set[Int])]
     try {
       for (k <- 1 to LmRounds) {
         val (next, nextIds) = Rounds.checkpoint(
@@ -312,24 +342,14 @@ object GraphOps2 {
             .select(col("lm"), col("dst").as("v")).distinct()
             .join(labeled.select("lm", "v"), Seq("lm", "v"), "left_anti")
             .withColumn("dist", lit(k.toLong)))
-        inflight = Some((next, nextIds))
-        Rounds.free(frontier, frontierIds)
+        spent = (next, nextIds) :: spent
         frontier = next
-        frontierIds = nextIds
-        inflight = None
-        val (lab2, labIds2) = Rounds.checkpoint(labeled.unionByName(next))
-        inflight = Some((lab2, labIds2))
-        Rounds.free(labeled, labeledIds)
-        labeled = lab2
-        labeledIds = labIds2
-        inflight = None
+        labeled = labeled.unionByName(next)
       }
     } catch {
       case e: Throwable =>
         // freeQuietly: a cleanup failure (dead context) must not mask e
-        inflight.foreach { case (df, ids) => Rounds.freeQuietly(df, ids) }
-        Rounds.freeQuietly(frontier, frontierIds)
-        Rounds.freeQuietly(labeled, labeledIds)
+        spent.foreach { case (df, ids) => Rounds.freeQuietly(df, ids) }
         throw e
     }
     val scored = labeled.filter(col("dist") > 0)
