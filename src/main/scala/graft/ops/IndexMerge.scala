@@ -48,30 +48,66 @@ object IndexMerge {
     // assignments, the query assignments and the brute truth (~8
     // passes): checkpoint the skinny (vec_id, v, nrm) relation once
     val e = Dedup.withNorm(Tables.load(s, dir, "embeddings"))
-      .select("vec_id", "v", "nrm").localCheckpoint()
+      .select("vec_id", "v", "nrm").localCheckpoint(false)
     val standing = e.filter(col("vec_id") % BatchMod =!= (BatchMod - 1))
-    // grid sizes are corpus metadata (one count action each)
-    val strideS = math.ceil(math.sqrt(standing.count().toDouble)).toLong
-    val strideF = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    // grid-size metadata in TWO jobs instead of four (r16, the
+    // indexDrift fused-metadata move): strides from one conditional-
+    // sum job, per-grid fine-seed counts from a second
+    val isStanding = col("vec_id") % BatchMod =!= (BatchMod - 1)
+    def lng(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i) // sum over empty = null
+    val (strideS, strideF) = {
+      val r = e.agg(sum(when(isStanding, 1L).otherwise(0L)), count(lit(1))).head()
+      (math.ceil(math.sqrt(lng(r, 0).toDouble)).toLong,
+        math.ceil(math.sqrt(lng(r, 1).toDouble)).toLong)
+    }
+    val (k0S, k0F) = {
+      val r = e.agg(
+        sum(when(isStanding && col("vec_id") % strideS === 0, 1L).otherwise(0L)),
+        sum(when(col("vec_id") % strideF === 0, 1L).otherwise(0L))).head()
+      (lng(r, 0), lng(r, 1))
+    }
     // standing grid: seeds + Lloyd means from the STANDING corpus
     // only (the batch did not exist when this index was trained);
     // rebuilt grid: trained from scratch over the full corpus
-    val coarseS = Similarity.coarseSeeds(standing, strideS)
-    val coarseF = Similarity.coarseSeeds(e, strideF)
+    val coarseS = Similarity.coarseSeedsFromCount(standing, strideS, k0S)
+    val coarseF = Similarity.coarseSeedsFromCount(e, strideF, k0F)
     // one full-corpus routing per grid serves that grid's corpus +
     // query passes (and the rebuilt grid's seed pass — its training
     // set IS the corpus; the standing grid's seed pass routes the
-    // standing subset, a different df, so it derives its own)
-    val routingS = Some(Similarity.coarseRouting(e, coarseS, "vec_id").localCheckpoint())
-    val routingF = Some(Similarity.coarseRouting(e, coarseF, "vec_id").localCheckpoint())
+    // standing subset, a different df, so it derives its own).
+    // routingF is LAZY-checkpointed (2 consumers inside the F branch:
+    // centF's seed pass + the assignment's own base — compute-once
+    // block caching inside that branch's job); routingS has exactly
+    // one consumer, so a checkpoint would only add caching overhead
+    val routingS = Some(Similarity.coarseRouting(e, coarseS, "vec_id"))
+    val routingF = Some(Similarity.coarseRouting(e, coarseF, "vec_id").localCheckpoint(false))
     val centS = Similarity.refinedCentroids(standing, strideS, coarseS)
     val centF = Similarity.refinedCentroids(e, strideF, coarseF, routingOpt = routingF)
+
+    // ONE keepRank assignment per grid serves that grid's corpus pass
+    // (crank = 1) AND its query pass (crank <= NProbe, vec_id <
+    // NQueries): assignment is per-vector against fixed centroids, so
+    // the top-1 row of the probes=NProbe ranking IS the probes=1
+    // assignment, and restricting to the query ids afterwards equals
+    // assigning the query subset directly (per-id windows — the
+    // shared-routing argument at coarseRouting). Checkpointed because
+    // the r15 plan duplicated the whole assignment subtree (incl. the
+    // grid's Lloyd refinement) once per consumer — ann + stats +
+    // queries = 3 copies per grid (guide §2.4 share one pass; the
+    // duplicate is shuffle-heavy: ranking windows over N rows).
+    def assignedAll(cent: DataFrame, coarse: DataFrame,
+        routing: Option[DataFrame]): DataFrame =
+      Similarity.assignTwoLevel(e, cent, coarse, "vec_id",
+          Dedup.IvfCoarseProbe, NProbe, keepRank = true, routingOpt = routing)
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("crank"), col("v"), col("nrm"))
 
     // exact truth is consumed TWICE (once per graded() grid): without
     // its own checkpoint the |Q|·N brute scan and its window sort
     // re-execute per consumer (the multi-consumer relation rule the
     // `e` checkpoint above already documents). Query-sample-sized.
-    val exact = {
+    val exactPlan = {
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -81,22 +117,29 @@ object IndexMerge {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("query_id"), col("neighbor_id"), col("sim").as("exact_sim"))
-        .localCheckpoint()
     }
 
-    def graded(cent: DataFrame, coarse: DataFrame, routing: Option[DataFrame],
-        method: String): DataFrame = {
+    // materialize the three independent relations (each grid's shared
+    // assignment + the exact truth) as CONCURRENT eager-checkpoint
+    // jobs: plan construction above is action-free (fused metadata),
+    // so the branches overlap instead of queueing behind one driver
+    // thread — at bench scale the op is stage-constant-bound, and the
+    // final job then reads three tiny checkpointed relations
+    val mats = Similarity.inParallel(Seq(
+      () => assignedAll(centS, coarseS, routingS).localCheckpoint(),
+      () => assignedAll(centF, coarseF, routingF).localCheckpoint(),
+      () => exactPlan.localCheckpoint()))
+    val (assignedS, assignedF, exact) = (mats(0), mats(1), mats(2))
+
+    def graded(assigned: DataFrame, method: String): DataFrame = {
       // the merged index IS "assign the full corpus to the standing
       // centroids": standing vectors keep their cells, batch vectors
       // insert into their nearest existing cell
-      val corpus = Similarity.assignTwoLevel(e, cent, coarse, "vec_id",
-          Dedup.IvfCoarseProbe, 1, routingOpt = routing)
-        .join(e, Seq("vec_id"))
+      val corpus = assigned.filter(col("crank") === 1)
         .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
           col("nrm").as("cn"), col("cell"))
-      val queries = Similarity.assignTwoLevel(e.filter(col("vec_id") < NQueries),
-          cent, coarse, "vec_id", Dedup.IvfCoarseProbe, NProbe, routingOpt = routing)
-        .join(e, Seq("vec_id"))
+      val queries = assigned
+        .filter(col("crank") <= NProbe && col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -123,8 +166,8 @@ object IndexMerge {
           "n_cells", "max_cell_n")
     }
 
-    graded(centS, coarseS, routingS, "merged")
-      .unionByName(graded(centF, coarseF, routingF, "rebuilt"))
+    graded(assignedS, "merged")
+      .unionByName(graded(assignedF, "rebuilt"))
       .orderBy("method", "query_id")
   }
 
@@ -157,15 +200,57 @@ object IndexMerge {
   private def indexDrift(s: SparkSession, dir: String): DataFrame = {
     val mod = DriftSteps + 1
     val e = Dedup.withNorm(Tables.load(s, dir, "embeddings"))
-      .select("vec_id", "v", "nrm").localCheckpoint()
+      .select("vec_id", "v", "nrm").localCheckpoint(false)
+    // grid-size metadata in TWO jobs instead of eight (r16): one
+    // per-slice count job derives every grid's stride on the driver,
+    // one conditional-sum job derives every grid's fine-seed count
+    // (coarseSeeds ran one count action per grid — at bench scale the
+    // K+1 grids' sequential metadata jobs were the critical path, not
+    // the data; guide §1.2/§2.6). Values are identical by definition:
+    // |slice<=t| = Σ sliceCnt(0..t), and each k0 sum counts exactly
+    // the rows the per-grid filter counted.
+    val sliceCnt: Map[Int, Long] =
+      e.groupBy((col("vec_id") % mod).cast("int").as("cs")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def cumCount(t: Int): Long = (0 to t).map(sliceCnt.getOrElse(_, 0L)).sum
+    val stride0 = math.ceil(math.sqrt(cumCount(0).toDouble)).toLong
+    val strideT: Map[Int, Long] = (1 to DriftSteps)
+      .map(t => t -> math.ceil(math.sqrt(cumCount(t).toDouble)).toLong).toMap
+    val (k00, k0T) = {
+      val aggs =
+        sum(when(col("vec_id") % mod === 0 &&
+          col("vec_id") % stride0 === 0, 1L).otherwise(0L)).as("k00") +:
+        (1 to DriftSteps).map(t =>
+          sum(when(col("vec_id") % mod <= t &&
+            col("vec_id") % strideT(t) === 0, 1L).otherwise(0L)).as(s"k0$t"))
+      val r = e.agg(aggs.head, aggs.tail: _*).head()
+      def lng(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (lng(0), (1 to DriftSteps).map(t => t -> lng(t)).toMap)
+    }
     val c0 = e.filter(col("vec_id") % mod === 0)
-    val stride0 = math.ceil(math.sqrt(c0.count().toDouble)).toLong
-    val coarse0 = Similarity.coarseSeeds(c0, stride0)
+    val coarse0 = Similarity.coarseSeedsFromCount(c0, stride0, k00)
     val cent0 = Similarity.refinedCentroids(c0, stride0, coarse0)
     // ONE full-corpus routing against the frozen coarse0 serves every
     // merged step's corpus + query passes (step-t corpora are filters
     // of e; the routing is per-vector and pass-independent)
-    val routing0 = Some(Similarity.coarseRouting(e, coarse0, "vec_id").localCheckpoint())
+    // routing0 has exactly one consumer now (the shared merged
+    // assignment below) — no checkpoint needed
+    val routing0 = Some(Similarity.coarseRouting(e, coarse0, "vec_id"))
+    // ONE full-corpus ASSIGNMENT against the frozen grid serves every
+    // merged step's corpus AND query passes (r16, VERDICT item 1):
+    // assignment is per-vector against fixed (cent0, coarse0) via the
+    // fixed routing0, so the step-t corpus assignment ≡ this relation
+    // filtered to slice <= t at crank = 1, and the step-t query pass ≡
+    // crank <= NProbe at vec_id < NQueries (per-id ranking windows —
+    // dropping other ids' rows cannot move any surviving row; the
+    // shared-routing argument at Similarity.coarseRouting). The r15
+    // plan rebuilt this subtree per consumer: 3 steps × (ann + stats)
+    // + 3 query passes ≈ 9 copies of the N-scale ranking chain
+    // (guide §2.4 — share one pass; §1.2 — fix the algorithm first).
+    val mergedAllPlan = Similarity.assignTwoLevel(e, cent0, coarse0, "vec_id",
+        Dedup.IvfCoarseProbe, NProbe, keepRank = true, routingOpt = routing0)
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("crank"), col("v"), col("nrm"))
 
     // ONE materialized Q×N exact ranking serves every step's truth
     // (r13 VERDICT item 4 — the per-step brute scans were 3 redundant
@@ -178,7 +263,7 @@ object IndexMerge {
     // superset of slices), so any row a step can select has
     // cnt1 <= K — the trim keeps the checkpoint at ~2K rows/query
     // instead of N while remaining lossless for every step.
-    val exactAll = {
+    val exactAllPlan = {
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -191,27 +276,54 @@ object IndexMerge {
         .withColumn("sim", cosine(expr("graft_array_dot(qv, cv)"), col("qn"), col("cn")))
         .select(Seq(col("query_id"), col("neighbor_id")) ++ cums: _*)
         .filter(col("cnt1") <= K)
-        .localCheckpoint()
     }
+
+    // the rebuilt grid for step t, re-trained from scratch on the
+    // step-t corpus (stride + seed count from the two fused metadata
+    // jobs above — plan construction is action-free); routingT is
+    // LAZY-checkpointed: centT's seed pass and the assignment's base
+    // both read it inside this branch's one materialization job
+    def rebuiltPlan(t: Int): DataFrame = {
+      val ct = e.filter(col("vec_id") % mod <= t)
+      val coarseT = Similarity.coarseSeedsFromCount(ct, strideT(t), k0T(t))
+      val routingT = Some(
+        Similarity.coarseRouting(ct, coarseT, "vec_id").localCheckpoint(false))
+      val centT = Similarity.refinedCentroids(ct, strideT(t), coarseT,
+        routingOpt = routingT)
+      Similarity.assignTwoLevel(ct, centT, coarseT, "vec_id",
+          Dedup.IvfCoarseProbe, NProbe, keepRank = true, routingOpt = routingT)
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("crank"), col("v"), col("nrm"))
+    }
+
+    // materialize the five independent relations (merged assignment,
+    // exact truth, K rebuilt assignments) as CONCURRENT eager-
+    // checkpoint jobs (guide §2.6): at bench scale the op is stage-
+    // constant-bound, so overlapping the branches — instead of one
+    // driver thread queueing ~30 stages per branch — is the wall-
+    // clock lever; at 100 TB each branch is one linear pass either way
+    val mats = Similarity.inParallel(
+      Seq(() => mergedAllPlan.localCheckpoint(),
+          () => exactAllPlan.localCheckpoint()) ++
+        (1 to DriftSteps).map(t => () => rebuiltPlan(t).localCheckpoint()))
+    val mergedAll = mats(0)
+    val exactAll = mats(1)
+    val rebuiltAll: Map[Int, DataFrame] =
+      (1 to DriftSteps).map(t => t -> mats(1 + t)).toMap
+
     def exactAt(t: Int): DataFrame =
       exactAll.filter(col("query_id") % mod <= t &&
           col("neighbor_id") % mod <= t && col(s"cnt$t") <= K)
         .select("query_id", "neighbor_id")
 
     def stepRows(t: Int): DataFrame = {
-      val ct = e.filter(col("vec_id") % mod <= t)
-      val qt = ct.filter(col("vec_id") < NQueries)
       val exact = exactAt(t)
-      def gradedAgg(cent: DataFrame, coarse: DataFrame, routing: Option[DataFrame],
-          method: String): DataFrame = {
-        val corpus = Similarity.assignTwoLevel(ct, cent, coarse, "vec_id",
-            Dedup.IvfCoarseProbe, 1, routingOpt = routing)
-          .join(e, Seq("vec_id"))
+      def gradedAgg(assigned: DataFrame, method: String): DataFrame = {
+        val corpus = assigned.filter(col("crank") === 1)
           .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
             col("nrm").as("cn"), col("cell"))
-        val queries = Similarity.assignTwoLevel(qt, cent, coarse, "vec_id",
-            Dedup.IvfCoarseProbe, NProbe, routingOpt = routing)
-          .join(e, Seq("vec_id"))
+        val queries = assigned
+          .filter(col("crank") <= NProbe && col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("cell"))
         val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -235,15 +347,8 @@ object IndexMerge {
           .select("step", "method", "n_queries", "n_exact", "n_hits",
             "recall_ppm", "n_cells", "max_cell_n")
       }
-      // rebuilt grid: re-trained from scratch on the step-t corpus
-      val stT = math.ceil(math.sqrt(ct.count().toDouble)).toLong
-      val coarseT = Similarity.coarseSeeds(ct, stT)
-      // the rebuilt grid's seed/corpus/query passes all route the
-      // step-t corpus over coarseT — one routing serves all three
-      val routingT = Some(Similarity.coarseRouting(ct, coarseT, "vec_id").localCheckpoint())
-      val centT = Similarity.refinedCentroids(ct, stT, coarseT, routingOpt = routingT)
-      gradedAgg(cent0, coarse0, routing0, "merged")
-        .unionByName(gradedAgg(centT, coarseT, routingT, "rebuilt"))
+      gradedAgg(mergedAll.filter(col("vec_id") % mod <= t), "merged")
+        .unionByName(gradedAgg(rebuiltAll(t), "rebuilt"))
     }
 
     (1 to DriftSteps).map(stepRows).reduce(_ unionByName _)

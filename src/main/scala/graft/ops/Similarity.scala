@@ -221,8 +221,36 @@ object Similarity {
     * staged grid (Dedup.ivfCellAssignments) so all two-level
     * assignments derive their routing the same way.
     */
-  private[graft] def coarseSeeds(e: DataFrame, stride: Long): DataFrame = {
-    val k0 = e.filter(col("vec_id") % stride === 0).count()
+  private[graft] def coarseSeeds(e: DataFrame, stride: Long): DataFrame =
+    coarseSeedsFromCount(e, stride, e.filter(col("vec_id") % stride === 0).count())
+
+  /** Run independent driver thunks (each typically an eager
+    * localCheckpoint = one Spark job) CONCURRENTLY and return their
+    * results in order (guide §2.6 — actions are only sequential
+    * because the driver calls them sequentially; concurrent jobs
+    * back-fill the executor slots a single tiny-data job leaves
+    * idle). Job descriptions are thread-local, so each branch labels
+    * correctly; a failed thunk rethrows from Await.
+    */
+  private[ops] def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = thunks.map(t => scala.concurrent.Future(t()))
+      fs.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  /** [[coarseSeeds]] with the fine-seed count supplied by the caller —
+    * lets an op that builds SEVERAL grids fold the per-grid seed-count
+    * actions into one aggregate job (sim_index_drift runs K+1 grids;
+    * at bench scale the sequential count jobs, not the data, were the
+    * critical path — guide §1.2 distributed-algorithm-first, §2.6
+    * don't leave the cluster idle between tiny jobs).
+    */
+  private[graft] def coarseSeedsFromCount(e: DataFrame, stride: Long, k0: Long): DataFrame = {
     val cstride = math.max(1L, math.ceil(math.sqrt(k0.toDouble)).toLong)
     e.filter(col("vec_id") % (stride * cstride) === 0)
       .select(col("vec_id").as("ccid"), col("v").as("cv0"), col("nrm").as("cn0"))
@@ -344,21 +372,33 @@ object Similarity {
     val stride = ivfStride(e)
     val coarse = coarseSeeds(e, stride)
     // ONE coarse routing serves the seed, corpus and query passes
-    // (it depends only on (e, coarse) — see coarseRouting)
-    val routing = Some(coarseRouting(e, coarse, "vec_id").localCheckpoint())
+    // (it depends only on (e, coarse) — see coarseRouting). Lazy: it
+    // materializes inside the eager `assigned` checkpoint below with
+    // compute-once block caching, instead of as its own sequential
+    // driver job (the indexDrift critical-path move, r16)
+    val routing = Some(coarseRouting(e, coarse, "vec_id").localCheckpoint(false))
     val cent = refinedCentroids(e, stride, coarse, routingOpt = routing)
     // corpus + query assignment both route two-level (r13): k = √N
     // fine cells made the flat ranking N^1.5 — milder than the
     // staged grid's N²/96 but the same road (SCALING_r12.md §1).
     // Assignment emits skinny (vec_id, cell); vectors re-attach by
     // an id-keyed join, per the exchange discipline.
-    val corpus = assignTwoLevel(e, cent, coarse, "vec_id", Dedup.IvfCoarseProbe, 1,
-        routingOpt = routing)
+    // ONE keepRank assignment serves the corpus pass (crank = 1) AND
+    // the query pass (crank <= NProbe, vec_id < NQueries) — r16: the
+    // two passes each rebuilt the assignment chain INCLUDING the
+    // Lloyd refinement subtree (cent appears inside each pass's f2c),
+    // so the refinement ran twice per op run (guide §2.4). The top-1
+    // row of the probes=NProbe ranking IS the probes=1 assignment,
+    // and restricting to query ids after ranking equals assigning the
+    // query subset directly (per-id windows — see coarseRouting).
+    val assigned = assignTwoLevel(e, cent, coarse, "vec_id",
+        Dedup.IvfCoarseProbe, NProbe, keepRank = true, routingOpt = routing)
       .join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("crank"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val corpus = assigned.filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
-    val queries = assignTwoLevel(e.filter(col("vec_id") < NQueries), cent, coarse,
-        "vec_id", Dedup.IvfCoarseProbe, NProbe, routingOpt = routing)
-      .join(e, Seq("vec_id"))
+    val queries = assigned.filter(col("crank") <= NProbe && col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
