@@ -110,8 +110,13 @@ object Bench {
       .mkString("[", ",", "]")
     val opsTotal = results.map(_._2).filter(_ >= 0).sum
     val total = opsTotal + stagingTotal
+    // self-describing parallelism (r15 VERDICT item 2): the requested
+    // core count AND the parallelism the context actually granted, so
+    // a scaling capture proves $SPARK_GRAFT_CPUS took effect instead
+    // of asserting it
+    val par = s""""cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism}"""
     val full =
-      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"staging":$st,"ops_total":$opsTotal,"staging_total":$stagingTotal,"passes":$passes,"staging_passes":$stagingPassesOut,"staging_mode":"$stagingMode","errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec",$par,"queries":$qs,"staging":$st,"ops_total":$opsTotal,"staging_total":$stagingTotal,"passes":$passes,"staging_passes":$stagingPassesOut,"staging_mode":"$stagingMode","errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is the contract, but at 190+ queries it runs
     // ~6 KB — longer than the 2000-char output tail the driver keeps,
@@ -129,7 +134,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, s) => "\"" + f + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$famTotals,"staging_total":$stagingTotal,"staging_passes":$stagingPassesOut,"n_queries":${results.size},"passes":$passes,"errors":$errors,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"$metricName","value":$total,"unit":"sec",$par,"queries":$famTotals,"staging_total":$stagingTotal,"staging_passes":$stagingPassesOut,"n_queries":${results.size},"passes":$passes,"errors":$errors,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (results.exists(_._2 < 0)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

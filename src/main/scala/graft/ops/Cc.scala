@@ -29,6 +29,27 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Cc {
 
+  // the loop's shuffles are |V|-keyed but carry |E|-sized join inputs
+  // (edges ⋈ labels feeding the min-agg); 128k VERTICES per partition
+  // keeps both the agg input and the label-LUT join in the tens of
+  // MB per reducer for typical near-dup degree distributions
+  private val LoopRowsPerPartition = 1L << 17
+
+  /** Shuffle-partition count for a CC/loop scope (r15 VERDICT item 6):
+    * the loop shuffles a vertex-set-sized relation dozens of times, so
+    * its reducer count should track the LOOP RELATION'S size, not the
+    * session's scan parallelism — derived as max(8, rows/1M) with a
+    * plain scale cap. At gate scale every caller resolves to 8 (the
+    * constant the r15 scopes hardcoded — bench numbers unchanged); at
+    * 100 TB a reduced graph of billions of pairs gets thousands of
+    * reducers instead of being serialized onto 8. The vertex count
+    * rides the initial label-sum action [[minLabelComponents]] already
+    * runs, so the derivation costs ZERO extra jobs (a caller-side
+    * count job measured +0.3–0.5 s per loop at sf0.1 — reverted).
+    */
+  def loopPartitions(rows: Long): Int =
+    math.max(8L, math.min(rows / LoopRowsPerPartition, 4096L)).toInt
+
   /** @param edges    directed edge list with columns (src, dst);
     *                 pass a symmetrized relation for undirected CC
     *                 (both callers do)
@@ -39,6 +60,7 @@ private[graft] object Cc {
     *         where label = min vertex id in the component
     */
   def minLabelComponents(edges0: DataFrame, maxRounds: Int, opName: String): DataFrame = {
+    val spark = edges0.sparkSession
     val edges = edges0.select(col("src"), col("dst")).cache()
     // null-safe: sum over an EMPTY vertex set is NULL (an empty edge
     // relation is a legal input — every vertex is then a singleton
@@ -50,9 +72,24 @@ private[graft] object Cc {
     var (labels, labelIds) = Rounds.checkpoint(
       edges.select(col("src").as("v")).distinct()
         .withColumn("label", col("v")))
-    var prevSum = labelSum(labels)
+    // the initial label-sum action also returns the vertex count —
+    // the size the loop's shuffle-partition scope derives from
+    // (r16, VERDICT item 6), at zero extra jobs
+    var prevSum = 0L
+    val nVerts = {
+      val r = labels.agg(sum(col("label")), count(lit(1))).head()
+      prevSum = if (r.isNullAt(0)) 0L else r.getLong(0)
+      r.getLong(1)
+    }
     var converged = false
     var rounds = 0
+    // scope the LOOP's shuffles (not the initial distinct above,
+    // which is |E|-sized and ran at the caller's parallelism) to the
+    // size-derived reducer count; restored in the finally below —
+    // the returned plan executes under the caller's conf
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      loopPartitions(nVerts).toString)
     // the round's freshly-created checkpoint, tracked until it is
     // swapped into `labels`: if labelSum(next) or the old round's
     // free throws AFTER the checkpoint succeeded, the catch below
@@ -101,6 +138,8 @@ private[graft] object Cc {
         Rounds.freeQuietly(labels, labelIds)
         try edges.unpersist(blocking = false) catch { case _: Throwable => () }
         throw e
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     // the FINAL round's checkpoint stays persisted — the returned plan
     // reads it; ContextCleaner reclaims it when the plan is GC'd

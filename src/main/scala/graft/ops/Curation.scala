@@ -219,8 +219,12 @@ object Curation {
       expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000") <
         TextOps.EvalBp
 
-    // per-doc-local stages (prior-restriction = filter, see header)
-    val q = Dedup.qualityPerDoc(s, dir)
+    // per-doc-local stages (prior-restriction = filter, see header).
+    // q is LAZY-checkpointed: it serves the final manifest join AND
+    // (as the doc_id universe — quality is one row per document) the
+    // label remap below, so the tokenize pass runs once, not twice
+    // (r16, VERDICT item 5)
+    val q = Dedup.qualityPerDoc(s, dir).localCheckpoint(false)
     val exactFlag = Dedup.exact(s, dir).select(col("doc_id"), col("is_duplicate"))
 
     // near-dup: prior CC + delta merge over the staged pair index
@@ -228,12 +232,9 @@ object Curation {
     def cc(pairs: DataFrame, name: String): DataFrame = {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      // tiny vertex set, dozens of shuffles — the clustersComputed
-      // low-partition scope
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try Cc.minLabelComponents(sym, RefreshCcRounds, name)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // small vertex set, dozens of shuffles — the Cc kernel scopes
+      // its own loop to a size-derived partition count (r16)
+      Cc.minLabelComponents(sym, RefreshCcRounds, name)
     }
     // doc_a < doc_b always, and batch ids are the largest — so a pair
     // involves a batch doc iff doc_b > thr
@@ -249,7 +250,7 @@ object Curation {
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
     val mergedLab = cc(reduced, "curation_refresh(delta)")
       .select(col("v").as("rep"), col("label").as("new_label"))
-    val lab = docs.select("doc_id")
+    val lab = q.select("doc_id")
       .join(broadcast(priorLab), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("prior_cluster"), col("doc_id")))
       .join(broadcast(mergedLab), Seq("rep"), "left")
@@ -264,20 +265,30 @@ object Curation {
       .withColumn("is_eval", isEval)
       .select(col("doc_id"), col("is_eval"), explode(col("sh")).as("g"))
       .select(col("doc_id"), col("is_eval"), expr(Dedup.sid60Spark).as("sid"))
-    val priorEv = sh.filter(col("is_eval") && col("doc_id") <= thr)
-      .select("sid").distinct()
-    val deltaEv = sh.filter(col("is_eval") && col("doc_id") > thr)
-      .select("sid").distinct()
-      .join(priorEv, Seq("sid"), "left_anti")
+    // ONE pass over the eval shingle explode derives BOTH references
+    // (r16, VERDICT item 5 — the prior and Δ reference sets each
+    // re-ran the tokenize→shingle→explode chain over the eval subset,
+    // plus an anti-join to make them disjoint): per sid, hp = appears
+    // under a prior eval doc; hd = appears ONLY under delta eval docs
+    // (the anti-join as a filter of the same aggregate — the sets
+    // stay disjoint by construction). Sid-grain, small by the eval
+    // split's construction, so one broadcast join attaches both flags.
+    val evRef = sh.filter(col("is_eval"))
+      .groupBy("sid")
+      .agg(max(when(col("doc_id") <= thr, 1).otherwise(0)).as("hp0"),
+        max(when(col("doc_id") > thr, 1).otherwise(0)).as("hd0"))
+      .select(col("sid"), col("hp0").as("hp"),
+        when(col("hp0") === 0 && col("hd0") === 1, 1).otherwise(0).as("hd"))
     // ONE pass over the base (non-eval) shingle explode scores both
     // references: prior and Δ hits ride the same aggregate (the r15
     // before-plan re-ran the tokenize→shingle→explode chain — 98% of
     // the corpus — once per reference, plus a join to recombine;
-    // guide §2.3 "aggregate before you shuffle", §2.4 shared pass)
+    // guide §2.3 "aggregate before you shuffle", §2.4 shared pass),
+    // through ONE broadcast join instead of two (evRef is sid-unique,
+    // so the left join is row-preserving)
     val base = sh.filter(!col("is_eval"))
     val contam = base
-      .join(broadcast(priorEv.withColumn("hp", lit(1))), Seq("sid"), "left")
-      .join(broadcast(deltaEv.withColumn("hd", lit(1))), Seq("sid"), "left")
+      .join(broadcast(evRef), Seq("sid"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("hp"), lit(0))).as("hit_prior"),

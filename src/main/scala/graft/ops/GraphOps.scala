@@ -320,31 +320,78 @@ object GraphOps {
     var residual = Long.MaxValue
     var rounds = 0
     var curve = Vector.empty[(Long, Long)]
+    // one superstep + the carried previous mass — EXACTLY the r15
+    // per-round relation: the residual is a map-side scan of the
+    // round's own checkpoint blocks, never a second |V|-join job
+    // (at sf1 the separate residual job was ~half the op's cost)
+    def stepWithPrev(m: DataFrame): DataFrame = edges
+      .join(m.withColumnRenamed("v", "src"), "src")
+      .join(outdeg, "src")
+      .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))
+      .groupBy("v").agg(sum(col("contrib")).as("inflow"))
+      .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass"))
+      .join(m.select(col("v"), col("mass").as("prev")), "v")
     try {
       while (residual > PrTolPpm && rounds < PrMaxRounds) {
-      // the superstep carries the previous round's mass alongside the
-      // new one, so the residual is a map-side scan of the round's
-      // OWN checkpoint blocks — not a second |V|-join job per round
-      // (at sf1 the separate residual job was ~half the op's cost:
-      // 36 rounds × one extra skinny-join stage each). The checkpoint
-      // is LAZY: the residual action below materializes the blocks,
-      // so each round is ONE job, not a checkpoint job + an agg job
-      // (scheduler work only — wall-clock is exchange-bound at sf0.1,
-      // measured no change; the freeing contract is in Rounds).
-        val (next, ids) = Rounds.checkpoint(eager = false, df = edges
-          .join(mass.withColumnRenamed("v", "src"), "src")
-          .join(outdeg, "src")
-          .select(col("dst").as("v"), expr("mass DIV outdeg").as("contrib"))
-          .groupBy("v").agg(sum(col("contrib")).as("inflow"))
-          .select(col("v"), expr("150000L + (85 * inflow) DIV 100").as("mass"))
-          .join(mass.select(col("v"), col("mass").as("prev")), "v"))
-        try residual = next.agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
-        catch { case e: Throwable => Rounds.freeQuietly(next, ids); throw e }
-        Rounds.free(mass, massIds)
-        mass = next.select(col("v"), col("mass"))
-        massIds = ids
-        rounds += 1
-        curve :+= ((rounds.toLong, residual))
+        if (rounds + 1 >= PrMaxRounds) {
+          // cap boundary: only one more round is allowed — the r15
+          // single-superstep body, unchanged
+          val (next, ids) = Rounds.checkpoint(eager = false, df = stepWithPrev(mass))
+          try residual = next.agg(max(abs(col("mass") - col("prev")))).head().getLong(0)
+          catch { case e: Throwable => Rounds.freeQuietly(next, ids); throw e }
+          Rounds.free(mass, massIds)
+          mass = next.select(col("v"), col("mass"))
+          massIds = ids
+          rounds += 1
+          curve :+= ((rounds.toLong, residual))
+        } else {
+          // TWO supersteps per checkpoint/action (r16, VERDICT item
+          // 3): at sf0.1 the ~36 data-bound rounds are per-job
+          // scheduler constants, so halving the job count halves the
+          // loop's fixed cost. Constructed as exactly two r15 rounds
+          // fused: round a's relation is LAZY-checkpointed (computed
+          // once — round b's input AND the union branch read the same
+          // RDD via block cache), both rounds ride ONE tagged union
+          // relation, and ONE aggregate action returns both residuals
+          // while materializing both checkpoints. If round a already
+          // met the tolerance, round b's columns are discarded —
+          // wasted work on the final pair only, never a semantics
+          // change (curve, n_rounds and the emitted masses are
+          // row-identical to the single-step loop; the oracle's
+          // recursive CTE pins that).
+          val (s1, s1Ids) = Rounds.checkpoint(eager = false, df = stepWithPrev(mass))
+          val m1 = s1.select(col("v"), col("mass"))
+          val (next, ids) = Rounds.checkpoint(eager = false, df =
+            stepWithPrev(m1)
+              .select(col("v"), col("mass"), col("prev"), lit(2).as("rnd"))
+              .unionByName(
+                s1.select(col("v"), col("mass"), col("prev"), lit(1).as("rnd"))))
+          val row =
+            try next.agg(
+              max(when(col("rnd") === 1, abs(col("mass") - col("prev")))),
+              max(when(col("rnd") === 2, abs(col("mass") - col("prev"))))).head()
+            catch { case e: Throwable =>
+              Rounds.freeQuietly(next, ids)
+              Rounds.freeQuietly(s1, s1Ids)
+              throw e
+            }
+          val r1 = row.getLong(0)
+          val r2 = row.getLong(1)
+          Rounds.free(mass, massIds)
+          Rounds.free(s1, s1Ids) // next is materialized; round a's blocks are superseded
+          massIds = ids
+          rounds += 1
+          curve :+= ((rounds.toLong, r1))
+          residual = r1
+          if (r1 > PrTolPpm) {
+            rounds += 1
+            curve :+= ((rounds.toLong, r2))
+            residual = r2
+            mass = next.filter(col("rnd") === 2).select(col("v"), col("mass"))
+          } else {
+            mass = next.filter(col("rnd") === 1).select(col("v"), col("mass"))
+          }
+        }
       }
       if (residual > PrTolPpm)
         throw new IllegalStateException(
