@@ -43,6 +43,12 @@ object GraftSession {
     * Bench construct their own); idempotent.
     */
   def tune(spark: SparkSession): SparkSession = {
+    // bounded-drain streaming scope (r16 probe): a drain retains no
+    // more than a handful of batches, so the default 100-batch
+    // checkpoint retention and 60 s state maintenance cadence only
+    // add file churn per drained query
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1400,28 +1400,37 @@ object Similarity {
     val (exact, exactIds) = Rounds.checkpoint(
       knnBrute(s, dir).select(col("query_id"), col("neighbor_id")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
-    val rows = CurveChains.flatMap { case (em, bw, hops, emitAt) =>
-      val snaps = beamWalkAt(s, dir, q, entries(em), bw, hops, emitAt.toSet)
-      val points = emitAt.map { h =>
-        val (visited, _) = snaps(h)
-        val ann = visited.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("query_id"), col("cand_id").as("neighbor_id"),
-            lit(1L).as("hit"))
-        // the point is ONE row — materialize it on the driver (the
-        // coreset `picked` pattern) so the chain's snapshots can be
-        // freed before the next chain walks
-        val r = exact.join(ann, Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_exact"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-          .crossJoin(broadcast(visited.agg(count(lit(1)).as("n_visited"))))
-          .collect()(0)
-        val (nExact, nHits, nVisited) = (r.getLong(0), r.getLong(1), r.getLong(2))
-        (em, bw.toLong, h.toLong, nExact, nHits, nHits * 1000000L / nExact, nVisited)
+    // the three chains are INDEPENDENT (hops only share a prefix
+    // within a chain) — walk them in concurrent driver threads (r16,
+    // guide §2.6: the hop checkpoints and 1-row point collects are
+    // sequential tiny jobs, so one driver thread left the executors
+    // idle; Rounds' lineage-intersected bookkeeping is explicitly
+    // safe under concurrent checkpoint/free). Result order is
+    // chain-ordered by inParallel, and orderBy pins the output.
+    val rows = inParallel(CurveChains.map { case (em, bw, hops, emitAt) =>
+      () => {
+        val snaps = beamWalkAt(s, dir, q, entries(em), bw, hops, emitAt.toSet)
+        val points = emitAt.map { h =>
+          val (visited, _) = snaps(h)
+          val ann = visited.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= K)
+            .select(col("query_id"), col("cand_id").as("neighbor_id"),
+              lit(1L).as("hit"))
+          // the point is ONE row — materialize it on the driver (the
+          // coreset `picked` pattern) so the chain's snapshots can be
+          // freed as soon as the chain finishes
+          val r = exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+            .crossJoin(broadcast(visited.agg(count(lit(1)).as("n_visited"))))
+            .collect()(0)
+          val (nExact, nHits, nVisited) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          (em, bw.toLong, h.toLong, nExact, nHits, nHits * 1000000L / nExact, nVisited)
+        }
+        snaps.values.foreach { case (snap, ids) => Rounds.free(snap, ids) }
+        points
       }
-      snaps.values.foreach { case (snap, ids) => Rounds.free(snap, ids) }
-      points
-    }
+    }).flatten
     Rounds.free(exact, exactIds)
     import s.implicits._
     rows.toDF("entry_mode", "beam_width", "hops", "n_exact", "n_hits",

@@ -200,8 +200,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val nDocs = d.count()
+    // postings feed the df aggregate AND the join back — without the
+    // checkpoint the tokenize+explode+tf chain ran once per consumer
+    // (the bm25/dup_coverage two-pass shape; r16 paired A/B on those
+    // ops measured the duplicate CPU-bound and the checkpoint a
+    // 30–50% win at sf0.1)
     val postings = d.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_ppm").desc, col("term"))
@@ -282,6 +288,7 @@ object TextOps {
     val nDocs = d.count()
     val postings = d.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     // integer DIV, not double division + cast: Spark's cast truncates
     // where a float sum could already have drifted at 10^15 tokens
@@ -649,9 +656,13 @@ object TextOps {
   private val SurprisalBandMille = 20L // low/high beyond ±2% of corpus mean
 
   private def surprisal(s: SparkSession, dir: String): DataFrame = {
+    // the raw token explode feeds the count aggregate AND the per-doc
+    // join — checkpoint it so the tokenize pass runs once (r16, the
+    // dup_coverage two-consumer postings move)
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok0"))
       .select(col("doc_id"), lower(col("tok0")).as("tok"))
+      .localCheckpoint()
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).localCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     val perDoc = toks.join(counts, "tok")

@@ -208,6 +208,7 @@ object TextOps2 {
       .withColumn("sh", expr("graft_shingles3(toks)"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), expr(Dedup.sid32Spark).as("sid"))
+      .localCheckpoint()
     val df = postings.groupBy("sid").agg(count(lit(1)).as("df"))
     val perDoc = postings.join(df, "sid")
       .groupBy("doc_id").agg(
